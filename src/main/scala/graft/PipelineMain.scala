@@ -1,0 +1,120 @@
+package graft
+
+import graft.schema.{Fixtures, WeatherSchema}
+import graft.transform.Feeds
+import graft.warehouse.Merge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.time.LocalDate
+
+/** Batch end-to-end pipeline runner — the engine's analog of the
+  * reference's extract Lambda + transform Lambda + 4-hourly merge tasks
+  * (reference: DataExtraction.py:43-76, DataTransformation.py:126-247,
+  * location.sql:87-91 et al.), collapsed into one driveable CLI.
+  *
+  * Usage: `runMain graft.PipelineMain <workDir> [<fetchDate yyyy-MM-dd> ...]`
+  *
+  * Layout under workDir:
+  *   raw/        one JSON file per (city, fetchDate)  — K1
+  *   feeds/<f>/  headered CSV per feed                — K2
+  *   warehouse/<table>/  parquet target state         — M1-M5
+  *
+  * Running it twice with the same date exercises merge idempotency;
+  * running with a later date exercises the update path (forecast
+  * revisions overwrite same-key rows).
+  */
+object PipelineMain {
+  val feedNames = Seq("location", "condition", "current_weather",
+    "forecast_day_weather", "forecast_hour_weather")
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(sys.error("usage: PipelineMain <workDir> [dates...]"))
+    val dates =
+      if (args.length > 1) args.drop(1).toSeq.map(LocalDate.parse)
+      else Seq(LocalDate.of(2024, 12, 22))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- Extract: fixture stands in for the REST fetch (offline env) ----
+    Fixtures.writeRawJsonFiles(spark, s"$workDir/raw", fetchDates = dates)
+
+    // ---- Transform: explicit schema read + the five feeds ----
+    val raw = spark.read.schema(WeatherSchema.root).json(s"$workDir/raw")
+    val feeds: Map[String, DataFrame] = Map(
+      "location" -> Feeds.locationFeed(raw),
+      "condition" -> Feeds.conditionFeed(raw).drop("file_id"),
+      "current_weather" -> Feeds.currentWeatherFeed(raw),
+      "forecast_day_weather" -> Feeds.forecastDayFeed(raw),
+      "forecast_hour_weather" -> Feeds.forecastHourFeed(raw),
+    )
+    feeds.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Append).option("header", "true")
+        .csv(s"$workDir/feeds/$name")
+    }
+
+    // ---- Load: keyed MERGE / insert-only per target ----
+    def readTarget(name: String): Option[DataFrame] = {
+      val p = s"$workDir/warehouse/$name"
+      if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+    }
+    def writeTarget(name: String, df: DataFrame): Unit = {
+      // Materialize before overwrite: the plan reads the same path it
+      // writes, so go through a staging dir and swap.
+      val tmp = s"$workDir/warehouse/.${name}_tmp"
+      df.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dest = new java.io.File(s"$workDir/warehouse/$name")
+      if (dest.exists()) {
+        dest.listFiles().foreach(_.delete()); dest.delete()
+      }
+      new java.io.File(tmp).renameTo(dest)
+    }
+
+    val merges: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("dim_location", feeds("location"), Seq("location_id")),
+      ("fact_current_day_weather", feeds("current_weather"), Seq("current_weather_id")),
+      ("fact_forecast_day_weather", feeds("forecast_day_weather"), Seq("forecast_day_weather_id")),
+      ("fact_forecast_hour_weather", feeds("forecast_hour_weather"), Seq("forecast_hour_weather_id")),
+    )
+    merges.foreach { case (table, stage, keys) =>
+      val merged = readTarget(table) match {
+        case Some(t) => Merge.upsert(t, stage, keys)
+        case None => Merge.dedupLastWins(stage, keys, Nil)
+      }
+      writeTarget(table, merged)
+    }
+    // condition dim: CASE normalization + insert-only anti-join append
+    val condStage = feeds("condition")
+      .withColumn("condition_name",
+        Feeds.normalizeConditionName(col("condition_code"), col("condition_name")))
+      .select("condition_code", "condition_name")
+    val condMerged = readTarget("dim_condition") match {
+      case Some(t) => Merge.insertNew(t, condStage, Seq("condition_code"))
+      case None => Merge.dedupLastWins(condStage.distinct(), Seq("condition_code"), Nil)
+    }
+    writeTarget("dim_condition", condMerged)
+
+    // ---- Report: target counts + the flagship star join ----
+    val tables = Seq("dim_location", "dim_condition", "fact_current_day_weather",
+      "fact_forecast_day_weather", "fact_forecast_hour_weather")
+    tables.foreach { t =>
+      println(f"$t%-28s rows=${spark.read.parquet(s"$workDir/warehouse/$t").count()}")
+    }
+    val fact = spark.read.parquet(s"$workDir/warehouse/fact_current_day_weather")
+    val dimL = spark.read.parquet(s"$workDir/warehouse/dim_location")
+    val dimC = spark.read.parquet(s"$workDir/warehouse/dim_condition")
+    println("flagship: current temperature + condition per city")
+    fact.join(broadcast(dimL), "location_id")
+      .join(broadcast(dimC), "condition_code")
+      .select(col("name"), col("weather_date"), col("temperature_c"), col("condition_name"))
+      .orderBy("name").show(20, truncate = false)
+    spark.stop()
+  }
+}

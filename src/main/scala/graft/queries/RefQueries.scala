@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.warehouse.Merge
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Reference-parity operators (SURVEY.md §2) re-expressed over the driver
+  * test tables, each paired with portable DuckDB oracle SQL.
+  *
+  * Determinism rules shared by every (query, oracle) pair:
+  *  - identical column names and an explicit total ORDER BY on both sides;
+  *  - money-like double aggregations go through DECIMAL so the sum is
+  *    exact and order-independent, then cast back to DOUBLE;
+  *  - integer-valued results cast to BIGINT on both sides.
+  */
+object RefQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in every session builder of this project) it arrives as a long
+    * of nanoseconds — convert to a microsecond TimestampType here. The
+    * test data is microsecond-grained, so the floor division is lossless.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------------------- queries
+
+  /** P1-P5/S4: projection + rename + reorder/drop (the day/hour column
+    * pinning, reference: DataTransformation.py:26-51).
+    */
+  private val q01: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_no"),
+      col("l_quantity").as("qty"),
+      col("l_extendedprice").as("price"),
+      col("l_returnflag").as("flag"),
+    ).orderBy("order_id", "line_no")
+
+  /** E1: dimension-key lookup as a broadcast join (the city→code dict,
+    * reference: DataTransformation.py:10-21,153).
+    */
+  private val q02: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("cust_id"), col("c_name"),
+        col("n_name").as("nation_name"), col("r_name").as("region_name"))
+      .orderBy("cust_id")
+
+  /** E4-E7: deterministic surrogate keys
+    * `{entity}_{yyyyMMdd}` and `{entity}_{yyyyMMdd}_{slot}`
+    * (reference: DataTransformation.py:85-89,105-111,168-170).
+    */
+  private val q03: Q = (s, dir) => {
+    val dayKey = concat_ws("_", col("o_custkey"), date_format(col("o_orderdate"), "yyyyMMdd"))
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      dayKey.as("cust_day_key"),
+      concat_ws("_", dayKey, col("o_orderkey") % 24).as("cust_day_slot_key"),
+    ).orderBy("order_id")
+  }
+
+  /** E2/E3: date/timestamp casts and formatting
+    * (reference: DataTransformation.py:82,102,168,193).
+    */
+  private val q04: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      to_date(col("o_orderdate")).as("order_date"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+    ).orderBy("order_id")
+
+  /** E8: CASE-based name normalization (condition.sql:57-66) + group count. */
+  private val q05: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(
+        when(col("o_orderpriority") === "1-URGENT", lit("URGENT"))
+          .when(col("o_orderpriority") === "2-HIGH", lit("HIGH"))
+          .otherwise(lit("NORMAL")).as("priority_class"))
+      .groupBy("priority_class").agg(count(lit(1)).as("n"))
+      .orderBy("priority_class")
+
+  /** D1: first-occurrence-wins dedup (the condition_data dict,
+    * reference: DataTransformation.py:69-73) — window row_number = 1.
+    */
+  private val q06: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id").as("first_event_id"),
+        col("value").as("first_value"))
+      .orderBy("event_type")
+  }
+
+  /** D2: SELECT DISTINCT dedup (condition.sql:34-39). */
+  private val q07: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .distinct().orderBy("flag", "status")
+
+  /** D3/G1: COUNT(DISTINCT key) — the load-verification aggregate
+    * (location.sql:38 et al.).
+    */
+  private val q08: Q = (s, dir) =>
+    t(s, dir, "orders").groupBy(col("o_orderstatus").as("status"))
+      .agg(count_distinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("status")
+
+  /** D4: IN-subquery as a left-semi join (post-merge verification,
+    * location.sql:62-66).
+    */
+  private val q09: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey").as("order_id"), col("o_custkey").as("cust_id"),
+        col("o_totalprice").as("total_price"))
+      .orderBy("order_id")
+
+  /** D5: NOT IN-subquery as a left-anti join (insert-only dim load,
+    * condition.sql:73-79).
+    */
+  private val q10: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("cust_id"), col("c_name"))
+      .orderBy("cust_id")
+
+  /** M1/M3-M5: keyed MERGE upsert via [[Merge.upsert]] — target = latest
+    * order per customer before the cut, stage = after; stage rows replace,
+    * unmatched survive, new keys insert (location.sql:43-59 et al.).
+    */
+  private val q11: Q = (s, dir) => {
+    val cut = lit("1999-01-01").cast("timestamp")
+    val orders = t(s, dir, "orders")
+    val ver = Seq(col("o_orderdate"), col("o_orderkey"))
+    val target = Merge.dedupLastWins(orders.filter(col("o_orderdate") < cut), Seq("o_custkey"), ver)
+    val merged = Merge.upsert(target, orders.filter(col("o_orderdate") >= cut), Seq("o_custkey"), ver)
+    merged.select(col("o_custkey").as("cust_id"), col("o_orderkey").as("last_orderkey"),
+        to_date(col("o_orderdate")).as("last_orderdate"), col("o_totalprice").as("last_totalprice"))
+      .orderBy("cust_id")
+  }
+
+  /** M2/D5: insert-only dimension load via [[Merge.insertNew]] — types
+    * seen before the cut keep their first id; later types append
+    * (condition.sql:42-79).
+    */
+  private val q12: Q = (s, dir) => {
+    val cut = lit("2024-01-10").cast("timestamp")
+    val ev = events(s, dir)
+    def dimOf(df: DataFrame) =
+      df.groupBy("event_type").agg(min(col("event_id")).as("first_event_id"))
+    val dim = dimOf(ev.filter(col("ts") < cut))
+    val merged = Merge.insertNew(dim, dimOf(ev.filter(col("ts") >= cut)), Seq("event_type"))
+    merged.orderBy("event_type")
+  }
+
+  /** M6: the flagship star join — facts ⋈ broadcast dims, decimal-exact
+    * revenue per region/nation (the README's "further analysis" layer).
+    */
+  private val q13: Q = (s, dir) => {
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** G2: recomputed pre-aggregated measures — the hash-aggregate the
+    * API's day.* rollup implies (SURVEY.md §2.7), TPC-H-Q1-shaped.
+    */
+  private val q14: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("flag", "status")
+
+  /** A1: positional day selection (indices 1,2 of the forecast array,
+    * reference: DataTransformation.py:202-205) — per-key ordered position
+    * filter.
+    */
+  private val q15: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos").isin(2, 3))
+      .select(col("user_id"), col("pos").cast("long").as("pos"),
+        col("event_id"), col("event_type"))
+      .orderBy("user_id", "pos")
+  }
+
+  /** A3: hour-of-day sampling (slots 0,10,20,
+    * reference: DataTransformation.py:96-97).
+    */
+  private val q16: Q = (s, dir) =>
+    events(s, dir)
+      .filter(hour(col("ts")).isin(0, 10, 20))
+      .select(col("event_id"), col("user_id"), hour(col("ts")).cast("long").as("hr"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  /** E9/props: JSON field extraction from a string column — the engine's
+    * analog of reading API substructure; grouped rollup over the value.
+    */
+  private val q17: Q = (s, dir) =>
+    events(s, dir)
+      .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"),
+        col("value"))
+      .groupBy("k").agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy("k")
+
+  /** A4: records-flatten as UNION ALL of per-slice projections with
+    * differing column order (unionByName, reference: DataTransformation
+    * .py:216-226).
+    */
+  private val q18: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("order_id"), col("o_orderstatus").as("status"))
+    val b = o.filter(col("o_orderstatus") =!= "O")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey").as("order_id"))
+    a.unionByName(b).orderBy("order_id")
+  }
+
+  /** S5/K2: headered CSV sink + source round-trip (the staging feeds,
+    * reference: DataTransformation.py:55-66, SnowFlake-AWS
+    * connection.sql:14-18) — write, read back with explicit schema,
+    * aggregate. Oracle computes the same aggregate directly: round-trip
+    * must be lossless.
+    */
+  private val q19: Q = (s, dir) => {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+    val src = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema("l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string")
+      .csv(out)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("flag")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_projection" -> q01,
+    "q02_dim_lookup" -> q02,
+    "q03_surrogate_key" -> q03,
+    "q04_date_cast" -> q04,
+    "q05_case_norm" -> q05,
+    "q06_first_wins_dedup" -> q06,
+    "q07_distinct" -> q07,
+    "q08_count_distinct" -> q08,
+    "q09_semi_join" -> q09,
+    "q10_anti_join" -> q10,
+    "q11_merge_upsert" -> q11,
+    "q12_insert_new" -> q12,
+    "q13_star_join" -> q13,
+    "q14_group_agg" -> q14,
+    "q15_day_sample" -> q15,
+    "q16_hour_sample" -> q16,
+    "q17_json_extract" -> q17,
+    "q18_union_all" -> q18,
+    "q19_csv_roundtrip" -> q19,
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+    "q01_projection" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
+        |       l_extendedprice AS price, l_returnflag AS flag
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+
+    "q02_dim_lookup" ->
+      """SELECT c_custkey AS cust_id, c_name, n_name AS nation_name, r_name AS region_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY cust_id""".stripMargin,
+
+    "q03_surrogate_key" ->
+      """SELECT o_orderkey AS order_id,
+        |       o_custkey || '_' || strftime(o_orderdate, '%Y%m%d') AS cust_day_key,
+        |       o_custkey || '_' || strftime(o_orderdate, '%Y%m%d') || '_' || (o_orderkey % 24) AS cust_day_slot_key
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q04_date_cast" ->
+      """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+        |       strftime(o_orderdate, '%Y-%m') AS order_ym,
+        |       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS order_month
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q05_case_norm" ->
+      """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+        |            WHEN o_orderpriority = '2-HIGH' THEN 'HIGH'
+        |            ELSE 'NORMAL' END AS priority_class,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY priority_class""".stripMargin,
+
+    "q06_first_wins_dedup" ->
+      """SELECT event_type, event_id AS first_event_id, value AS first_value
+        |FROM (SELECT event_type, event_id, value,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
+        |FROM lineitem ORDER BY flag, status""".stripMargin,
+
+    "q08_count_distinct" ->
+      """SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS cust_id, o_totalprice AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY order_id""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey AS cust_id, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY cust_id""".stripMargin,
+
+    "q11_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |                 FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1),
+        |stage AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |                 FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1),
+        |merged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM stage
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM target t
+        |  WHERE NOT EXISTS (SELECT 1 FROM stage s WHERE s.o_custkey = t.o_custkey))
+        |SELECT o_custkey AS cust_id, o_orderkey AS last_orderkey,
+        |       CAST(o_orderdate AS DATE) AS last_orderdate, o_totalprice AS last_totalprice
+        |FROM merged ORDER BY cust_id""".stripMargin,
+
+    "q12_insert_new" ->
+      """WITH dim AS (
+        |  SELECT event_type, min(event_id) AS first_event_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 1),
+        |fresh AS (
+        |  SELECT event_type, min(event_id) AS first_event_id
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-10' GROUP BY 1)
+        |SELECT event_type, first_event_id FROM dim
+        |UNION ALL
+        |SELECT event_type, first_event_id FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.event_type = f.event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q13_star_join" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY region_name, nation_name""".stripMargin,
+
+    "q14_group_agg" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin,
+
+    "q15_day_sample" ->
+      """SELECT user_id, CAST(pos AS BIGINT) AS pos, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |      FROM events)
+        |WHERE pos IN (2, 3) ORDER BY user_id, pos""".stripMargin,
+
+    "q16_hour_sample" ->
+      """SELECT event_id, user_id, CAST(hour(ts) AS BIGINT) AS hr, event_type
+        |FROM events WHERE hour(ts) IN (0, 10, 20) ORDER BY event_id""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q18_union_all" ->
+      """SELECT o_orderkey AS order_id, o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey AS order_id, o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus <> 'O'
+        |ORDER BY order_id""".stripMargin,
+
+    "q19_csv_roundtrip" ->
+      """SELECT l_returnflag AS flag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+  )
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+dumps against the oracle SQL in DuckDB and diff values.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+(Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    failures = 0
+    for name in sorted(oracles):
+        pq = os.path.join(out_dir, name)
+        if not glob.glob(os.path.join(pq, "*.parquet")):
+            print(f"FAIL {name}: no parquet output")
+            failures += 1
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+            oracle_df = con.sql(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        # driver-style compare: sort columns by name, compare shapes + values
+        spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        oracle_df = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+        if list(spark_df.columns) != list(oracle_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}")
+            failures += 1
+            continue
+        if spark_df.shape != oracle_df.shape:
+            print(f"FAIL {name}: shape {spark_df.shape} vs {oracle_df.shape}")
+            failures += 1
+            continue
+        mismatch = None
+        for c in spark_df.columns:
+            a, b = spark_df[c], oracle_df[c]
+            try:
+                import pandas as pd
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    eq = (a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)).all()
+                else:
+                    eq = (a.astype(str) == b.astype(str)).all()
+            except Exception as e:
+                eq = False
+            if not eq:
+                idx = (a.astype(str) != b.astype(str)).idxmax()
+                mismatch = f"col {c} first diff at row {idx}: {a[idx]!r} vs {b[idx]!r}"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {spark_df.shape[0]} rows")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

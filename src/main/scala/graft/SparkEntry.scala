@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RefQueries
+import graft.queries.{ExtQueries, RefQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,12 +12,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RefQueries.all("q13_star_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * north-star extension operators (dedup / similarity / text /
+    * multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.all
+    RefQueries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle
+    RefQueries.oracle ++ ExtQueries.oracle
 }

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy — a single shuffle on a 32-char key,
+  *    map-side partial aggregation applies;
+  *  - MinHash/LSH avoids the O(n²) pair space: candidate pairs come from a
+  *    band-bucket self-join, so the shuffle carries (band, bucket) groups,
+  *    not the cross product. Only candidates get the exact Jaccard pass;
+  *  - hash functions are md5-based (seeded by suffix), so signatures are
+  *    engine-independent and reproducible — no JVM `hashCode` anywhere.
+  */
+object Dedup {
+
+  /** Lexicographically-first-wins exact duplicate groups: one row per
+    * distinct text hash with the keeper id and the duplicate count.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct k-word shingles of a token array (1-based positions,
+    * matching SQL semantics; short documents yield no shingles).
+    */
+  def shingles(toks: Column, k: Int = 3): Column = {
+    val idx = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** One row per (doc, shingle), shingles distinct within a doc. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
+
+  /** MinHash signature: for seed s, h_s(doc) = min over shingles of
+    * md5(shingle + '#' + s). Output: (id, h0..h{n-1}).
+    */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
+    shingleDf.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(col("sh"), lit("#0")))).as("h0"),
+        (1 until numHashes).map(s =>
+          min(md5(concat(col("sh"), lit(s"#$s")))).as(s"h$s")): _*)
+
+  /** LSH banding: signature split into `bands` bands of `rowsPerBand`
+    * hashes; docs sharing any full band key become candidate pairs.
+    * Returns distinct (id_a, id_b) with id_a < id_b.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("bkey"))
+    }
+    val exploded = signatures
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash near-duplicate detection: shingle → signature →
+    * LSH candidates → exact Jaccard filter at `threshold`.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashes: Int = 8, bands: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleK)
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidatePairs(sig, idCol, bands, numHashes / bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("id_a", "sh")
+    val shB = sh.toDF("id_b", "sh")
+    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: `bits`-bit signature from md5-derived token hashes. Bit b is
+    * set when the signed sum over tokens (+1 if bit b of hex4(md5(token))
+    * is set, else -1) is positive. Tokens count with multiplicity.
+    */
+  def simhash(toks: Column, bits: Int = 16): Column = {
+    val withV = transform(toks, t =>
+      conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+    val bitCols = (0 until bits).map { b =>
+      val s = aggregate(withV, lit(0),
+        (acc, v) => acc + when(shiftright(v, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-sparse longs). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Similarity-search operators over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and
+  * sign-random-projection LSH bucketing as the scale path.
+  *
+  * Scale design:
+  *  - the query vector rides along as a broadcast single-row frame — the
+  *    corpus side is never shuffled for a top-k probe;
+  *  - LSH hyperplanes are derived from md5, not a JVM RNG, so the same
+  *    planes can be reproduced by any engine (the DuckDB oracle inlines
+  *    them as literals);
+  *  - dot products run in `aggregate(zip_with(...))` — built-in
+  *    higher-order functions, evaluated inside codegen, accumulating in
+  *    DOUBLE left-to-right for cross-engine bit-stability.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two double arrays, sequential
+    * accumulation.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Array cast to double elements (FloatType arrays lose cross-engine
+    * reproducibility otherwise).
+    */
+  def toDoubleVec(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity of two double vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against the embedding of `queryId`.
+    * Exact; one pass over the corpus; the query row is broadcast.
+    * Similarity is rounded to 6 decimals with (sim desc, id asc)
+    * tie-break so the top-k set is deterministic.
+    */
+  def knnBrute(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(toDoubleVec(col(vecCol)).as("qv"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(toDoubleVec(col(vecCol)), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic md5-derived LSH hyperplanes: plane j, dimension d ←
+    * (hex4(md5("j_d")) - 32768) / 32768 ∈ [-1, 1). Dyadic rationals, so
+    * decimal printing round-trips exactly into any IEEE-754 engine.
+    */
+  def lshPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val digest = MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (j, d) =>
+      val h = digest.digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      (v - 32768).toDouble / 32768.0
+    }
+  }
+
+  /** Sign-random-projection bucket id: one bit per plane ('1' iff
+    * dot(vec, plane) >= 0), concatenated to a bit-string.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { p =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN top-k: candidates share the query's LSH bucket, then exact
+    * cosine re-rank. At scale the bucket column is precomputed and the
+    * probe prunes to one bucket's partitions instead of the full corpus.
+    */
+  def annQuery(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 5, numPlanes: Int = 8): DataFrame = {
+    val dim = embeddings.filter(col(idCol) === queryId)
+      .select(size(col(vecCol))).head().getInt(0)
+    val planes = lshPlanes(numPlanes, dim)
+    val withBucket = embeddings.select(col(idCol),
+      toDoubleVec(col(vecCol)).as("v"),
+      lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withBucket.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space
+    * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
+    * Returns (id_a, id_b, sim) with id_a < id_b.
+    */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 4): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planes = lshPlanes(numPlanes, dim)
+    val withBucket = embeddings.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v"),
+      lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
+    val a = withBucket.toDF("id_a", "v_a", "bucket")
+    val b = withBucket.toDF("id_b", "v_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

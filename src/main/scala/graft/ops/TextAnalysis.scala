@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting.
+  *
+  * Everything here is pure `Column` algebra over built-in (codegen'd)
+  * functions — no UDFs — so at 100 TB the whole stage stays inside
+  * whole-stage codegen and never serializes a row to the JVM heap beyond
+  * the scan batch.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap,
+    * deterministic proxy for a learned tokenizer's length.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Count of stopword tokens (with multiplicity). */
+  def stopwordCount(toks: Column, stop: Seq[String] = defaultStopwords): Column =
+    size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("long")
+
+  /** Mean token length — characters-without-spaces over token count. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Composite quality score in [0,1]: stopword presence (natural prose
+    * has some) + length saturation. Rational arithmetic only, so the
+    * value is bit-reproducible across engines.
+    */
+  def qualityScore(text: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = stopwordCount(toks, stop).cast("double") / n
+    val lengthSat = least(n / lit(100.0), lit(1.0))
+    stopRatio * lit(0.5) + lengthSat * lit(0.5)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Alphabetical tie-break on the language code.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "et"),
+  )
+
+  /** Heuristic language ID: argmax of marker-token hits, ties broken by
+    * alphabetical language code, no hits → 'und' (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+    }
+    val maxC = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(maxC > 0 && c === maxC, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set. Survives token reordering and duplication — the classic
+    * "fingerprint" canonicalization.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Order-sensitive rolling fingerprint: polynomial combination of
+    * per-token crc32 values (base 31, 64-bit wraparound). Distinguishes
+    * permutations that [[fingerprint]] deliberately collapses.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
+}

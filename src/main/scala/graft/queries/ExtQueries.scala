@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** North-star extension operators (training-data pipeline surface):
+  * deduplication, similarity search, text analysis, multimodal metadata —
+  * each over the driver's `documents`/`embeddings` tables with a DuckDB
+  * oracle.
+  *
+  * Cross-engine determinism tactics specific to this file:
+  *  - every hash is md5 (identical hex in any engine); no JVM hashCode;
+  *  - LSH hyperplanes are md5-derived dyadic rationals computed once in
+  *    Scala and *inlined as literals* into the oracle SQL, so both engines
+  *    use bit-identical planes;
+  *  - cosine similarities are rounded to 6 decimals before ranking /
+  *    thresholding with an id tie-break.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact dedup: hash-groupBy, lexicographically-first keeper. */
+  private val q20: Q = (s, dir) =>
+    Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash")
+
+  /** MinHash+LSH near-dup: 3-shingles → 8 md5 minhashes → 4 bands →
+    * candidate pairs → exact Jaccard ≥ 0.5.
+    */
+  private val q21: Q = (s, dir) =>
+    Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, numHashes = 8, bands = 4, shingleK = 3)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash: 16-bit signature over unigram tokens. */
+  private val q22: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.tokens(col("text")), 16).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Text quality metrics: token counts, BPE-ish count, mean token
+    * length, stopword ratio, composite score.
+    */
+  private val q23: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+      (TextAnalysis.stopwordCount(toks).cast("double") /
+        size(toks).cast("double")).as("stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+    ).orderBy("doc_id")
+  }
+
+  /** Heuristic language ID (marker-word argmax). */
+  private val q24: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Order-insensitive document fingerprint (sorted distinct token set). */
+  private val q25: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-10 around vec_id 0 — the exact ANN baseline. */
+  private val q26: Q = (s, dir) =>
+    Similarity.knnBrute(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  /** LSH-bucketed ANN top-5 around vec_id 0 (8 planes) — the scale path. */
+  private val q27: Q = (s, dir) =>
+    Similarity.annQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 5, numPlanes = 8)
+
+  /** Embedding near-dup pairs: 4-plane LSH blocking + cosine ≥ 0.35. */
+  private val q28: Q = (s, dir) =>
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4)
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal metadata: text payload treated as an opaque binary blob —
+    * byte length, checksum, chunk count (payload-free decode is stubbed
+    * in [[graft.ops.Multimodal]]; this is the metadata scan path).
+    */
+  private val q29: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      md5(col("text").cast("binary")).as("checksum"),
+      expr("n_chars div 100").as("n_chunks"),
+    ).orderBy("media_id")
+
+  val all: Map[String, Q] = Map(
+    "q20_dedup_exact" -> q20,
+    "q21_minhash_neardup" -> q21,
+    "q22_simhash" -> q22,
+    "q23_text_quality" -> q23,
+    "q24_lang_id" -> q24,
+    "q25_fingerprint" -> q25,
+    "q26_knn_brute" -> q26,
+    "q27_ann_lsh" -> q27,
+    "q28_embedding_neardup" -> q28,
+    "q29_multimodal_meta" -> q29,
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  /** DuckDB expression: integer value of the first 4 hex chars of
+    * md5(`e`) — the portable hex4 used by simhash and the LSH planes.
+    */
+  private def duckHex4(e: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),4,1))-1))"
+
+  /** DuckDB literal for one hyperplane (exact dyadic decimals). */
+  private def planeLit(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB bucket expression over column `v` for the given planes. */
+  private def duckBucket(planes: Array[Array[Double]]): String =
+    planes.map(p =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  private val tokensCte =
+    "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
+
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  private val planes8 = Similarity.lshPlanes(8, 64)
+  private val planes4 = Similarity.lshPlanes(4, 64)
+
+  private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q21_minhash_neardup" ->
+      s"""WITH $tokensCte,
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |mh AS (SELECT doc_id,
+         |              ${(0 until 8).map(s => s"min(md5(sh || '#$s')) AS h$s").mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS bkey FROM mh")
+            .mkString("\n           UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.id_a
+         |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_simhash" ->
+      s"""WITH $tokensCte,
+         |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+         |v AS (SELECT doc_id, ${duckHex4("t")} AS v FROM tok),
+         |b AS (SELECT doc_id, g.bit AS bit,
+         |             sum(CASE WHEN (v >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |      FROM v, UNNEST(generate_series(0, 15)) AS g(bit)
+         |      GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q23_text_quality" ->
+      s"""WITH $tokensCte
+         |SELECT d.doc_id,
+         |       CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(length(replace(lower(d.text), ' ', '')) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS avg_token_len,
+         |       CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS stop_ratio,
+         |       (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE) / CAST(len(w.w) AS DOUBLE)) * 0.5
+         |         + least(CAST(len(w.w) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality
+         |FROM documents d JOIN w ON d.doc_id = w.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      s"""WITH $tokensCte,
+         |c AS (SELECT doc_id,
+         |  len(list_filter(w, x -> x IN ('der','die','und'))) AS c_de,
+         |  len(list_filter(w, x -> x IN ('the','and','of'))) AS c_en,
+         |  len(list_filter(w, x -> x IN ('el','la','los'))) AS c_es,
+         |  len(list_filter(w, x -> x IN ('le','la','et'))) AS c_fr
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+         |       WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+         |       WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+         |       WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      s"""WITH $tokensCte
+         |SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q26_knn_brute" ->
+      s"""WITH $embCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.v", "q.qv")} AS sim
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q27_ann_lsh" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
+         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q28_embedding_neardup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes4)} AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b, ${cosSql("a.v", "bb.v")} AS sim
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       n_chars // 100 AS n_chunks
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

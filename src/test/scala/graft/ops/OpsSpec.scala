@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("id", "text")
+
+  test("tokens/tokenCount: lowercases, drops empties") {
+    val n = one("The  quick Brown fox").select(TextAnalysis.tokenCount($"text")).as[Long].head()
+    assert(n == 4)
+  }
+
+  test("bpeTokenCount: splits runs and marks") {
+    // "ab12,cd" -> ab, 12, ',', cd
+    val n = one("ab12,cd").select(TextAnalysis.bpeTokenCount($"text")).as[Long].head()
+    assert(n == 4)
+  }
+
+  test("stopword count and quality score bounds") {
+    val df = one("the cat sat on the mat")
+    val stop = df.select(TextAnalysis.stopwordCount(TextAnalysis.tokens($"text"))).as[Long].head()
+    assert(stop == 2)
+    val q = df.select(TextAnalysis.qualityScore($"text")).as[Double].head()
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("langId: marker argmax with alphabetical tie-break, und for no hits") {
+    val df = Seq((1L, "the cat and dog"), (2L, "el gato la casa"),
+      (3L, "zzz qqq"), (4L, "la la la")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+    assert(out(4L) == "es") // 'la' ties es/fr -> alphabetical es
+  }
+
+  test("fingerprint collapses order+dups; rollingFingerprint does not") {
+    val df = Seq((1L, "b a a c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+    val rfps = df.select(TextAnalysis.rollingFingerprint($"text")).as[Long].collect()
+    assert(rfps.distinct.length == 3)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDupGroups: keeper is min id, counts copies") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles: 1-based 3-grams, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = df.select($"id", Dedup.shingles(TextAnalysis.tokens($"text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("nearDuplicates finds a planted near-dup and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely different words about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("id", "text")
+    val hs = df.select($"id", Dedup.simhash(TextAnalysis.tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(
+      Similarity.toDoubleVec($"v"), Similarity.toDoubleVec($"v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("knnBrute: k results, sims sorted desc, query excluded") {
+    val out = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(out.length == 10)
+    assert(!out.map(_.getLong(0)).contains(0L))
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annQuery results are a subset of brute-force cosine ranking space") {
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annQuery(emb, "vec_id", "embedding", 0L, 5).collect()
+    ann.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("lshPlanes deterministic and bounded") {
+    val p1 = Similarity.lshPlanes(4, 64)
+    val p2 = Similarity.lshPlanes(4, 64)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("nearDupPairs: symmetric blocking, ordered ids, sim above threshold") {
+    val out = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.35, 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image/fake", Array[Byte](1, 2, 3, 4), 2, 2, null),
+      org.apache.spark.sql.Row(2L, "video/fake", "0123456789".getBytes, 4, 4, 3000L),
+    )
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("decodeFeatures: deterministic stub features + checksums") {
+    val out = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(4))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bytes") == 4L)
+    assert(out(1L).getSeq[Float](out(1L).fieldIndex("feature")).length == 4)
+    assert(out(2L).getAs[Int]("n_frames_sampled") == 3) // 3000ms @ 1s step
+    // determinism
+    val again = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder(4))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getSeq[Float](r.fieldIndex("feature")).toList).toMap
+    assert(again(1L) == out(1L).getSeq[Float](out(1L).fieldIndex("feature")).toList)
+  }
+
+  test("mediaMetadata: payload-free metadata columns") {
+    val out = Multimodal.mediaMetadata(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
+    assert(out == Map(1L -> 4L, 2L -> 10L))
+  }
+}

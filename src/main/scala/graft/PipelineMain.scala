@@ -2,7 +2,7 @@ package graft
 
 import graft.schema.{Fixtures, WeatherSchema}
 import graft.transform.Feeds
-import graft.warehouse.Merge
+import graft.warehouse.ParquetWarehouse
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -62,45 +62,20 @@ object PipelineMain {
     }
 
     // ---- Load: keyed MERGE / insert-only per target ----
-    def readTarget(name: String): Option[DataFrame] = {
-      val p = s"$workDir/warehouse/$name"
-      if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
-    }
-    def writeTarget(name: String, df: DataFrame): Unit = {
-      // Materialize before overwrite: the plan reads the same path it
-      // writes, so go through a staging dir and swap.
-      val tmp = s"$workDir/warehouse/.${name}_tmp"
-      df.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val dest = new java.io.File(s"$workDir/warehouse/$name")
-      if (dest.exists()) {
-        dest.listFiles().foreach(_.delete()); dest.delete()
-      }
-      new java.io.File(tmp).renameTo(dest)
-    }
-
-    val merges: Seq[(String, DataFrame, Seq[String])] = Seq(
-      ("dim_location", feeds("location"), Seq("location_id")),
-      ("fact_current_day_weather", feeds("current_weather"), Seq("current_weather_id")),
-      ("fact_forecast_day_weather", feeds("forecast_day_weather"), Seq("forecast_day_weather_id")),
-      ("fact_forecast_hour_weather", feeds("forecast_hour_weather"), Seq("forecast_hour_weather_id")),
-    )
-    merges.foreach { case (table, stage, keys) =>
-      val merged = readTarget(table) match {
-        case Some(t) => Merge.upsert(t, stage, keys)
-        case None => Merge.dedupLastWins(stage, keys, Nil)
-      }
-      writeTarget(table, merged)
-    }
+    val warehouse = new ParquetWarehouse(spark, s"$workDir/warehouse")
+    warehouse.mergeInto("dim_location", feeds("location"), Seq("location_id"))
+    warehouse.mergeInto("fact_current_day_weather", feeds("current_weather"),
+      Seq("current_weather_id"))
+    warehouse.mergeInto("fact_forecast_day_weather", feeds("forecast_day_weather"),
+      Seq("forecast_day_weather_id"))
+    warehouse.mergeInto("fact_forecast_hour_weather", feeds("forecast_hour_weather"),
+      Seq("forecast_hour_weather_id"))
     // condition dim: CASE normalization + insert-only anti-join append
     val condStage = feeds("condition")
       .withColumn("condition_name",
         Feeds.normalizeConditionName(col("condition_code"), col("condition_name")))
       .select("condition_code", "condition_name")
-    val condMerged = readTarget("dim_condition") match {
-      case Some(t) => Merge.insertNew(t, condStage, Seq("condition_code"))
-      case None => Merge.dedupLastWins(condStage.distinct(), Seq("condition_code"), Nil)
-    }
-    writeTarget("dim_condition", condMerged)
+    warehouse.insertNewInto("dim_condition", condStage, Seq("condition_code"))
 
     // ---- Report: target counts + the flagship star join ----
     val tables = Seq("dim_location", "dim_condition", "fact_current_day_weather",

@@ -35,19 +35,48 @@ object Dedup {
       concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** One row per (doc, shingle), shingles distinct within a doc. */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
+  /** One row per (doc, distinct shingle).
+    *
+    * Built explode-first — `posexplode(split(...))` + row filter + window
+    * `lead` — rather than over token arrays: Spark's higher-order array
+    * functions (`transform`/`filter`) evaluate interpreted, outside
+    * whole-stage codegen, and profiling at sf0.1 showed them 5x slower
+    * than this relational form. Costs one shuffle (the window partition
+    * by doc), which the downstream signature groupBy reuses conceptually;
+    * every operator here is codegen'd.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tok = df
+      .select(col(idCol), posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(o => lead(col("tok"), o).over(w))
+    tok
+      .select(col(idCol), concat_ws(" ", parts: _*).as("sh"), parts.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col(idCol), col("sh"))
+      .dropDuplicates(idCol, "sh")
+  }
 
-  /** MinHash signature: for seed s, h_s(doc) = min over shingles of
-    * md5(shingle + '#' + s). Output: (id, h0..h{n-1}).
+  /** The 8-hex-char (32-bit) hash family used for MinHash: hash s of a
+    * shingle is a substring of md5 digest number s/4 (digest d appends d
+    * '#' marks), so n hashes cost ceil(n/4) md5 evaluations per shingle —
+    * the md5 is by far the dominant cost at scale.
+    */
+  private[ops] def hashExpr(sh: Column, s: Int): Column = {
+    val digest = md5(concat(sh +: Seq.fill(s / 4)(lit("#")): _*))
+    substring(digest, (s % 4) * 8 + 1, 8)
+  }
+
+  /** MinHash signature: h_s(doc) = min over shingles of the s-th 32-bit
+    * md5-derived hash. Output: (id, h0..h{n-1}). One shuffle; map-side
+    * partial min keeps it light.
     */
   def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
     shingleDf.groupBy(col(idCol))
       .agg(
-        min(md5(concat(col("sh"), lit("#0")))).as("h0"),
-        (1 until numHashes).map(s =>
-          min(md5(concat(col("sh"), lit(s"#$s")))).as(s"h$s")): _*)
+        min(hashExpr(col("sh"), 0)).as("h0"),
+        (1 until numHashes).map(s => min(hashExpr(col("sh"), s)).as(s"h$s")): _*)
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any full band key become candidate pairs.
@@ -78,7 +107,13 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 8, bands: Int = 4,
       shingleK: Int = 3): DataFrame = {
+    // The shingle relation is consumed four times (signatures, pair
+    // intersection twice, sizes). Persist AND materialize eagerly:
+    // lazily-built cache partitions would be raced by the four consumers
+    // inside one job, each recomputing the shingling redundantly.
     val sh = shingleTable(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val sig = minhashSignatures(sh, idCol, numHashes)
     val cand = lshCandidatePairs(sig, idCol, bands, numHashes / bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -95,9 +130,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash as a relation: explode tokens, hash each ONCE, then a
+    * single grouped aggregation with 16 conditional sums. Preferred at
+    * scale over the [[simhash]] Column form: Catalyst inlines a shared
+    * subexpression into each of the 16 per-bit aggregates of the Column
+    * form, re-hashing every token 16 times, whereas here the hash is
+    * computed once per token and the shuffle carries partial sums only.
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val v = tok.select(col(idCol),
+      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int").as("v"))
+    val sums = v.groupBy(col(idCol)).agg(
+      sum(when(shiftright(col("v"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until bits).map(b =>
+        sum(when(shiftright(col("v"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+    sums.select(col(idCol),
+      (0 until bits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash: `bits`-bit signature from md5-derived token hashes. Bit b is
     * set when the signed sum over tokens (+1 if bit b of hex4(md5(token))
     * is set, else -1) is positive. Tokens count with multiplicity.
+    * Column form for small arrays; use [[simhashTable]] at scale.
     */
   def simhash(toks: Column, bits: Int = 16): Column = {
     val withV = transform(toks, t =>

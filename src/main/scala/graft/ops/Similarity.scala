@@ -44,12 +44,16 @@ object Similarity {
     */
   def knnBrute(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int = 10): DataFrame = {
-    val q = embeddings.filter(col(idCol) === queryId)
-      .select(toDoubleVec(col(vecCol)).as("qv"))
-    embeddings.filter(col(idCol) =!= queryId)
+    // Norms are computed once per row BEFORE the pair step — at n rows
+    // that is n norm evaluations instead of n per-pair re-evaluations
+    // (and the same restructure makes the pair joins below 3x cheaper).
+    val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"), col("nrm").as("qnrm"))
+    e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(toDoubleVec(col(vecCol)), col("qv")), 6).as("sim"))
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -85,13 +89,15 @@ object Similarity {
       .select(size(col(vecCol))).head().getInt(0)
     val planes = lshPlanes(numPlanes, dim)
     val withBucket = embeddings.select(col(idCol),
-      toDoubleVec(col(vecCol)).as("v"),
-      lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
+        toDoubleVec(col(vecCol)).as("v"),
+        lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = withBucket.filter(col(idCol) === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .select(col("v").as("qv"), col("bucket").as("qbucket"), col("nrm").as("qnrm"))
     withBucket.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .select(col(idCol),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -105,14 +111,20 @@ object Similarity {
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planes = lshPlanes(numPlanes, dim)
     val withBucket = embeddings.select(col(idCol).as("id"),
-      toDoubleVec(col(vecCol)).as("v"),
-      lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
-    val a = withBucket.toDF("id_a", "v_a", "bucket")
-    val b = withBucket.toDF("id_b", "v_b", "bucket")
-    a.join(b, Seq("bucket"))
+        toDoubleVec(col(vecCol)).as("v"),
+        lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // The probe side is spread round-robin before the pair join: the
+    // corpus often arrives as one file = one partition, and a broadcast
+    // join preserves upstream partitioning — without this the whole
+    // O(pairs) similarity work lands on a single core.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val a = withBucket.toDF("id_a", "v_a", "bucket", "nrm_a").repartition(par)
+    val b = withBucket.toDF("id_b", "v_b", "bucket", "nrm_b")
+    a.join(broadcast(b), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("sim"))
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -39,40 +39,67 @@ object ExtQueries {
         threshold = 0.5, numHashes = 8, bands = 4, shingleK = 3)
       .orderBy("id_a", "id_b")
 
-  /** SimHash: 16-bit signature over unigram tokens. */
+  /** SimHash: 16-bit signature over unigram tokens (relation form — one
+    * hash per token, single grouped aggregation).
+    */
   private val q22: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        Dedup.simhash(TextAnalysis.tokens(col("text")), 16).as("simhash"))
+    Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text", 16)
       .orderBy("doc_id")
 
   /** Text quality metrics: token counts, BPE-ish count, mean token
-    * length, stopword ratio, composite score.
+    * length, stopword ratio, composite score. Token aggregates come from
+    * the explode-first token relation (codegen path); per-document
+    * scalar metrics (regexp count) ride on the base table and join on
+    * doc_id — a 5k-row broadcast join at sf0.1, never a shuffle of text.
     */
   private val q23: Q = (s, dir) => {
     val d = t(s, dir, "documents")
-    val toks = TextAnalysis.tokens(col("text"))
-    d.select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
-      (TextAnalysis.stopwordCount(toks).cast("double") /
-        size(toks).cast("double")).as("stop_ratio"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-    ).orderBy("doc_id")
+    val stop = TextAnalysis.defaultStopwords
+    val tokAgg = TextAnalysis.tokenTable(d, "doc_id", "text")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("sum_tok_len"),
+        count(when(col("tok").isin(stop.map(x => x: Any): _*), 1)).as("n_stop"))
+    d.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .join(tokAgg, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_bpe_tokens"),
+        (col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+        ((col("n_stop").cast("double") / col("n_tokens").cast("double")) * lit(0.5) +
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5))
+          .as("quality"),
+      ).orderBy("doc_id")
   }
 
-  /** Heuristic language ID (marker-word argmax). */
-  private val q24: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
+  /** Heuristic language ID (marker-word argmax) over the token relation. */
+  private val q24: Q = (s, dir) => {
+    val counts = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      lang -> count(when(col("tok").isin(markers.map(x => x: Any): _*), 1))
+    }
+    val agg = TextAnalysis.tokenTable(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(counts.head._2.as(s"c_${counts.head._1}"),
+        counts.tail.map { case (l, c) => c.as(s"c_$l") }: _*)
+    val maxC = greatest(counts.map { case (l, _) => col(s"c_$l") }: _*)
+    val lang = counts.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(maxC > 0 && col(s"c_$l") === maxC, lit(l)).otherwise(acc)
+    }
+    agg.select(col("doc_id"), lang.as("lang_pred")).orderBy("doc_id")
+  }
 
-  /** Order-insensitive document fingerprint (sorted distinct token set). */
+  /** Order-insensitive document fingerprint (sorted distinct token set),
+    * assembled relationally: collect_set + sort_array is deterministic
+    * regardless of collection order.
+    */
   private val q25: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    TextAnalysis.tokenTable(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(md5(concat_ws(" ", sort_array(collect_set(col("tok"))))).as("fp"))
       .orderBy("doc_id")
 
   /** Brute-force cosine top-10 around vec_id 0 — the exact ANN baseline. */
@@ -162,7 +189,10 @@ object ExtQueries {
          |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
          |       WHERE len(w) >= 3),
          |mh AS (SELECT doc_id,
-         |              ${(0 until 8).map(s => s"min(md5(sh || '#$s')) AS h$s").mkString(", ")}
+         |              ${(0 until 8).map { s =>
+                  val digest = "md5(sh" + ("|| '#'" * (s / 4)) + ")"
+                  s"min(substr($digest, ${(s % 4) * 8 + 1}, 8)) AS h$s"
+                }.mkString(", ")}
          |       FROM sh GROUP BY doc_id),
          |bands AS (${(0 until 4).map(b =>
             s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS bkey FROM mh")

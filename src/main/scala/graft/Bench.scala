@@ -30,8 +30,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      try { once(); spark.catalog.clearCache() }
-      catch { case _: Throwable => () }
+      // Adaptive warm-up: multi-stage plans take several executions for
+      // JIT tiering to settle (q21 profiles 12.8 -> 6.2 -> 3.8 -> 1.8 s);
+      // repeat until the run stops improving by >20%, max 3 iterations.
+      try {
+        var prev = Double.MaxValue
+        var warm = 0
+        var improving = true
+        while (warm < 3 && improving) {
+          val w0 = System.nanoTime()
+          once()
+          spark.catalog.clearCache()
+          val t = (System.nanoTime() - w0) / 1e9
+          improving = t < prev * 0.8
+          prev = t
+          warm += 1
+        }
+      } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try once()
       catch {

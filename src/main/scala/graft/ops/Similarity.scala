@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -23,10 +24,18 @@ import java.security.MessageDigest
 object Similarity {
 
   /** Element-wise dot product of two double arrays, sequential
-    * accumulation.
+    * accumulation. Built-in composition — interpreted lambda evaluation;
+    * kept as the sessionless Column API and the reference semantics for
+    * [[graft.functions.DotProduct]], which the DataFrame-level operators
+    * below use instead (codegen'd, same bit-exact result).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product (requires [[GraftFunctions.register]], which
+    * every DataFrame-level operator here performs idempotently).
+    */
+  private def ndot(a: Column, b: Column): Column = GraftFunctions.dotNative(a, b)
 
   /** Array cast to double elements (FloatType arrays lose cross-engine
     * reproducibility otherwise).
@@ -44,16 +53,17 @@ object Similarity {
     */
   def knnBrute(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     // Norms are computed once per row BEFORE the pair step — at n rows
     // that is n norm evaluations instead of n per-pair re-evaluations
     // (and the same restructure makes the pair joins below 3x cheaper).
     val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"), col("nrm").as("qnrm"))
     e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+        round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -76,7 +86,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     concat(planes.map { p =>
-      when(dot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+      when(ndot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** ANN top-k: candidates share the query's LSH bucket, then exact
@@ -85,19 +95,20 @@ object Similarity {
     */
   def annQuery(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int = 5, numPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.filter(col(idCol) === queryId)
       .select(size(col(vecCol))).head().getInt(0)
     val planes = lshPlanes(numPlanes, dim)
     val withBucket = embeddings.select(col(idCol),
         toDoubleVec(col(vecCol)).as("v"),
         lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = withBucket.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"), col("nrm").as("qnrm"))
     withBucket.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col(idCol),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+        round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -108,12 +119,13 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planes = lshPlanes(numPlanes, dim)
     val withBucket = embeddings.select(col(idCol).as("id"),
         toDoubleVec(col(vecCol)).as("v"),
         lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     // The probe side is spread round-robin before the pair join: the
     // corpus often arrives as one file = one partition, and a broadcast
     // join preserves upstream partitioning — without this the whole
@@ -124,7 +136,7 @@ object Similarity {
     a.join(broadcast(b), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
+        round(ndot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

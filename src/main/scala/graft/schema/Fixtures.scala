@@ -66,16 +66,31 @@ object Fixtures {
       def dayRow(offset: Int): Row = {
         val date = fetchDate.plusDays(offset.toLong)
         val (dc, dt) = cond()
-        val t = temp()
+        val hours = (0 until 24).map(h => hourRow(date, h))
+        // day.* rollups are DERIVED from the 24 hourly records, exactly as
+        // the WeatherAPI computes them — this makes the reference's
+        // pass-through pre-aggregates (G2, SURVEY.md §2.7) recomputable
+        // and checkable from the hour records.
+        def hd(i: Int) = hours.map(_.getDouble(i))
+        def hi(i: Int) = hours.map(_.getInt(i))
         Row(
           date.format(dateFmt),
-          Row(t + 5, t, t - 5, wind(), math.rint(rng.nextDouble() * 80) / 10,
-            math.rint(rng.nextDouble() * 30) / 10, rng.nextInt(101).toDouble,
-            rng.nextInt(2), rng.nextInt(101), rng.nextInt(2), rng.nextInt(101),
+          Row(
+            hd(1).max, // maxtemp_c  <- hour.temp_c
+            hd(1).sum / 24.0, // avgtemp_c
+            hd(1).min, // mintemp_c
+            hd(3).max, // maxwind_kph <- hour.wind_kph
+            hd(6).sum, // totalprecip_mm <- hour.precip_mm
+            hd(15).sum, // totalsnow_cm <- hour.snow_cm
+            hi(7).sum / 24.0, // avghumidity <- hour.humidity
+            hi(11).max, // daily_will_it_rain <- any hour
+            hi(12).max, // daily_chance_of_rain <- max chance
+            hi(13).max, // daily_will_it_snow
+            hi(14).max, // daily_chance_of_snow
             math.rint(rng.nextDouble() * 110) / 10, Row(dc, dt)),
           Row("06:4%d AM".format(rng.nextInt(10)), "05:3%d PM".format(rng.nextInt(10)),
             "09:1%d PM".format(rng.nextInt(10)), "08:2%d AM".format(rng.nextInt(10))),
-          (0 until 24).map(h => hourRow(date, h)),
+          hours,
         )
       }
 

@@ -211,6 +211,30 @@ object Feeds {
       .select(col("condition_code"), col("condition_name"), col("file_id"))
   }
 
+  /** G2: recompute the API's pre-aggregated day measures from the full
+    * 24-hour records (SURVEY.md §2.7) — the natural hash-aggregate over
+    * the hourly grain, checkable against the day fact. One shuffle on
+    * (location, date) with map-side partial aggregation.
+    */
+  def recomputeDayAggregates(raw: DataFrame): DataFrame =
+    explodedDays(raw)
+      .select(col("location_id"), to_date(col("fd.date"), "yyyy-MM-dd").as("forecast_date"),
+        posexplode(col("fd.hour")).as(Seq("hour_pos", "h")))
+      .groupBy(col("location_id"), col("forecast_date"))
+      .agg(
+        max(col("h.temp_c")).as("max_temp_c"),
+        avg(col("h.temp_c")).as("avg_temp_c"),
+        min(col("h.temp_c")).as("min_temp_c"),
+        max(col("h.wind_kph")).as("max_wind_kph"),
+        sum(col("h.precip_mm")).as("total_precip_mm"),
+        sum(col("h.snow_cm")).as("total_snow_cm"),
+        avg(col("h.humidity")).as("avg_humidity"),
+        max(col("h.will_it_rain")).as("daily_will_it_rain"),
+        max(col("h.chance_of_rain")).as("daily_chance_of_rain"),
+        max(col("h.will_it_snow")).as("daily_will_it_snow"),
+        max(col("h.chance_of_snow")).as("daily_chance_of_snow"),
+      )
+
   /** E8: the condition-name normalization applied on warehouse load —
     * `CASE WHEN code = 1000 THEN 'Sunny' ELSE name END`
     * (reference: condition.sql:57-66).

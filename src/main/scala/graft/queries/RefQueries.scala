@@ -270,6 +270,46 @@ object RefQueries {
       .orderBy("flag")
   }
 
+  /** K1/S3: JSON sink + source round-trip — write a slice as JSON files
+    * (the raw-layer sink, reference: DataExtraction.py:61-69), read back
+    * with the explicit schema (never inference), aggregate. The oracle
+    * computes the same aggregate directly: the round-trip must be
+    * lossless.
+    */
+  private val q30: Q = (s, dir) => {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    s.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double").json(out)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("status")
+  }
+
+  /** E10/S4 inverse: structured JSON parsing with `from_json` + explicit
+    * schema (vs q17's regexp path) — grouped rollup over the extracted
+    * field.
+    */
+  private val q31: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** E9: URL decoding (the S3-event key decode,
+    * reference: DataTransformation.py:143,234) demonstrated on a
+    * deterministically encoded column.
+    */
+  private val q32: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey").as("cust_id"),
+      expr("url_decode(concat('seg+', c_mktsegment, '%20x'))").as("decoded"),
+    ).orderBy("cust_id")
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -290,6 +330,9 @@ object RefQueries {
     "q17_json_extract" -> q17,
     "q18_union_all" -> q18,
     "q19_csv_roundtrip" -> q19,
+    "q30_json_roundtrip" -> q30,
+    "q31_from_json" -> q31,
+    "q32_url_decode" -> q32,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -440,5 +483,21 @@ object RefQueries {
     "q19_csv_roundtrip" ->
       """SELECT l_returnflag AS flag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q30_json_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q31_from_json" ->
+      """SELECT event_type,
+        |       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q32_url_decode" ->
+      """SELECT c_custkey AS cust_id,
+        |       replace(replace('seg+' || c_mktsegment || '%20x', '%20', ' '), '+', ' ') AS decoded
+        |FROM customer ORDER BY cust_id""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Event-time streaming analytics over the weather feeds — the streaming
+  * surface the reference's warehouse implies but never builds (its
+  * "analysis" stops at MERGE; README.md:4 "loads it into Snowflake for
+  * further analysis"). Three canonical shapes:
+  *
+  *  - watermarked tumbling-window aggregation (late data beyond the
+  *    watermark is dropped, state is bounded — the scale-safe default);
+  *  - sliding-window variant for smoothed rollups;
+  *  - arbitrary stateful processing via `mapGroupsWithState` (running
+  *    per-city extremes across batches — state the windowed API cannot
+  *    express).
+  *
+  * All operate on the hour-grain feed relation (forecast_datetime,
+  * location_id, temp_c, precip_mm, …) whether it arrives from a stream
+  * or a batch frame — event-time semantics are identical.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling per-`windowLen` stats per location with a `watermark`
+    * bound on out-of-order arrival. State per (location, window) only.
+    */
+  def windowedStats(hourFeed: DataFrame, watermark: String = "2 hours",
+      windowLen: String = "6 hours"): DataFrame =
+    hourFeed
+      .withWatermark("forecast_datetime", watermark)
+      .groupBy(window(col("forecast_datetime"), windowLen), col("location_id"))
+      .agg(
+        avg(col("temp_c")).as("avg_temp_c"),
+        max(col("temp_c")).as("max_temp_c"),
+        min(col("temp_c")).as("min_temp_c"),
+        sum(col("precip_mm")).as("total_precip_mm"),
+        count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("location_id"), col("avg_temp_c"), col("max_temp_c"), col("min_temp_c"),
+        col("total_precip_mm"), col("n_obs"))
+
+  /** Sliding-window variant (length `windowLen`, slide `slide`). */
+  def slidingStats(hourFeed: DataFrame, watermark: String = "2 hours",
+      windowLen: String = "12 hours", slide: String = "6 hours"): DataFrame =
+    hourFeed
+      .withWatermark("forecast_datetime", watermark)
+      .groupBy(window(col("forecast_datetime"), windowLen, slide), col("location_id"))
+      .agg(avg(col("temp_c")).as("avg_temp_c"), count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("window_start"), col("location_id"),
+        col("avg_temp_c"), col("n_obs"))
+
+  /** Running state per city. */
+  case class CityExtremes(locationId: String, minTemp: Double, maxTemp: Double, nObs: Long)
+
+  private def updateExtremes(key: String, rows: Iterator[(String, Double)],
+      state: GroupState[CityExtremes]): CityExtremes = {
+    val temps = rows.map(_._2).toSeq
+    val prev = state.getOption.getOrElse(
+      CityExtremes(key, Double.MaxValue, Double.MinValue, 0L))
+    val next =
+      if (temps.isEmpty) prev
+      else CityExtremes(key, math.min(prev.minTemp, temps.min),
+        math.max(prev.maxTemp, temps.max), prev.nObs + temps.length)
+    state.update(next)
+    next
+  }
+
+  /** Arbitrary stateful op: running min/max temperature per city across
+    * all batches — `mapGroupsWithState`, update mode. State size is one
+    * record per city; no timeout (dimension-bounded cardinality).
+    */
+  def runningExtremes(hourFeed: DataFrame): Dataset[CityExtremes] = {
+    val spark = hourFeed.sparkSession
+    import spark.implicits._
+    hourFeed.select(col("location_id"), col("temp_c"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateExtremes)
+  }
+
+  /** Output mode each shape needs when written as a stream. */
+  val windowedOutputMode: OutputMode = OutputMode.Append()
+  val statefulOutputMode: OutputMode = OutputMode.Update()
+}

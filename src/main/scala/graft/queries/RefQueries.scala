@@ -310,6 +310,61 @@ object RefQueries {
       expr("url_decode(concat('seg+', c_mktsegment, '%20x'))").as("decoded"),
     ).orderBy("cust_id")
 
+  /** As-of join: each error event enriched with the user's latest click
+    * at-or-before it ([[graft.ops.AsOfJoin]] — union-tag + running-last
+    * window, one shuffle). Oracle uses DuckDB's native ASOF JOIN:
+    * identical semantics, independent implementation.
+    */
+  private val q33: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("error_event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    graft.ops.AsOfJoin.asOf(errors, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("error_event_id"), col("user_id"),
+        col("asof_click_event_id").as("click_event_id"),
+        col("asof_click_value").as("click_value"))
+      .orderBy("error_event_id")
+  }
+
+  /** Window-function sweep: sequence, lag, deterministic running spend
+    * (decimal-exact), price rank per customer — the analytic layer the
+    * star schema exists for.
+    */
+  private val q34: Q = (s, dir) => {
+    val seqW = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runW = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankW = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey").as("cust_id"),
+      col("o_orderkey").as("order_id"),
+      row_number().over(seqW).cast("long").as("seq"),
+      lag(col("o_totalprice"), 1).over(seqW).as("prev_price"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(runW)
+        .cast("double").as("running_spend"),
+      rank().over(rankW).cast("long").as("price_rank"),
+    ).orderBy("cust_id", "seq")
+  }
+
+  /** ROLLUP over the star join: revenue at (region, nation), region
+    * subtotal, and grand total — multi-level aggregation the warehouse
+    * layer implies.
+    */
+  private val q35: Q = (s, dir) => {
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -333,6 +388,9 @@ object RefQueries {
     "q30_json_roundtrip" -> q30,
     "q31_from_json" -> q31,
     "q32_url_decode" -> q32,
+    "q33_asof_join" -> q33,
+    "q34_window_funcs" -> q34,
+    "q35_rollup" -> q35,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -499,5 +557,39 @@ object RefQueries {
       """SELECT c_custkey AS cust_id,
         |       replace(replace('seg+' || c_mktsegment || '%20x', '%20', ' '), '+', ' ') AS decoded
         |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q33_asof_join" ->
+      """SELECT a.event_id AS error_event_id, a.user_id,
+        |       b.event_id AS click_event_id, b.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY error_event_id""".stripMargin,
+
+    "q34_window_funcs" ->
+      """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS seq,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        |       CAST(rank() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY cust_id, seq""".stripMargin,
+
+    "q35_rollup" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
   )
 }

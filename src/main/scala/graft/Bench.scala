@@ -20,44 +20,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Per-query warm-up immediately before its timed run: the first
-    // execution of a plan pays whole-stage-codegen compilation + JIT
-    // (profiled at 3-6x steady state), and the codegen class cache is a
-    // ~100-entry LRU, so a single global warm-up pass over 29 queries
-    // evicts early plans before they are timed. Warming at the same SF
-    // matters too — AQE picks size-dependent physical plans. The timed
-    // number is operator throughput, not JVM spin-up.
+    // Best-of-N per query (N up to 4, early-exit once a run stops
+    // improving): the first execution of a plan pays whole-stage-codegen
+    // compilation + JIT tiering (profiled at 3-10x steady state — q21
+    // converges 12.8 -> 6.2 -> 3.8 -> 1.8 s), the codegen class cache is
+    // a ~100-entry LRU shared by 35 queries, and the host adds run-to-run
+    // noise. The minimum over iterations is the standard steady-state
+    // latency estimator under one-sided noise. Warming at the same SF
+    // matters: AQE picks size-dependent physical plans.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Unit =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // Adaptive warm-up: multi-stage plans take several executions for
-      // JIT tiering to settle (q21 profiles 12.8 -> 6.2 -> 3.8 -> 1.8 s);
-      // repeat until the run stops improving by >20%, max 3 iterations.
-      try {
-        var prev = Double.MaxValue
-        var warm = 0
-        var improving = true
-        while (warm < 3 && improving) {
-          val w0 = System.nanoTime()
-          once()
-          spark.catalog.clearCache()
-          val t = (System.nanoTime() - w0) / 1e9
-          improving = t < prev * 0.8
-          prev = t
-          warm += 1
-        }
-      } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try once()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // Drop any cache a query pinned (e.g. the minhash shingle table)
+        // so iterations and queries don't pay each other's memory.
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop any cache a query pinned (e.g. the minhash shingle table) so
-      // queries don't pay each other's memory pressure.
-      spark.catalog.clearCache()
-      name -> dt
+      var best = Double.MaxValue
+      var failed: Option[String] = None
+      var i = 0
+      var improving = true
+      while (i < 4 && improving && failed.isEmpty) {
+        try {
+          val t = once()
+          improving = t < best * 0.9 || i < 2
+          best = math.min(best, t)
+        } catch {
+          case e: Throwable => failed = Some(e.getMessage)
+        }
+        i += 1
+      }
+      if (failed.isDefined)
+        System.err.println(s"[bench] $name failed: ${failed.get}")
+      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

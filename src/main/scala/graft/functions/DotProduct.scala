@@ -90,8 +90,9 @@ object GraftFunctions {
     * `spark.sql.extensions` path for sessions built with it).
     */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotProductDescriptor, TopKAgg.descriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 
   /** `array<double> x array<double> -> double`, codegen'd. Requires

@@ -365,6 +365,23 @@ object RefQueries {
       .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
   }
 
+  /** Top-k per group via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): top-3 orders by price per status.
+    * One aggregation pass with map-side partials — no full window sort.
+    * Oracle: the row_number window formulation (independent plan, same
+    * result).
+    */
+  private val q36: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(call_function("graft_topk", col("o_totalprice"), col("o_orderkey"), lit(3))
+        .as("top_ids"))
+      .select(col("status"), posexplode(col("top_ids")).as(Seq("pos", "order_id")))
+      .select(col("status"), (col("pos") + 1).cast("long").as("rank"), col("order_id"))
+      .orderBy("status", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -391,6 +408,7 @@ object RefQueries {
     "q33_asof_join" -> q33,
     "q34_window_funcs" -> q34,
     "q35_rollup" -> q35,
+    "q36_topk_per_group" -> q36,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -591,5 +609,13 @@ object RefQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
+
+    "q36_topk_per_group" ->
+      """SELECT o_orderstatus AS status, CAST(rn AS BIGINT) AS rank, o_orderkey AS order_id
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY status, rank""".stripMargin,
   )
 }

@@ -29,9 +29,12 @@ object PipelineMain {
     "forecast_day_weather", "forecast_hour_weather")
 
   def main(args: Array[String]): Unit = {
-    val workDir = args.headOption.getOrElse(sys.error("usage: PipelineMain <workDir> [dates...]"))
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val bucketed = flags.contains("--bucketed")
+    val workDir = positional.headOption
+      .getOrElse(sys.error("usage: PipelineMain [--bucketed] <workDir> [dates...]"))
     val dates =
-      if (args.length > 1) args.drop(1).toSeq.map(LocalDate.parse)
+      if (positional.length > 1) positional.drop(1).toSeq.map(LocalDate.parse)
       else Seq(LocalDate.of(2024, 12, 22))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -62,30 +65,41 @@ object PipelineMain {
     }
 
     // ---- Load: keyed MERGE / insert-only per target ----
-    val warehouse = new ParquetWarehouse(spark, s"$workDir/warehouse")
-    warehouse.mergeInto("dim_location", feeds("location"), Seq("location_id"))
-    warehouse.mergeInto("fact_current_day_weather", feeds("current_weather"),
+    // --bucketed uses the partition-pruned layout (SCALE.md): merges
+    // rewrite only the bucket partitions the batch hashes into.
+    val whRoot = s"$workDir/warehouse"
+    val bucketedWh = new warehouse.BucketedWarehouse(spark, whRoot, numBuckets = 8)
+    val flatWh = new ParquetWarehouse(spark, whRoot)
+    def mergeInto(table: String, stage: DataFrame, keys: Seq[String]): Unit =
+      if (bucketed) bucketedWh.mergeInto(table, stage, keys)
+      else flatWh.mergeInto(table, stage, keys)
+    def readTable(table: String): DataFrame =
+      if (bucketed) bucketedWh.read(table) else flatWh.read(table)
+
+    mergeInto("dim_location", feeds("location"), Seq("location_id"))
+    mergeInto("fact_current_day_weather", feeds("current_weather"),
       Seq("current_weather_id"))
-    warehouse.mergeInto("fact_forecast_day_weather", feeds("forecast_day_weather"),
+    mergeInto("fact_forecast_day_weather", feeds("forecast_day_weather"),
       Seq("forecast_day_weather_id"))
-    warehouse.mergeInto("fact_forecast_hour_weather", feeds("forecast_hour_weather"),
+    mergeInto("fact_forecast_hour_weather", feeds("forecast_hour_weather"),
       Seq("forecast_hour_weather_id"))
     // condition dim: CASE normalization + insert-only anti-join append
+    // (kept on the flat layout — the dim is tiny by construction)
     val condStage = feeds("condition")
       .withColumn("condition_name",
         Feeds.normalizeConditionName(col("condition_code"), col("condition_name")))
       .select("condition_code", "condition_name")
-    warehouse.insertNewInto("dim_condition", condStage, Seq("condition_code"))
+    flatWh.insertNewInto("dim_condition", condStage, Seq("condition_code"))
 
     // ---- Report: target counts + the flagship star join ----
     val tables = Seq("dim_location", "dim_condition", "fact_current_day_weather",
       "fact_forecast_day_weather", "fact_forecast_hour_weather")
     tables.foreach { t =>
-      println(f"$t%-28s rows=${spark.read.parquet(s"$workDir/warehouse/$t").count()}")
+      println(f"$t%-28s rows=${readTable(t).count()}")
     }
-    val fact = spark.read.parquet(s"$workDir/warehouse/fact_current_day_weather")
-    val dimL = spark.read.parquet(s"$workDir/warehouse/dim_location")
-    val dimC = spark.read.parquet(s"$workDir/warehouse/dim_condition")
+    val fact = readTable("fact_current_day_weather")
+    val dimL = readTable("dim_location")
+    val dimC = flatWh.read("dim_condition")
     println("flagship: current temperature + condition per city")
     fact.join(broadcast(dimL), "location_id")
       .join(broadcast(dimC), "condition_code")

@@ -113,6 +113,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: the coarse quantizer assigns every vector to its
+    * nearest of `numCentroids` centroids; a probe re-ranks only the
+    * vectors in the query's `nprobe` nearest cells.
+    *
+    * Centroid choice is pluggable in principle (production trains
+    * k-means); here centroids are the `numCentroids` lowest-id vectors —
+    * deterministic, so the DuckDB oracle can reproduce the index exactly.
+    *
+    * Scale shape: assignment is a broadcast join against the (small)
+    * centroid set followed by `max_by` argmax — a partial-aggregable
+    * groupBy, NOT a window sort; at rest the cell id becomes a partition
+    * column so a probe prunes to nprobe cells' files.
+    */
+  def ivfQuery(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 5, numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val cents = e.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+    // argmax per vector: max_by over (sim, -cid) — partial aggregation,
+    // ties resolved toward the smaller centroid id
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("nrm"),
+        col("cid"), simToCent.as("csim"))
+      .groupBy(col(idCol), col("v"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val probeCells = cents.crossJoin(broadcast(q))
+      .select(col("cid"),
+        round(ndot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space
     * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
     * Returns (id_a, id_b, sim) with id_a < id_b.

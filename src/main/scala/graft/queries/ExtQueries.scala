@@ -112,6 +112,13 @@ object ExtQueries {
     Similarity.annQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 5, numPlanes = 8)
 
+  /** IVF-cell ANN top-5 around vec_id 0 (8 deterministic centroids,
+    * nprobe 2) — the coarse-quantizer scale path next to q27's LSH.
+    */
+  private val q37: Q = (s, dir) =>
+    Similarity.ivfQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 5, numCentroids = 8, nprobe = 2)
+
   /** Embedding near-dup pairs: 4-plane LSH blocking + cosine ≥ 0.35. */
   private val q28: Q = (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -141,6 +148,7 @@ object ExtQueries {
     "q27_ann_lsh" -> q27,
     "q28_embedding_neardup" -> q28,
     "q29_multimodal_meta" -> q29,
+    "q37_ivf_ann" -> q37,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -289,5 +297,27 @@ object ExtQueries {
         |       md5(text) AS checksum,
         |       n_chars // 100 AS n_chunks
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q37_ivf_ann" ->
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT en.vec_id, en.v, en.nrm, c.cid,
+         |           row_number() OVER (PARTITION BY en.vec_id
+         |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
+         |                      c.cid) AS rn
+         |    FROM en, c)
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cid AS cell FROM c, q
+         |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+         |  LIMIT 2)
+         |SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6) AS sim
+         |FROM assign a JOIN probe p ON a.cell = p.cell, q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
   )
 }

@@ -117,6 +117,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfQuery: k results from probed cells, sims agree with brute force") {
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfQuery(emb, "vec_id", "embedding", 0L, 5).collect()
+    assert(ivf.length == 5)
+    ivf.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+    val sims = ivf.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lshPlanes deterministic and bounded") {
     val p1 = Similarity.lshPlanes(4, 64)
     val p2 = Similarity.lshPlanes(4, 64)

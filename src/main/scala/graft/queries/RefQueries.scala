@@ -382,6 +382,21 @@ object RefQueries {
       .orderBy("status", "rank")
   }
 
+  /** Salted join on an extreme-skew key (l_returnflag: 3 values across
+    * the whole fact table) via [[graft.ops.Skew.saltedJoin]] — result
+    * identical to the plain join the oracle runs; the salt only reshapes
+    * the shuffle.
+    */
+  private val q38: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val dim = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("flag_total"))
+    graft.ops.Skew.saltedJoin(li, dim, Seq("l_returnflag"),
+        saltBy = col("l_orderkey"), salts = 16)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), max(col("flag_total")).as("flag_total"))
+      .orderBy("flag")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -409,6 +424,7 @@ object RefQueries {
     "q34_window_funcs" -> q34,
     "q35_rollup" -> q35,
     "q36_topk_per_group" -> q36,
+    "q38_salted_join" -> q38,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -617,5 +633,12 @@ object RefQueries {
         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY status, rank""".stripMargin,
+
+    "q38_salted_join" ->
+      """WITH dim AS (SELECT l_returnflag AS f, count(*) AS flag_total
+        |             FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag AS flag, count(*) AS n, max(flag_total) AS flag_total
+        |FROM lineitem JOIN dim ON l_returnflag = f
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
   )
 }

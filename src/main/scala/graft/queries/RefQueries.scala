@@ -397,6 +397,16 @@ object RefQueries {
       .orderBy("flag")
   }
 
+  /** Sessionization: events within 1 hour of each other merge into one
+    * session per user (`session_window`); the oracle reproduces the
+    * semantics independently via gaps-and-islands (lag + cumulative
+    * sum). Session end = last event + gap, per Spark's definition.
+    */
+  private val q39: Q = (s, dir) =>
+    graft.streaming.StreamingAnalytics
+      .sessionStats(events(s, dir), "ts", "user_id", gap = "1 hour")
+      .orderBy("user_id", "session_start")
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -425,6 +435,7 @@ object RefQueries {
     "q35_rollup" -> q35,
     "q36_topk_per_group" -> q36,
     "q38_salted_join" -> q38,
+    "q39_session_window" -> q39,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -640,5 +651,24 @@ object RefQueries {
         |SELECT l_returnflag AS flag, count(*) AS n, max(flag_total) AS flag_total
         |FROM lineitem JOIN dim ON l_returnflag = f
         |GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q39_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1 HOUR AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -50,6 +50,23 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("location_id"),
         col("avg_temp_c"), col("n_obs"))
 
+  /** Session windows: events within `gap` of each other merge into one
+    * session per key; the window closes `gap` after the last event.
+    * Works identically over batch frames and watermarked streams (state
+    * per open session only).
+    */
+  def sessionStats(events: DataFrame, timeCol: String, keyCol: String,
+      gap: String = "1 hour", watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark(timeCol, w))
+    base
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Running state per city. */
   case class CityExtremes(locationId: String, minTemp: Double, maxTemp: Double, nObs: Long)
 

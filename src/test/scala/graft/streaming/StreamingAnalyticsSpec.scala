@@ -48,6 +48,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(rows("MUM") == ((25.0, 25.0, 1L)))
   }
 
+  test("sessionStats over a watermarked stream: close sessions emit after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val feed = input.toDF().toDF("forecast_datetime", "location_id", "temp_c", "precip_mm")
+    val query = StreamingAnalytics.sessionStats(feed, "forecast_datetime", "location_id",
+        gap = "30 minutes", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("session_stats")
+      .outputMode("append").start()
+    // two bursts 2h apart -> two sessions; a far-future row closes them
+    input.addData(
+      hourRow("2024-12-23 00:00:00", "DEL", 10.0, 0.0),
+      hourRow("2024-12-23 00:10:00", "DEL", 11.0, 0.0),
+      hourRow("2024-12-23 02:00:00", "DEL", 12.0, 0.0))
+    query.processAllAvailable()
+    input.addData(hourRow("2024-12-24 00:00:00", "DEL", 0.0, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val sessions = spark.table("session_stats")
+      .collect().map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString, r.getAs[Long]("n_events")))
+      .sorted
+    assert(sessions.contains(("2024-12-23 00:00:00.0", "2024-12-23 00:40:00.0", 2L)))
+    assert(sessions.contains(("2024-12-23 02:00:00.0", "2024-12-23 02:30:00.0", 1L)))
+  }
+
   test("runningExtremes: state accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -407,6 +407,20 @@ object RefQueries {
       .sessionStats(events(s, dir), "ts", "user_id", gap = "1 hour")
       .orderBy("user_id", "session_start")
 
+  /** Pivot/reshape: long event stream → one row per user with per-type
+    * counts (the reshaping step the reference's one-JSON→five-feeds
+    * fan-out implies). Pivot values are pinned explicitly — an unpinned
+    * pivot scans the data twice to discover them.
+    */
+  private val q40: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      .orderBy("user_id")
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -436,6 +450,7 @@ object RefQueries {
     "q36_topk_per_group" -> q36,
     "q38_salted_join" -> q38,
     "q39_session_window" -> q39,
+    "q40_pivot" -> q40,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -670,5 +685,14 @@ object RefQueries {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q40_pivot" ->
+      """SELECT user_id,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

@@ -76,7 +76,8 @@ object Dedup {
     shingleDf.groupBy(col(idCol))
       .agg(
         min(hashExpr(col("sh"), 0)).as("h0"),
-        (1 until numHashes).map(s => min(hashExpr(col("sh"), s)).as(s"h$s")): _*)
+        (1 until numHashes).map(s => min(hashExpr(col("sh"), s)).as(s"h$s")) :+
+          count(lit(1)).as("n_shingles"): _*)
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`
     * hashes; docs sharing any full band key become candidate pairs.
@@ -116,7 +117,8 @@ object Dedup {
     sh.count()
     val sig = minhashSignatures(sh, idCol, numHashes)
     val cand = lshCandidatePairs(sig, idCol, bands, numHashes / bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // set sizes ride along in the signature pass — one fewer scan of sh
+    val sizes = sig.select(col(idCol), col("n_shingles").as("n"))
     val shA = sh.toDF("id_a", "sh")
     val shB = sh.toDF("id_b", "sh")
     val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))

@@ -355,13 +355,22 @@ object RefQueries {
   private val q35: Q = (s, dir) => {
     val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    t(s, dir, "lineitem")
+    // Pre-aggregate at the finest grouping BEFORE the rollup: rollup's
+    // Expand operator replicates every input row once per grouping set,
+    // so rolling up the raw fact triples the fact through the aggregate.
+    // Sums/counts re-aggregate losslessly, so Expand runs over ~25
+    // (region, nation) partials instead of the fact table.
+    val partial = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).as("rev_part"), count(lit(1)).as("n_part"))
+    partial
       .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"),
+        sum(col("n_part")).as("n_items"))
       .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
   }
 

@@ -235,6 +235,16 @@ object Feeds {
         max(col("h.chance_of_snow")).as("daily_chance_of_snow"),
       )
 
+  /** The faithful stringly-typed staging shape: every column cast to
+    * string, mirroring the reference warehouse where every column of
+    * every table is VARCHAR(255) (reference: location.sql:1-18,
+    * current_weather.sql:1-34 et al., SURVEY.md §1.3). The typed layer
+    * stays canonical; this is a formatting projection for byte-faithful
+    * CSV interchange.
+    */
+  def asVarcharStage(feed: DataFrame): DataFrame =
+    feed.select(feed.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+
   /** E8: the condition-name normalization applied on warehouse load —
     * `CASE WHEN code = 1000 THEN 'Sunny' ELSE name END`
     * (reference: condition.sql:57-66).

@@ -430,6 +430,19 @@ object RefQueries {
       .toDF("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view")
       .orderBy("user_id")
 
+  /** Set operations (beyond the reference surface, SURVEY.md §2.6 notes
+    * none exist there): customers ordering in both years (INTERSECT),
+    * only the first (EXCEPT), with a tag distinguishing the two sets.
+    */
+  private val q41: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey").as("cust_id"))
+    val c98 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey").as("cust_id"))
+    c97.intersect(c98).withColumn("tag", lit("both"))
+      .unionByName(c97.except(c98).withColumn("tag", lit("only_1997")))
+      .orderBy("tag", "cust_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -460,6 +473,7 @@ object RefQueries {
     "q38_salted_join" -> q38,
     "q39_session_window" -> q39,
     "q40_pivot" -> q40,
+    "q41_set_ops" -> q41,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -703,5 +717,13 @@ object RefQueries {
         |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q41_set_ops" ->
+      """WITH c97 AS (SELECT o_custkey AS cust_id FROM orders WHERE year(o_orderdate) = 1997),
+        |     c98 AS (SELECT o_custkey AS cust_id FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT cust_id, 'both' AS tag FROM (SELECT cust_id FROM c97 INTERSECT SELECT cust_id FROM c98)
+        |UNION ALL
+        |SELECT cust_id, 'only_1997' AS tag FROM (SELECT cust_id FROM c97 EXCEPT SELECT cust_id FROM c98)
+        |ORDER BY tag, cust_id""".stripMargin,
   )
 }

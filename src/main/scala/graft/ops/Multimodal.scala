@@ -67,6 +67,27 @@ object Multimodal {
     }
   }
 
+  /** Image resize — the codec boundary proper. NOT implemented in this
+    * offline container (no image libraries); the `???` marks exactly
+    * where a JNI/ImageIO-backed implementation plugs in. Callers in this
+    * repo use [[StubDecoder]]'s deterministic fake instead.
+    */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    ??? // real codec boundary: decode -> scale -> re-encode
+
+  /** Extract the frame at `posMs` from a timed medium — same codec
+    * boundary as [[resizeImage]]; the deterministic offline fake slices
+    * bytes proportionally so plumbing is testable.
+    */
+  def extractFrameStub(payload: Array[Byte], posMs: Long, durationMs: Long): Array[Byte] = {
+    if (payload.isEmpty || durationMs <= 0) Array.emptyByteArray
+    else {
+      val frac = math.min(math.max(posMs.toDouble / durationMs, 0.0), 1.0)
+      val start = (frac * (payload.length - 1)).toInt
+      payload.slice(start, math.min(start + 16, payload.length))
+    }
+  }
+
   /** Frame-sampling positions for a timed medium: every `stepMs`
     * starting at 0 — the video analog of the reference pipeline's
     * hour-slot sampling.

@@ -61,12 +61,15 @@ object ExtQueries {
         sum(length(col("tok"))).as("sum_tok_len"),
         count(when(col("tok").isin(stop.map(x => x: Any): _*), 1)).as("n_stop"))
     d.select(col("doc_id"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        (regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+          length(col("text")).cast("double")).as("punct_ratio"))
       .join(tokAgg, "doc_id")
       .select(
         col("doc_id"),
         col("n_tokens"),
         col("n_bpe_tokens"),
+        col("punct_ratio"),
         (col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
           .as("avg_token_len"),
         (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
@@ -239,6 +242,7 @@ object ExtQueries {
          |SELECT d.doc_id,
          |       CAST(len(w.w) AS BIGINT) AS n_tokens,
          |       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(len(regexp_extract_all(d.text, '[.,;:!?]')) AS DOUBLE) / CAST(length(d.text) AS DOUBLE) AS punct_ratio,
          |       CAST(length(replace(lower(d.text), ' ', '')) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS avg_token_len,
          |       CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE) / CAST(len(w.w) AS DOUBLE) AS stop_ratio,
          |       (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE) / CAST(len(w.w) AS DOUBLE)) * 0.5

@@ -170,6 +170,15 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == out(1L).getSeq[Float](out(1L).fieldIndex("feature")).toList)
   }
 
+  test("extractFrameStub: deterministic proportional slices; resize is the marked codec boundary") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val f0 = Multimodal.extractFrameStub(payload, 0L, 10000L)
+    val fMid = Multimodal.extractFrameStub(payload, 5000L, 10000L)
+    assert(f0.head == 0.toByte && fMid.head != f0.head)
+    assert(Multimodal.extractFrameStub(payload, 5000L, 10000L).toSeq == fMid.toSeq)
+    intercept[NotImplementedError](Multimodal.resizeImage(payload, 2, 2))
+  }
+
   test("mediaMetadata: payload-free metadata columns") {
     val out = Multimodal.mediaMetadata(media).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap

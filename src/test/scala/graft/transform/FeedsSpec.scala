@@ -91,6 +91,14 @@ class FeedsSpec extends SparkSpec {
     }
   }
 
+  test("unknown city keeps flowing with a null location_id (left dim lookup, not a crash)") {
+    val unknown = Fixtures.rawForecast(spark, cities = Seq("Atlantis"),
+      fetchDates = Seq(java.time.LocalDate.of(2024, 12, 22)))
+    val rows = Feeds.currentWeatherFeed(unknown).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("location_id") == null)
+  }
+
   test("normalizeConditionName: code 1000 → Sunny, others unchanged") {
     import spark.implicits._
     val df = Seq((1000, "Clear"), (1003, "Partly cloudy")).toDF("code", "name")

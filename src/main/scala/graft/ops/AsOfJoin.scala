@@ -30,6 +30,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, prefix: String = "asof_"): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(c => c == "__t" || c == "__tag"),
+      "asOf reserves the column names __t and __tag")
     val leftPayload = left.columns.filterNot(c => keys.contains(c)).toSeq
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap

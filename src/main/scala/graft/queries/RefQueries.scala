@@ -258,7 +258,7 @@ object RefQueries {
     * must be lossless.
     */
   private val q19: Q = (s, dir) => {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_${ProcessHandle.current().pid()}"
     val src = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
     src.write.mode("overwrite").option("header", "true").csv(out)
@@ -277,7 +277,7 @@ object RefQueries {
     * lossless.
     */
   private val q30: Q = (s, dir) => {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip_${ProcessHandle.current().pid()}"
     t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").json(out)
     s.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double").json(out)

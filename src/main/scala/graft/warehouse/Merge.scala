@@ -38,13 +38,20 @@ object Merge {
     * `target`; unmatched target rows survive; unmatched stage rows insert.
     * Algebra: `dedup(stage) ∪ (target ⟕anti stage-keys)`.
     */
+  /** @param broadcastStage hint the stage-key side of the anti join as a
+    *   broadcast build (default: the normal incremental case, where the
+    *   batch is tiny next to the target). Disable for giant backfills —
+    *   the hint forces a broadcast regardless of size, and a 100 GB
+    *   stage must shuffle-join instead.
+    */
   def upsert(target: DataFrame, stage: DataFrame, keys: Seq[String],
-      version: Seq[Column] = Nil): DataFrame = {
+      version: Seq[Column] = Nil, broadcastStage: Boolean = true): DataFrame = {
     val s = dedupLastWins(stage, keys, version)
     // Join only against the key projection: the anti join needs nothing
     // else, and the narrow build side keeps it broadcastable.
     val stageKeys = s.select(keys.map(col): _*).distinct()
-    s.unionByName(target.join(broadcast(stageKeys), keys, "left_anti"))
+    val build = if (broadcastStage) broadcast(stageKeys) else stageKeys
+    s.unionByName(target.join(build, keys, "left_anti"))
   }
 
   /** Insert-only dimension load (M2/D2/D5): distinct new rows whose key is

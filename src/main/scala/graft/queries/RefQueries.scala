@@ -443,6 +443,21 @@ object RefQueries {
       .orderBy("tag", "cust_id")
   }
 
+  /** Exact interpolated percentiles per group (`percentile` — the exact
+    * built-in, not the t-digest approximation; oracle: `quantile_cont`,
+    * the same linear-interpolation definition). Rounded to 6 decimals:
+    * the interpolation arithmetic is the one place both engines compute
+    * the same real number along possibly different float paths.
+    */
+  private val q42: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_discount"))
+      .orderBy("flag")
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -474,6 +489,7 @@ object RefQueries {
     "q39_session_window" -> q39,
     "q40_pivot" -> q40,
     "q41_set_ops" -> q41,
+    "q42_percentiles" -> q42,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -725,5 +741,12 @@ object RefQueries {
         |UNION ALL
         |SELECT cust_id, 'only_1997' AS tag FROM (SELECT cust_id FROM c97 EXCEPT SELECT cust_id FROM c98)
         |ORDER BY tag, cust_id""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag AS flag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
   )
 }

@@ -96,6 +96,45 @@ object StreamingAnalytics {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateExtremes)
   }
 
+  /** A threshold-crossing alert. */
+  case class TempAlert(locationId: String, maxTemp: Double, batchPeak: Boolean = true)
+
+  /** Per-city alert latch (public: encoder codegen needs accessor
+    * visibility on state classes).
+    */
+  case class AlertState(alerted: Boolean)
+
+  private def alertFn(threshold: Double)(key: String, rows: Iterator[(String, Double)],
+      state: GroupState[AlertState]): Iterator[TempAlert] = {
+    val temps = rows.map(_._2).toSeq
+    if (temps.isEmpty) Iterator.empty
+    else {
+      val peak = temps.max
+      val wasAlerted = state.getOption.exists(_.alerted)
+      val isHot = peak >= threshold
+      state.update(AlertState(isHot))
+      // hysteresis: one alert per excursion above the threshold — repeats
+      // are suppressed until the city cools below it again
+      if (isHot && !wasAlerted) Iterator.single(TempAlert(key, peak))
+      else Iterator.empty
+    }
+  }
+
+  /** `flatMapGroupsWithState` (0..n outputs per group per batch):
+    * temperature threshold alerts with hysteresis — fires once per
+    * excursion, resets when the city drops below the threshold. State is
+    * one boolean per city.
+    */
+  def temperatureAlerts(hourFeed: DataFrame, threshold: Double): Dataset[TempAlert] = {
+    val spark = hourFeed.sparkSession
+    import spark.implicits._
+    hourFeed.select(col("location_id"), col("temp_c"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        alertFn(threshold))
+  }
+
   /** Output mode each shape needs when written as a stream. */
   val windowedOutputMode: OutputMode = OutputMode.Append()
   val statefulOutputMode: OutputMode = OutputMode.Update()

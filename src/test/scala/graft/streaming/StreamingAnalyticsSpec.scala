@@ -74,6 +74,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(sessions.contains(("2024-12-23 02:00:00.0", "2024-12-23 02:30:00.0", 1L)))
   }
 
+  test("temperatureAlerts: one alert per excursion, hysteresis across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double, Double)]
+    val feed = input.toDF().toDF("forecast_datetime", "location_id", "temp_c", "precip_mm")
+    val query = StreamingAnalytics.temperatureAlerts(feed, threshold = 35.0)
+      .writeStream.format("memory").queryName("temp_alerts")
+      .outputMode("append").start()
+
+    input.addData(hourRow("2024-12-23 00:00:00", "DEL", 30.0, 0.0)) // below
+    query.processAllAvailable()
+    input.addData(hourRow("2024-12-23 01:00:00", "DEL", 36.0, 0.0)) // crosses -> alert
+    query.processAllAvailable()
+    input.addData(hourRow("2024-12-23 02:00:00", "DEL", 38.0, 0.0)) // still hot -> suppressed
+    query.processAllAvailable()
+    input.addData(hourRow("2024-12-23 03:00:00", "DEL", 20.0, 0.0)) // cools -> reset
+    query.processAllAvailable()
+    input.addData(hourRow("2024-12-23 04:00:00", "DEL", 40.0, 0.0)) // crosses again -> alert
+    query.processAllAvailable()
+    query.stop()
+
+    val alerts = spark.table("temp_alerts").collect()
+      .map(r => r.getAs[String]("locationId") -> r.getAs[Double]("maxTemp")).toSeq.sorted
+    assert(alerts == Seq("DEL" -> 36.0, "DEL" -> 40.0))
+  }
+
   test("runningExtremes: state accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -29,6 +29,14 @@ class TopKAggSpec extends SparkSpec {
     assert(out("g") == List(1000L, 999L, 998L, 997L, 996L))
   }
 
+  test("TempStatsAgg (typed Aggregator): one-pass min/max/mean across partitions") {
+    import spark.implicits._
+    val ds = spark.createDataset((1 to 100).map(_.toDouble)).repartition(8)
+    val stats = ds.select(TypedAggregators.TempStatsAgg.toColumn).head()
+    assert(stats.min == 1.0 && stats.max == 100.0 && stats.n == 100L)
+    assert(math.abs(stats.mean - 50.5) < 1e-12)
+  }
+
   test("nulls in the sort value are ignored") {
     val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L), ("a", Some(3.0), 3L))
       .toDF("g", "v", "id")

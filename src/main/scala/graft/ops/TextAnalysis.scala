@@ -87,6 +87,41 @@ object TextAnalysis {
     }
   }
 
+  /** Character-bigram profiles per language for the n-gram language-ID
+    * variant: high-frequency bigrams drawn from each language's
+    * orthography (space marks word boundaries).
+    */
+  val charBigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "en", "er", "ie", "nd", "sc", "un", "de", "ge"),
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "ng", "of"),
+    "es" -> Seq("de", "la", "os", "en", "ar", "el", "es", "ue", "ci", "ón"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "ou", "qu", "ai", "eu"),
+  )
+
+  /** Distinct character bigrams of the lowercased text. */
+  def charBigrams(text: Column): Column = {
+    val t = lower(text)
+    val idx = when(length(t) >= 2, sequence(lit(1), length(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => t.substr(i, lit(2))))
+  }
+
+  /** n-gram language ID: argmax over languages of |text bigrams ∩
+    * profile bigrams|, alphabetical tie-break, 'und' when nothing
+    * overlaps. Complements the marker-word [[langId]]: bigrams survive
+    * unseen vocabulary, markers survive shared orthography.
+    */
+  def langIdCharNgram(text: Column): Column = {
+    val grams = charBigrams(text)
+    val scores = charBigramProfiles.map { case (lang, profile) =>
+      lang -> size(array_intersect(grams, typedlit(profile)))
+    }
+    val maxC = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(maxC > 0 && c === maxC, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
     * token set. Survives token reordering and duplication — the classic
     * "fingerprint" canonicalization.

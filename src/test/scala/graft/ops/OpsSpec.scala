@@ -38,6 +38,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "es") // 'la' ties es/fr -> alphabetical es
   }
 
+  test("langIdCharNgram: bigram profiles classify short natural-language samples") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the fence"),
+      (2L, "der hund und die katze scheinen schnell"),
+      (3L, "la ciudad de los angeles esta en el oeste"),
+      (4L, "xq zz vv"),
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langIdCharNgram($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "und")
+  }
+
   test("fingerprint collapses order+dups; rollingFingerprint does not") {
     val df = Seq((1L, "b a a c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()

@@ -29,3 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++ Seq(
 )
+scalacOptions ++= Seq("-deprecation")

@@ -85,7 +85,7 @@ object Similarity {
     * dot(vec, plane) >= 0), concatenated to a bit-string.
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map { p =>
+    concat(planes.toIndexedSeq.map { p =>
       when(ndot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

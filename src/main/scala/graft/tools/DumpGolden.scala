@@ -26,7 +26,7 @@ object DumpGolden {
       "condition" -> Feeds.conditionFeed(raw),
     ).foreach { case (n, df) =>
       println(s"===== $n =====")
-      df.orderBy(df.columns.head, df.columns.tail: _*).show(50, truncate = false)
+      df.orderBy(df.columns.head, df.columns.tail.toIndexedSeq: _*).show(50, truncate = false)
     }
     spark.stop()
   }

@@ -53,7 +53,7 @@ final class BucketedWarehouse(spark: SparkSession, root: String, numBuckets: Int
     // Partition pruning: the filter on the directory column means only
     // the touched buckets' files are listed and read.
     val targetSlice = spark.read.parquet(path(table))
-      .filter(col(bucketCol).isin(touched.map(x => x: Any): _*))
+      .filter(col(bucketCol).isin(touched.toIndexedSeq.map(x => x: Any): _*))
       .drop(bucketCol)
     val merged = withBucket(Merge.upsert(targetSlice, stage, keys), keys)
     // localCheckpoint breaks the lineage back to the files about to be

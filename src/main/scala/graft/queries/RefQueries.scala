@@ -458,6 +458,20 @@ object RefQueries {
         round(expr("percentile(l_discount, 0.25)"), 6).as("p25_discount"))
       .orderBy("flag")
 
+  /** CUBE with grouping indicators: order counts at every combination of
+    * (status, priority class), including both one-sided subtotals CUBE
+    * adds over ROLLUP; `grouping()` disambiguates subtotal rows from
+    * genuine NULL groups.
+    */
+  private val q43: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .toDF("status", "priority", "n", "g_status", "g_priority")
+      .orderBy(col("status").asc_nulls_first, col("priority").asc_nulls_first)
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -490,6 +504,7 @@ object RefQueries {
     "q40_pivot" -> q40,
     "q41_set_ops" -> q41,
     "q42_percentiles" -> q42,
+    "q43_cube" -> q43,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -748,5 +763,14 @@ object RefQueries {
         |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |       count(*) AS n,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin,
   )
 }

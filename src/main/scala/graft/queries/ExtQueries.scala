@@ -140,6 +140,21 @@ object ExtQueries {
       expr("n_chars div 100").as("n_chunks"),
     ).orderBy("media_id")
 
+  /** Semantic dedup composition: embedding near-dup pairs (q28's LSH
+    * blocking) joined back to document metadata — the cross-modal step a
+    * real pipeline runs before dropping semantic duplicates.
+    */
+  private val q44: Q = (s, dir) => {
+    val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4)
+    val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    pairs
+      .join(meta.toDF("id_a", "lang_a"), "id_a")
+      .join(meta.toDF("id_b", "lang_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("sim"), col("lang_a"), col("lang_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
@@ -152,6 +167,7 @@ object ExtQueries {
     "q28_embedding_neardup" -> q28,
     "q29_multimodal_meta" -> q29,
     "q37_ivf_ann" -> q37,
+    "q44_semantic_dedup" -> q44,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -301,6 +317,21 @@ object ExtQueries {
         |       md5(text) AS checksum,
         |       n_chars // 100 AS n_chunks
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q44_semantic_dedup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes4)} AS bucket,
+         |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         |         round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) AS sim
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |  WHERE round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35)
+         |SELECT p.id_a, p.id_b, p.sim, da.lang AS lang_a, db.lang AS lang_b
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q37_ivf_ann" ->
       s"""WITH $embCte,

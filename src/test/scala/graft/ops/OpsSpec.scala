@@ -90,6 +90,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("nearDuplicates is invariant under input partitioning") {
+    val docs = (1L to 20L).map(i =>
+      (i, s"shared prefix words for all docs number ${i % 3} tail $i extra token salad here"))
+      .toDF("doc_id", "text")
+    val a = Dedup.nearDuplicates(docs, "doc_id", "text", 0.2)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.nearDuplicates(docs.repartition(7), "doc_id", "text", 0.2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -45,10 +45,14 @@ object Bench {
       var failed: Option[String] = None
       var i = 0
       var improving = true
-      while (i < 4 && improving && failed.isEmpty) {
+      // Up to 7 iterations while the run is still improving ≥5%: under
+      // the full 44-query sweep the shared codegen LRU + JIT tiering can
+      // take 4-5 executions to reach steady state (observed q31: 6.5 →
+      // 0.8 s), and stopping early records warm-up, not the plan.
+      while (i < 7 && improving && failed.isEmpty) {
         try {
           val t = once()
-          improving = t < best * 0.9 || i < 2
+          improving = t < best * 0.95 || i < 2
           best = math.min(best, t)
         } catch {
           case e: Throwable => failed = Some(e.getMessage)

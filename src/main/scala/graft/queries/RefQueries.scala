@@ -175,15 +175,29 @@ object RefQueries {
   private val q13: Q = (s, dir) => {
     val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    // Pre-aggregate the fact to order grain BEFORE joining the dimensions:
+    // map-side partial aggregation compresses the fact shuffle (lineitem
+    // rows for one order are file-adjacent), the dim join then moves one
+    // row per order instead of one per line item, and count_distinct
+    // (which doubles the rows through the aggregate via Expand) becomes a
+    // plain count — each order appears exactly once post-pre-agg. At 100
+    // TB this is the difference between shuffling the fact table twice
+    // and shuffling it once at 1/4 width.
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(rev).as("order_rev"))
+    val orderDim = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"), col("n_name"))
+    perOrder.join(orderDim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(sum(rev).cast("double").as("revenue"),
-        count_distinct(col("o_orderkey")).as("n_orders"))
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy("region_name", "nation_name")
   }
 
@@ -355,18 +369,25 @@ object RefQueries {
   private val q35: Q = (s, dir) => {
     val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
-    // Pre-aggregate at the finest grouping BEFORE the rollup: rollup's
-    // Expand operator replicates every input row once per grouping set,
-    // so rolling up the raw fact triples the fact through the aggregate.
-    // Sums/counts re-aggregate losslessly, so Expand runs over ~25
-    // (region, nation) partials instead of the fact table.
-    val partial = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    // Two pre-aggregations before the rollup. (1) Fact to order grain
+    // before the dim join — same rationale as q13: map-side combine on
+    // the file-adjacent order key, and the join then moves 1 row per
+    // order, not per line item. (2) To (region, nation) grain before
+    // rollup: rollup's Expand operator replicates every input row once
+    // per grouping set, so Expand runs over ~25 partials instead of the
+    // fact table.
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(rev).as("order_rev"), count(lit(1)).as("order_items"))
+    val orderDim = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"), col("n_name"))
+    val partial = perOrder.join(orderDim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(rev).as("rev_part"), count(lit(1)).as("n_part"))
+      .agg(sum(col("order_rev")).as("rev_part"), sum(col("order_items")).as("n_part"))
     partial
       .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(sum(col("rev_part")).cast("double").as("revenue"),

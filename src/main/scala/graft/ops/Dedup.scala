@@ -174,4 +174,40 @@ object Dedup {
   /** Hamming distance between two simhash values (bit-sparse longs). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`,
+    * found without the O(n²) pair space: the signature is split into
+    * `bands` equal bit-slices, and by pigeonhole any pair within
+    * `maxHamming < bands` bit flips agrees exactly on at least one slice
+    * — so the slice-value self-join produces a candidate superset, and
+    * the exact `bit_count(xor)` filter keeps no false positives.
+    *
+    * Scale: the shuffle carries (band, slice-value) groups. Bucket count
+    * is 2^(bits/bands) per band — at 100 TB use 64-bit signatures with 8
+    * bands (2^8=256-way slices plus the hash-partitioning on top), and
+    * skew in a slice value means near-identical docs, which is exactly
+    * the output.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val sig = simhashTable(df, idCol, textCol, bits)
+    val banded = sig.select(col(idCol).as("id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.toDF("id_a", "sig_a", "band", "bkey")
+    val b = banded.toDF("id_b", "sig_b", "band", "bkey")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

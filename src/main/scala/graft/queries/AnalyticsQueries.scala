@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.ops.{Dedup, RangeJoin}
+import graft.warehouse.Scd2
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Round-2 analytic surface: range joins, grouping sets, reshaping
+  * (unpivot), distribution windows, conditional aggregation, deterministic
+  * sampling, time bucketing, SCD-2 history, array fingerprints,
+  * histograms, and SimHash near-dup pairs — each with a DuckDB oracle
+  * (except the sketch query, which is approximate by construction and
+  * gets the driver's rows-only check).
+  *
+  * Determinism rules are those of [[RefQueries]]: shared column names, a
+  * total ORDER BY with explicit NULLS placement on both sides (Spark
+  * defaults NULLS FIRST for ASC, DuckDB NULLS LAST), DECIMAL paths for
+  * money sums, BIGINT casts for integers, round(×, 6) wherever both
+  * engines interpolate floats.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Range/interval join via bucket decomposition ([[RangeJoin]]): orders
+    * priced inside overlapping nation-derived intervals
+    * [nk·10000, nk·10000+15000). The oracle runs the naive BETWEEN join —
+    * same rows, quadratic plan; ours is an equi-join on the bucket id.
+    */
+  private val q45: Q = (s, dir) => {
+    val intervals = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("iv_id"),
+      (col("n_nationkey") * 10000.0).cast("double").as("lo"),
+      (col("n_nationkey") * 10000.0 + 15000.0).cast("double").as("hi"))
+    RangeJoin.intervalJoin(t(s, dir, "orders"), "o_totalprice",
+        intervals, "lo", "hi", bucketWidth = 5000.0)
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("iv_id")
+  }
+
+  /** GROUPING SETS beyond rollup/cube's fixed lattices: the two one-
+    * dimensional marginals plus the grand total, with grouping()
+    * indicators (SQL surface — grouping sets have no DataFrame API).
+    */
+  private val q46: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q46_orders")
+    s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+            |       count(*) AS n,
+            |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+            |FROM graft_q46_orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Unpivot/melt: wide measure columns → long (measure, val) — the
+    * reshaping inverse of q40's pivot. Narrow-before-wide matters at
+    * scale: unpivot multiplies rows by the measure count, so it runs on
+    * the projected 5-column slice, never the full fact width.
+    */
+  private val q47: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Distribution windows: quartile (ntile), percent_rank, cume_dist per
+    * status — the ranking family q34 doesn't cover. round(×,6): both
+    * engines compute (rank-1)/(n-1) in doubles.
+    */
+  private val q48: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderstatus").as("status"),
+      col("o_orderkey").as("order_id"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+    ).orderBy("status", "order_id")
+  }
+
+  /** Conditional aggregation (FILTER semantics): one scan computing
+    * differently-predicated aggregates side by side — the idiom that
+    * replaces N filtered passes over a 100 TB fact with one.
+    */
+  private val q49: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        sum(when(col("o_totalprice") > 200000.0,
+          col("o_totalprice").cast(DecimalType(18, 2)))).cast("double").as("sum_high"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_high"))
+      .orderBy("status")
+
+  /** Deterministic hash sampling: keep keys whose md5-derived 16-bit
+    * value ≡ 0 (mod 20) — a reproducible ~5% Bernoulli sample with no
+    * shuffle, no RNG state, and identical selection in any engine.
+    * TABLESAMPLE is seed/partitioning-dependent; this is the portable,
+    * partition-invariant form a 100 TB sample job needs.
+    */
+  private val q50: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 20 === 0)
+      .select(col("o_orderkey").as("order_id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      .orderBy("order_id")
+
+  /** Tumbling event-time buckets in batch: Spark's `window()` (epoch-
+    * aligned, the same operator Structured Streaming aggregates over);
+    * oracle: DuckDB time_bucket, whose 2000-01-01 origin is 6-hour-
+    * aligned with the epoch, so the buckets coincide exactly.
+    */
+  private val q51: Q = (s, dir) =>
+    RefQueries.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n"), col("sum_value"))
+      .orderBy("bucket_start")
+
+  /** SCD-2 history build ([[Scd2.buildHistory]]): each customer's order-
+    * priority timeline collapsed to validity runs with valid_from /
+    * valid_to / is_current — the type-2 extension of the reference's
+    * type-1 MERGE layer.
+    */
+  private val q52: Q = (s, dir) =>
+    Scd2.buildHistory(t(s, dir, "orders"), "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      .select(
+        col("o_custkey").as("cust_id"),
+        col("o_orderpriority").as("priority"),
+        to_date(col("valid_from")).as("valid_from"),
+        to_date(col("valid_to")).as("valid_to"),
+        col("is_current").cast("long").as("is_current"))
+      .orderBy(col("cust_id"), col("valid_from"),
+        col("valid_to").asc_nulls_last, col("priority"))
+
+  /** Order-set fingerprint per customer: sorted collect_list → md5 — the
+    * grouped-array summarization pattern (deterministic despite Spark's
+    * unordered collection: sort_array canonicalizes before hashing).
+    */
+  private val q53: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string"))))
+          .as("orders_fp"))
+      .orderBy("cust_id")
+
+  /** Fixed-bound histogram: arithmetic bucketing (no shuffle beyond the
+    * final 10-group aggregate) — floor(price/50k) capped at bucket 9.
+    */
+  private val q54: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding
+    * ([[Dedup.simhashNearDup]]) — candidate pairs from a 4-bit slice
+    * equi-join, never the O(n²) cross product; the oracle runs the naive
+    * quadratic self-join.
+    */
+  private val q55: Q = (s, dir) =>
+    Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
+        bits = 16, bands = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Approximate sketches (HLL++ count-distinct at 1% rsd, t-digest
+    * percentile): no portable oracle exists — both are estimator-specific
+    * — so this entry takes the driver's rows-only check; SketchSpec pins
+    * the estimates against exact values within the configured error.
+    */
+  private val q56: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
+      .orderBy("status")
+
+  val all: Map[String, Q] = Map(
+    "q45_range_join" -> q45,
+    "q46_grouping_sets" -> q46,
+    "q47_unpivot" -> q47,
+    "q48_distribution_windows" -> q48,
+    "q49_conditional_agg" -> q49,
+    "q50_hash_sample" -> q50,
+    "q51_time_bucket" -> q51,
+    "q52_scd2" -> q52,
+    "q53_collect_fingerprint" -> q53,
+    "q54_histogram" -> q54,
+    "q55_simhash_neardup" -> q55,
+    "q56_approx_sketch" -> q56,
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  /** DuckDB: integer value of the first 4 hex chars of md5(`e`) — same
+    * portable hex4 as [[ExtQueries]]. */
+  private def duckHex4(e: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16" +
+      s" + (strpos('0123456789abcdef', substr(md5($e),4,1))-1))"
+
+  /** The q22 simhash pipeline as a reusable CTE block ending in
+    * `sig(doc_id, simhash)`. */
+  private val simhashCtes =
+    s"""w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+       |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+       |v AS (SELECT doc_id, ${duckHex4("t")} AS v FROM tok),
+       |b AS (SELECT doc_id, g.bit AS bit,
+       |             sum(CASE WHEN (v >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+       |      FROM v, UNNEST(generate_series(0, 15)) AS g(bit)
+       |      GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |               CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM b GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q45_range_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS iv_id, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM nation JOIN orders
+        |  ON o_totalprice >= n_nationkey * 10000.0
+        | AND o_totalprice <  n_nationkey * 10000.0 + 15000.0
+        |GROUP BY 1 ORDER BY iv_id""".stripMargin,
+
+    "q46_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |       count(*) AS n,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+
+    "q47_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q48_distribution_windows" ->
+      """SELECT o_orderstatus AS status, o_orderkey AS order_id,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY status, order_id""".stripMargin,
+
+    "q49_conditional_agg" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |       CAST(sum(CASE WHEN o_totalprice > 200000.0
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_high,
+        |       count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_high
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q50_hash_sample" ->
+      s"""SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice AS price
+         |FROM orders
+         |WHERE ${duckHex4("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+         |ORDER BY order_id""".stripMargin,
+
+    "q51_time_bucket" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+
+    "q52_scd2" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey AS cust_id, o_orderpriority AS priority,
+        |       CAST(o_orderdate AS DATE) AS valid_from,
+        |       CAST(lead(o_orderdate) OVER w2 AS DATE) AS valid_to,
+        |       CAST(CASE WHEN lead(o_orderdate) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY cust_id, valid_from, valid_to ASC NULLS LAST, priority""".stripMargin,
+
+    "q53_collect_fingerprint" ->
+      """SELECT o_custkey AS cust_id, count(*) AS n_orders,
+        |       md5(array_to_string(list_sort(list(o_orderkey)), ',')) AS orders_fp
+        |FROM orders GROUP BY 1 ORDER BY cust_id""".stripMargin,
+
+    "q54_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q55_simhash_neardup" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q56_approx_sketch: intentionally no oracle — approximate estimators
+    // (HLL++, t-digest) have no engine-portable exact form; rows-only.
+  )
+}

@@ -9,8 +9,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries that deliberately ship without an oracle (approximate
+  // estimators have no portable exact form; the driver records a
+  // rows-only check and a spec pins the error bound instead).
+  private val rowsOnly = Set("q56_approx_sketch")
+
   test("every query has oracle SQL and vice versa") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
+    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.nonEmpty)
   }
 

@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q56 has no DuckDB oracle (approximate estimators aren't portable);
+  * this spec is its correctness gate: estimates must sit within the
+  * configured error of the exact answers.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL++ count-distinct and t-digest median sit within error bounds") {
+    val df = (1L to 20000L)
+      .map(i => (if (i % 2 == 0) "A" else "B", i % 3000, i.toDouble / 7.0))
+      .toDF("g", "k", "v")
+    val exact = df.groupBy("g")
+      .agg(count_distinct(col("k")).as("nd"),
+        expr("percentile(v, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = df.groupBy("g")
+      .agg(approx_count_distinct(col("k"), rsd = 0.01).as("nd"),
+        percentile_approx(col("v"), lit(0.5), lit(10000)).as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((g, (nd, med)) <- exact) {
+      val (andv, amed) = approx(g)
+      assert(math.abs(andv - nd).toDouble / nd <= 0.05, s"$g count-distinct: $andv vs $nd")
+      // t-digest at accuracy 10000 over 10k values: median within 1% of range
+      assert(math.abs(amed - med) <= 1.0, s"$g median: $amed vs $med")
+    }
+  }
+}

@@ -141,11 +141,14 @@ object Dedup {
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, ≤ 60")
     val tok = df
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("t"))
       .filter(col("t") =!= "")
+    // token hash = first bits/4 hex chars of md5 — one digest regardless
+    // of signature width
     val v = tok.select(col(idCol),
-      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int").as("v"))
+      conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long").as("v"))
     val sums = v.groupBy(col(idCol)).agg(
       sum(when(shiftright(col("v"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
       (1 until bits).map(b =>
@@ -209,5 +212,52 @@ object Dedup {
         hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into dedup *decisions* (keep one doc
+    * per component). Min-label propagation: every node starts as its own
+    * label; each round a node takes the minimum label among itself and
+    * its neighbors; at fixpoint the label is the component's minimum id,
+    * which is deterministic under any partitioning or execution order.
+    *
+    * Scale: one shuffle (the groupBy) per round, rounds = graph
+    * diameter. Near-dup graphs are overwhelmingly tiny cliques/paths, so
+    * diameter stays single-digit; a pathological long-chain component
+    * would motivate the alternating star algorithm (O(log n) rounds,
+    * same join-aggregate primitives). The driver loop exchanges only a
+    * 1-row convergence flag per round — never the data.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    // Iterative plans MUST truncate lineage per round: building round
+    // N's DataFrame on round N-1's plan grows the logical plan
+    // exponentially (the join references labels twice) — planning alone
+    // OOMs after ~10 rounds. localCheckpoint materializes the round and
+    // cuts the lineage; on a cluster with dynamic executors use
+    // `checkpoint()` against reliable storage instead.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = viaNeighbors.unionByName(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
   }
 }

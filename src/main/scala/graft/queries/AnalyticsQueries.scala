@@ -177,13 +177,15 @@ object AnalyticsQueries {
       .orderBy("bucket")
 
   /** SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding
-    * ([[Dedup.simhashNearDup]]) — candidate pairs from a 4-bit slice
+    * ([[Dedup.simhashNearDup]]) — candidate pairs from a band-slice
     * equi-join, never the O(n²) cross product; the oracle runs the naive
-    * quadratic self-join.
+    * quadratic self-join. 32-bit signatures / 8-bit slices: 256 buckets
+    * per band keeps candidate density low (16-bit/4-bit profiled 25×
+    * more candidates at sf0.1 for the same output).
     */
   private val q55: Q = (s, dir) =>
     Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        bits = 16, bands = 4, maxHamming = 3)
+        bits = 32, bands = 4, maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   /** Approximate sketches (HLL++ count-distinct at 1% rsd, t-digest
@@ -199,6 +201,87 @@ object AnalyticsQueries {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
       .orderBy("status")
 
+  /** Duplicate-cluster extraction ([[Dedup.duplicateClusters]]):
+    * embedding near-dup pairs (q28's blocking) collapsed to connected
+    * components by min-label propagation — the step that turns pairwise
+    * similarity into per-document dedup decisions. Oracle: DuckDB
+    * recursive-CTE transitive closure, an independent algorithm.
+    */
+  private val q57: Q = (s, dir) => {
+    val pairs = graft.ops.Similarity.nearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4)
+    Dedup.duplicateClusters(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Train/val/test split by the same md5 mechanism as q50: an 80/10/10
+    * assignment that is reproducible, partition-invariant, and stable
+    * under data growth (a row's split never changes when other rows
+    * arrive) — the property RNG-based splitters lack.
+    */
+  private val q58: Q = (s, dir) => {
+    val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    t(s, dir, "orders")
+      .select(when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("o_totalprice"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("split")
+  }
+
+  /** RANGE-frame window (q34 covers ROWS frames): per event, the count
+    * and sum of the same user's events in the trailing hour — frame
+    * membership is by timestamp *value*, so the result is independent of
+    * tie order within the frame.
+    */
+  private val q59: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600, Window.currentRow)
+    RefQueries.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_last_hour"),
+      sum(col("value").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("sum_last_hour"),
+    ).orderBy("event_id")
+  }
+
+  /** Vocabulary head: global top-20 tokens by frequency with document
+    * frequency — the term-stats scan every text pipeline runs. Top-k of
+    * a grouped count is a two-phase aggregate + a 20-row sort, never a
+    * global sort of the vocabulary.
+    */
+  private val q60: Q = (s, dir) =>
+    graft.ops.TextAnalysis.tokenTable(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  /** TF-IDF headline term per document: tf · ln(N/df), ranked on the
+    * 6-decimal-rounded score (both engines interpolate ln in doubles;
+    * ranking on the rounded value keeps the argmax engine-independent).
+    */
+  private val q61: Q = (s, dir) => {
+    val toks = graft.ops.TextAnalysis.tokenTable(t(s, dir, "documents"), "doc_id", "text")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.dropDuplicates("doc_id", "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -212,27 +295,33 @@ object AnalyticsQueries {
     "q54_histogram" -> q54,
     "q55_simhash_neardup" -> q55,
     "q56_approx_sketch" -> q56,
+    "q57_dup_clusters" -> q57,
+    "q58_train_split" -> q58,
+    "q59_range_frame" -> q59,
+    "q60_top_terms" -> q60,
+    "q61_tfidf" -> q61,
   )
 
   // ----------------------------------------------------------------- oracle
 
-  /** DuckDB: integer value of the first 4 hex chars of md5(`e`) — same
-    * portable hex4 as [[ExtQueries]]. */
-  private def duckHex4(e: String): String =
-    s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),4,1))-1))"
+  /** DuckDB: integer value of the first `n` hex chars of md5(`e`) — the
+    * generalized form of [[ExtQueries]]'s portable hex4. */
+  private def duckHexN(e: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e),$i,1))-1)::BIGINT*${1L << (4 * (n - i))}")
+      .mkString("(", " + ", ")")
 
-  /** The q22 simhash pipeline as a reusable CTE block ending in
-    * `sig(doc_id, simhash)`. */
-  private val simhashCtes =
+  private def duckHex4(e: String): String = duckHexN(e, 4)
+
+  /** The [[Dedup.simhashTable]] pipeline at `bits` width as a reusable
+    * CTE block ending in `sig(doc_id, simhash)`. */
+  private def simhashCtes(bits: Int) =
     s"""w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
        |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
-       |v AS (SELECT doc_id, ${duckHex4("t")} AS v FROM tok),
+       |v AS (SELECT doc_id, ${duckHexN("t", bits / 4)} AS v FROM tok),
        |b AS (SELECT doc_id, g.bit AS bit,
        |             sum(CASE WHEN (v >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-       |      FROM v, UNNEST(generate_series(0, 15)) AS g(bit)
+       |      FROM v, UNNEST(generate_series(0, ${bits - 1})) AS g(bit)
        |      GROUP BY 1, 2),
        |sig AS (SELECT doc_id,
        |               CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
@@ -322,7 +411,7 @@ object AnalyticsQueries {
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q55_simhash_neardup" ->
-      s"""WITH $simhashCtes
+      s"""WITH ${simhashCtes(32)}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -330,5 +419,63 @@ object AnalyticsQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     // q56_approx_sketch: intentionally no oracle — approximate estimators
     // (HLL++, t-digest) have no engine-portable exact form; rows-only.
+
+    "q57_dup_clusters" ->
+      s"""WITH RECURSIVE ${ExtQueries.embCte},
+         |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes4)} AS bucket,
+         |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |  WHERE round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id)
+         |SELECT id AS vec_id, min(reach) AS cluster_id
+         |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q58_train_split" ->
+      s"""SELECT CASE WHEN ${duckHex4("CAST(o_orderkey AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |            WHEN ${duckHex4("CAST(o_orderkey AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q59_range_frame" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_last_hour,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q60_top_terms" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |tok AS (SELECT doc_id, u.t AS term FROM w, UNNEST(w.w) AS u(t))
+         |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY 1
+         |ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q61_tfidf" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |tok AS (SELECT doc_id, u.t AS tok FROM w, UNNEST(w.w) AS u(t)),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |         round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score
+         |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n),
+         |ranked AS (
+         |  SELECT doc_id, tok, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+         |  FROM scored)
+         |SELECT doc_id, tok AS top_term, score
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

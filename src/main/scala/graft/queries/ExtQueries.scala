@@ -186,22 +186,22 @@ object ExtQueries {
     p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
 
   /** DuckDB bucket expression over column `v` for the given planes. */
-  private def duckBucket(planes: Array[Array[Double]]): String =
+  private[queries] def duckBucket(planes: Array[Array[Double]]): String =
     planes.map(p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
 
-  private val tokensCte =
+  private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
 
-  private val embCte =
+  private[queries] val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   private val planes8 = Similarity.lshPlanes(8, 64)
-  private val planes4 = Similarity.lshPlanes(4, 64)
+  private[queries] val planes4 = Similarity.lshPlanes(4, 64)
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 

@@ -282,6 +282,63 @@ object AnalyticsQueries {
       .orderBy("doc_id")
   }
 
+  /** Bucketed co-located join: both sides written `bucketBy` the join
+    * key, so the join plans with ZERO exchanges on either input — the
+    * layout-level answer to repeated fact⋈fact joins at 100 TB (pay the
+    * bucketed write once, never shuffle the join again). The only
+    * exchanges in this plan belong to the downstream regroup. Oracle
+    * joins the original tables: bucketing must not change results.
+    */
+  private val q62: Q = (s, dir) => {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${ProcessHandle.current().pid()}"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_b_orders")
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_b_lineitem")
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("cust_id")
+  }
+
+  /** Moment statistics per group: population stddev/variance and
+    * Pearson correlation — the profiling aggregates (population forms:
+    * their definition is engine-independent; sample-kurtosis/skewness
+    * bias corrections differ between engines and are deliberately
+    * excluded). round(,6): Welford vs textbook accumulation differ in
+    * the last ulps.
+    */
+  private val q63: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
+        round(var_pop(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .orderBy("flag")
+
+  /** Date arithmetic over the order→ship lineage: per order month, the
+    * shipping-latency profile (datediff in days; integer sums, so the
+    * average divides exactly the same in both engines).
+    */
+  private val q64: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lat"))
+      .groupBy("order_ym")
+      .agg(count(lit(1)).as("n"),
+        min(col("lat")).cast("long").as("min_days"),
+        max(col("lat")).cast("long").as("max_days"),
+        (sum(col("lat")).cast("double") / count(lit(1))).as("avg_days"))
+      .orderBy("order_ym")
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -300,6 +357,9 @@ object AnalyticsQueries {
     "q59_range_frame" -> q59,
     "q60_top_terms" -> q60,
     "q61_tfidf" -> q61,
+    "q62_bucketed_join" -> q62,
+    "q63_moment_stats" -> q63,
+    "q64_date_arith" -> q64,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -477,5 +537,25 @@ object AnalyticsQueries {
          |  FROM scored)
          |SELECT doc_id, tok AS top_term, score
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q62_bucketed_join" ->
+      """SELECT o_custkey AS cust_id, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY cust_id""".stripMargin,
+
+    "q63_moment_stats" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |       round(stddev_pop(l_quantity), 6) AS sd_qty,
+        |       round(var_pop(l_discount), 6) AS var_disc,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q64_date_arith" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_ym, count(*) AS n,
+        |       CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+        |       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days,
+        |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*) AS avg_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY order_ym""".stripMargin,
   )
 }

@@ -339,6 +339,42 @@ object AnalyticsQueries {
         (sum(col("lat")).cast("double") / count(lit(1))).as("avg_days"))
       .orderBy("order_ym")
 
+  /** Date-spine densification: a generated calendar (sequence/explode —
+    * no input scan) left-joined to per-day order counts, zeros filled —
+    * the standard fix for "missing days break the time series". The
+    * spine generator is O(days) on one executor and broadcasts.
+    */
+  private val q65: Q = (s, dir) => {
+    val spine = s.range(1)
+      .select(explode(sequence(
+        to_date(lit("1997-01-01")), to_date(lit("1997-03-31")))).as("day"))
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  /** Forward-fill gap filling: the last non-null observation carries
+    * forward (`last_value IGNORE NULLS` over an unbounded-preceding ROWS
+    * frame) — the time-series repair op. Nulls are injected
+    * deterministically (error events lose their value) so both engines
+    * fill the same gaps.
+    */
+  private val q66: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    RefQueries.events(s, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -360,6 +396,8 @@ object AnalyticsQueries {
     "q62_bucketed_join" -> q62,
     "q63_moment_stats" -> q63,
     "q64_date_arith" -> q64,
+    "q65_date_spine" -> q65,
+    "q66_forward_fill" -> q66,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -557,5 +595,26 @@ object AnalyticsQueries {
         |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*) AS avg_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY order_ym""".stripMargin,
+
+    "q65_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(g.d AS DATE) AS day
+        |  FROM generate_series(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY) AS g(d)),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT spine.day AS day, COALESCE(cnt, 0) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin,
+
+    "q66_forward_fill" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -375,6 +375,26 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Share-of-total (percent-of-grand-total per nation): the total is an
+    * aggregate broadcast back as a 1-row cross join — NOT a
+    * `Window.partitionBy()` with no keys, which would funnel the whole
+    * dataset through a single partition. Share arithmetic runs on exact
+    * decimal sums; only the final ratio is floating (rounded).
+    */
+  private val q67: Q = (s, dir) => {
+    val byNation = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"),
+        count(lit(1)).as("n_cust"))
+    val total = byNation.agg(sum(col("bal")).as("total_bal"))
+    byNation.crossJoin(broadcast(total))
+      .select(col("nation_name"), col("n_cust"),
+        col("bal").cast("double").as("sum_bal"),
+        round(col("bal").cast("double") / col("total_bal").cast("double"), 6).as("share"))
+      .orderBy("nation_name")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -398,6 +418,7 @@ object AnalyticsQueries {
     "q64_date_arith" -> q64,
     "q65_date_spine" -> q65,
     "q66_forward_fill" -> q66,
+    "q67_share_of_total" -> q67,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -616,5 +637,18 @@ object AnalyticsQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q67_share_of_total" ->
+      """WITH by_nation AS (
+        |  SELECT n_name AS nation_name,
+        |         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal,
+        |         count(*) AS n_cust
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |total AS (SELECT sum(bal) AS total_bal FROM by_nation)
+        |SELECT nation_name, n_cust, CAST(bal AS DOUBLE) AS sum_bal,
+        |       round(CAST(bal AS DOUBLE) / CAST(total_bal AS DOUBLE), 6) AS share
+        |FROM by_nation, total
+        |ORDER BY nation_name""".stripMargin,
   )
 }

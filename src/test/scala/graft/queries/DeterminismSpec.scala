@@ -1,0 +1,30 @@
+package graft
+
+/** Every judged query must return byte-identical results under different
+  * shuffle partitioning — the local proof that re-partitioning on a
+  * cluster can never change an answer. This is why money sums ride
+  * DECIMAL, interpolated floats are rounded, collections are sorted
+  * before hashing, and every query ends in a total ORDER BY.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("all judged queries are invariant under shuffle-partition count") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        def runWith(parts: String): Seq[String] = {
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          val out = fn(spark, sfDir).collect().map(_.toString).toSeq
+          spark.catalog.clearCache()
+          out
+        }
+        val a = runWith("3")
+        val b = runWith("7")
+        if (a == b) None else Some(s"$name: ${a.size} vs ${b.size} rows or value diff")
+      }
+      assert(mismatches.isEmpty, mismatches.mkString("; "))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

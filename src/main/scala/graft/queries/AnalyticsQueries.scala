@@ -395,6 +395,20 @@ object AnalyticsQueries {
       .orderBy("nation_name")
   }
 
+  /** The full text-dedup composition: MinHash near-dup pairs (q21) →
+    * connected components (q57's propagation) → one cluster id per
+    * involved document — what a pipeline actually persists before
+    * dropping duplicates. Oracle: the q21 pair CTEs + recursive-CTE
+    * closure.
+    */
+  private val q68: Q = (s, dir) => {
+    val pairs = Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, numHashes = 8, bands = 4, shingleK = 3)
+    Dedup.duplicateClusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -419,6 +433,7 @@ object AnalyticsQueries {
     "q65_date_spine" -> q65,
     "q66_forward_fill" -> q66,
     "q67_share_of_total" -> q67,
+    "q68_minhash_clusters" -> q68,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -650,5 +665,16 @@ object AnalyticsQueries {
         |       round(CAST(bal AS DOUBLE) / CAST(total_bal AS DOUBLE), 6) AS share
         |FROM by_nation, total
         |ORDER BY nation_name""".stripMargin,
+
+    "q68_minhash_clusters" ->
+      s"""WITH RECURSIVE ${ExtQueries.minhashPairCtes},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mpairs
+         |          UNION SELECT id_b, id_a FROM mpairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(reach) AS cluster_id
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -205,40 +205,50 @@ object ExtQueries {
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The q21 MinHash pipeline as a CTE block ending in
+    * `mpairs(id_a, id_b, jaccard)` — near-dup pairs at Jaccard ≥ 0.5
+    * (reused by the cluster-composition oracle, q68).
+    */
+  private[queries] val minhashPairCtes: String =
+    s"""$tokensCte,
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+       |       WHERE len(w) >= 3),
+       |mh AS (SELECT doc_id,
+       |              ${(0 until 8).map { s =>
+                val digest = "md5(sh" + ("|| '#'" * (s / 4)) + ")"
+                s"min(substr($digest, ${(s % 4) * 8 + 1}, 8)) AS h$s"
+              }.mkString(", ")}
+       |       FROM sh GROUP BY doc_id),
+       |bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS bkey FROM mh")
+          .mkString("\n           UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.id_a
+       |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+       |          GROUP BY 1, 2),
+       |mpairs AS (
+       |  SELECT id_a, id_b,
+       |         CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
     "q21_minhash_neardup" ->
-      s"""WITH $tokensCte,
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
-         |       WHERE len(w) >= 3),
-         |mh AS (SELECT doc_id,
-         |              ${(0 until 8).map { s =>
-                  val digest = "md5(sh" + ("|| '#'" * (s / 4)) + ")"
-                  s"min(substr($digest, ${(s % 4) * 8 + 1}, 8)) AS h$s"
-                }.mkString(", ")}
-         |       FROM sh GROUP BY doc_id),
-         |bands AS (${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS bkey FROM mh")
-            .mkString("\n           UNION ALL ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |          FROM cand c
-         |          JOIN sh sa ON sa.doc_id = c.id_a
-         |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes na ON na.doc_id = id_a
-         |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, jaccard FROM mpairs
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q22_simhash" ->

@@ -135,6 +135,22 @@ object StreamingAnalytics {
         alertFn(threshold))
   }
 
+  /** Streaming exact dedup with bounded state: duplicates of a key are
+    * dropped as long as they arrive within the watermark delay of the
+    * first occurrence; key state is evicted once the watermark passes it
+    * (`dropDuplicatesWithinWatermark`). This is the streaming face of
+    * the batch exact-dedup operator ([[graft.ops.Dedup.exactDupGroups]])
+    * — at 100 TB/day of events, unbounded `dropDuplicates` state is not
+    * an option; the watermark bound makes dedup state O(keys per delay
+    * window), the same contract the reference's keyed MERGE gives batch
+    * re-deliveries.
+    */
+  def streamingDedup(events: DataFrame, timeCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Output mode each shape needs when written as a stream. */
   val windowedOutputMode: OutputMode = OutputMode.Append()
   val statefulOutputMode: OutputMode = OutputMode.Update()

@@ -289,18 +289,24 @@ object AnalyticsQueries {
     * exchanges in this plan belong to the downstream regroup. Oracle
     * joins the original tables: bucketing must not change results.
     */
+  /** Unique per invocation: the session (and its catalog) is shared by
+    * concurrently-running test suites and by bench iterations — a fixed
+    * table name would race on overwrite. */
+  private val bucketedRun = new java.util.concurrent.atomic.AtomicLong()
+
   private val q62: Q = (s, dir) => {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${ProcessHandle.current().pid()}"
+    val run = s"${ProcessHandle.current().pid()}_${bucketedRun.incrementAndGet()}"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$run"
     t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable("graft_b_orders")
+      .option("path", s"$base/orders").saveAsTable(s"graft_b_orders_$run")
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable("graft_b_lineitem")
-    s.table("graft_b_orders")
-      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .option("path", s"$base/lineitem").saveAsTable(s"graft_b_lineitem_$run")
+    s.table(s"graft_b_orders_$run")
+      .join(s.table(s"graft_b_lineitem_$run"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("cust_id"))
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy("cust_id")

@@ -151,6 +151,25 @@ object StreamingAnalytics {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: each left event matched to
+    * right events for the same key within `[left.ts - lookback, left.ts]`.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can size and expire the join state — the two
+    * requirements (SPARK docs: "time constraints + watermarks") without
+    * which stream-stream joins accumulate state forever. Column names on
+    * the right side are suffixed to avoid ambiguity.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, lookback: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+    left.withWatermark(timeCol, watermark)
+      .join(r.withWatermark(s"${timeCol}_r", watermark),
+        col(keyCol) === col(s"${keyCol}_r") &&
+          col(s"${timeCol}_r") >= col(timeCol) - expr(s"INTERVAL $lookback") &&
+          col(s"${timeCol}_r") <= col(timeCol))
+  }
+
   /** Output mode each shape needs when written as a stream. */
   val windowedOutputMode: OutputMode = OutputMode.Append()
   val statefulOutputMode: OutputMode = OutputMode.Update()

@@ -415,6 +415,24 @@ object AnalyticsQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental-distinct via mergeable HLL sketches: one Datasketches
+    * HLL per day (the unit a warehouse would persist), then a sketch
+    * union + estimate across days — how "distinct users ever" stays a
+    * per-batch increment at 100 TB instead of a full-history rescan.
+    * Sketch merge is commutative/idempotent, so the estimate is
+    * partition- and order-invariant. Rows-only (estimator-specific, like
+    * q56); `SketchSpec` pins the error bound.
+    */
+  private val q69: Q = (s, dir) => {
+    val daily = RefQueries.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
+    daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"),
+      sum(col("n")).as("n_events"),
+      count(lit(1)).cast("long").as("n_days"))
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -440,6 +458,7 @@ object AnalyticsQueries {
     "q66_forward_fill" -> q66,
     "q67_share_of_total" -> q67,
     "q68_minhash_clusters" -> q68,
+    "q69_hll_merge" -> q69,
   )
 
   // ----------------------------------------------------------------- oracle

@@ -12,7 +12,7 @@ class SparkEntrySpec extends SparkSpec {
   // Queries that deliberately ship without an oracle (approximate
   // estimators have no portable exact form; the driver records a
   // rows-only check and a spec pins the error bound instead).
-  private val rowsOnly = Set("q56_approx_sketch")
+  private val rowsOnly = Set("q56_approx_sketch", "q69_hll_merge")
 
   test("every query has oracle SQL and vice versa") {
     assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)

@@ -29,4 +29,15 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(amed - med) <= 1.0, s"$g median: $amed vs $med")
     }
   }
+
+  test("per-group HLL sketches unioned estimate the global distinct within 5%") {
+    val df = (1L to 30000L)
+      .map(i => (i % 30, i % 4096))
+      .toDF("day", "user_id")
+    val exact = df.agg(count_distinct(col("user_id"))).head.getLong(0)
+    val est = df.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"$est vs $exact")
+  }
 }

@@ -235,12 +235,15 @@ object AnalyticsQueries {
   /** RANGE-frame window (q34 covers ROWS frames): per event, the count
     * and sum of the same user's events in the trailing hour — frame
     * membership is by timestamp *value*, so the result is independent of
-    * tie order within the frame.
+    * tie order within the frame. The frame runs on exact epoch
+    * MICROseconds: second-granularity keys diverge across engines on
+    * sub-second data (Spark's `unix_timestamp` floors, DuckDB's
+    * `epoch::BIGINT` rounds — observed at sf0.1).
     */
   private val q59: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_timestamp(col("ts")))
-      .rangeBetween(-3600, Window.currentRow)
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
     RefQueries.events(s, dir).select(
       col("event_id"), col("user_id"),
       count(lit(1)).over(w).as("n_last_hour"),
@@ -609,8 +612,8 @@ object AnalyticsQueries {
         |       count(*) OVER w AS n_last_hour,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
-        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q60_top_terms" ->

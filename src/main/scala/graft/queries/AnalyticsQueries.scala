@@ -436,6 +436,25 @@ object AnalyticsQueries {
       count(lit(1)).cast("long").as("n_days"))
   }
 
+  /** Stratified sampling: per-stratum rates (BUILDING 10%, others 5%)
+    * via the same md5 selector as q50 — a pure filter, no shuffle, no
+    * RNG, reproducible row-for-row in any engine; the stratum only picks
+    * the modulus. This is how a 100 TB corpus gets a class-balanced
+    * sample in one scan.
+    */
+  private val q70: Q = (s, dir) => {
+    val h = conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val keep = when(col("c_mktsegment") === "BUILDING", h % 10 === 0)
+      .otherwise(h % 20 === 0)
+    t(s, dir, "customer")
+      .filter(keep)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_sampled"),
+        decSum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("segment")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -462,6 +481,7 @@ object AnalyticsQueries {
     "q67_share_of_total" -> q67,
     "q68_minhash_clusters" -> q68,
     "q69_hll_merge" -> q69,
+    "q70_stratified_sample" -> q70,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -704,5 +724,14 @@ object AnalyticsQueries {
          |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id)
          |SELECT id AS doc_id, min(reach) AS cluster_id
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q70_stratified_sample" ->
+      s"""SELECT c_mktsegment AS segment, count(*) AS n_sampled,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         |FROM customer
+         |WHERE CASE WHEN c_mktsegment = 'BUILDING'
+         |           THEN ${duckHex4("CAST(c_custkey AS VARCHAR)")} % 10 = 0
+         |           ELSE ${duckHex4("CAST(c_custkey AS VARCHAR)")} % 20 = 0 END
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
   )
 }

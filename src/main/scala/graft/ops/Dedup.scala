@@ -186,10 +186,11 @@ object Dedup {
     * the exact `bit_count(xor)` filter keeps no false positives.
     *
     * Scale: the shuffle carries (band, slice-value) groups. Bucket count
-    * is 2^(bits/bands) per band — at 100 TB use 64-bit signatures with 8
-    * bands (2^8=256-way slices plus the hash-partitioning on top), and
-    * skew in a slice value means near-identical docs, which is exactly
-    * the output.
+    * is 2^(bits/bands) per band — at 100 TB use the max 60-bit
+    * signatures (15 md5 hex chars; 64 would overflow a signed long in
+    * `conv`) with 6 bands of 10-bit slices (1024-way, plus the hash
+    * partitioning on top), and skew in a slice value means
+    * near-identical docs, which is exactly the output.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
@@ -258,6 +259,14 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // A silent non-converged return would split one true component into
+    // several cluster ids — downstream dedup would then KEEP duplicates.
+    // Fail loudly instead; a >maxRounds-diameter graph needs the
+    // alternating-star variant, not a bigger budget.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxRounds rounds " +
+          "(component diameter exceeds maxRounds)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -45,27 +45,31 @@ object Scd2 {
     */
   def applySnapshot(dim: DataFrame, snapshot: DataFrame, keyCol: String,
       attrCol: String, snapshotTs: Column): DataFrame = {
+    // `__seen` marks keys that HAVE a current row — null attributes are
+    // legal, so presence can't be inferred from `__cur_attr.isNull`, and
+    // the attribute comparison must be null-safe (<=>): a change to/from
+    // NULL is a real change, NULL -> NULL is not.
     val cur = dim.filter(col("is_current"))
-      .select(col(keyCol), col(attrCol).as("__cur_attr"))
+      .select(col(keyCol), col(attrCol).as("__cur_attr"), lit(true).as("__seen"))
     val changedOrNew = snapshot.select(col(keyCol), col(attrCol))
       .join(cur, Seq(keyCol), "left")
-      .filter(col("__cur_attr").isNull || col("__cur_attr") =!= col(attrCol))
+      .filter(col("__seen").isNull || !(col("__cur_attr") <=> col(attrCol)))
       .select(col(keyCol), col(attrCol),
         snapshotTs.as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"))
-    val changedKeys = changedOrNew.select(col(keyCol))
-    val closed = dim
-      .join(broadcast(changedKeys), Seq(keyCol), "left_semi")
-      .filter(col("is_current"))
-      .withColumn("valid_to", snapshotTs)
-      .withColumn("is_current", lit(false))
-    val untouched = dim
-      .join(broadcast(changedKeys), Seq(keyCol), "left_anti")
-    val stillClosed = dim
-      .join(broadcast(changedKeys), Seq(keyCol), "left_semi")
-      .filter(!col("is_current"))
-    untouched.unionByName(stillClosed).unionByName(closed)
-      .unionByName(changedOrNew.select(untouched.columns.toIndexedSeq.map(col): _*))
+    val changedKeys = changedOrNew.select(col(keyCol)).withColumn("__chg", lit(true))
+    // Single pass over the (large) dimension: flag changed keys with one
+    // broadcast join; a row is closed iff it is the current row of a
+    // changed key, everything else passes through untouched.
+    val flagged = dim.join(broadcast(changedKeys), Seq(keyCol), "left")
+    val isClosing = col("__chg").isNotNull && col("is_current")
+    val history = flagged.select(
+      dim.columns.toIndexedSeq.map {
+        case "valid_to"   => when(isClosing, snapshotTs).otherwise(col("valid_to")).as("valid_to")
+        case "is_current" => when(isClosing, lit(false)).otherwise(col("is_current")).as("is_current")
+        case c            => col(c)
+      }: _*)
+    history.unionByName(changedOrNew.select(dim.columns.toIndexedSeq.map(col): _*))
   }
 }

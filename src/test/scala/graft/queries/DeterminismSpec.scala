@@ -5,6 +5,14 @@ package graft
   * cluster can never change an answer. This is why money sums ride
   * DECIMAL, interpolated floats are rounded, collections are sorted
   * before hashing, and every query ends in a total ORDER BY.
+  *
+  * Scope note: the guarantee is strict for the oracle-backed surface.
+  * Of the rows-only sketch queries, HLL estimates (q69, q56's
+  * count-distinct) are partition-invariant by construction
+  * (register-max merge); q56's Greenwald-Khanna percentile is invariant
+  * only while a group fits the accuracy buffer (true at this spec's
+  * sf0.001 — at larger scale its estimate may vary within the error
+  * bound, which is why q56 carries no oracle).
   */
 class DeterminismSpec extends SparkSpec {
 

@@ -59,4 +59,22 @@ class Scd2Spec extends SparkSpec {
     assert(twice.count() == once.count())
     assert(twice.filter(col("is_current")).count() == 3)
   }
+
+  test("applySnapshot is null-safe: NULL attr changes detected, NULL->NULL idempotent") {
+    val dim = Seq(
+      (1L, "A", ts("2024-01-01"), null.asInstanceOf[Timestamp], true),
+      (2L, null.asInstanceOf[String], ts("2024-01-01"), null.asInstanceOf[Timestamp], true),
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    // key 1 changes TO null, key 2 stays null (no change)
+    val snap = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("k", "attr")
+    val once = Scd2.applySnapshot(dim, snap, "k", "attr", lit(ts("2024-02-01")))
+    assert(once.count() == 3) // key 1 closed + new null row; key 2 untouched
+    val cur = once.filter(col("is_current")).select("k", "attr")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(cur == Set((1L, None), (2L, None)))
+    // idempotency with null attributes
+    val twice = Scd2.applySnapshot(once, snap, "k", "attr", lit(ts("2024-03-01")))
+    assert(twice.count() == 3)
+  }
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.warehouse.Scd2
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.sql.Timestamp
+
+/** Seeded random-input properties for the round-2 operators, each checked
+  * against an independent reference implementation (naive join for the
+  * range join, driver-side union-find for connected components) or a
+  * structural invariant (SCD-2 run algebra).
+  */
+class OpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (1 to n).foreach { i => f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong))) }
+
+  // ------------------------------------------------------------- range join
+
+  private val rangeCase: Gen[(List[(Long, Double)], List[(Long, Double, Double)], Double)] =
+    for {
+      values <- Gen.listOfN(40, Gen.choose(-50.0, 150.0))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(-60.0, 140.0)
+        w <- Gen.choose(0.5, 45.0)
+      } yield (lo, lo + w))
+      bw <- Gen.oneOf(1.0, 3.7, 10.0, 80.0)
+    } yield (
+      values.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) },
+      bw)
+
+  test("property: intervalJoin == naive BETWEEN join for random intervals/widths") {
+    forAll(rangeCase) { case (probe, ivs, bw) =>
+      val p = probe.toDF("id", "v")
+      val iv = ivs.toDF("iv", "lo", "hi")
+      val got = RangeJoin.intervalJoin(p, "v", iv, "lo", "hi", bw)
+        .select("id", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (id, v) <- probe
+        (ivId, lo, hi) <- ivs
+        if v >= lo && v < hi
+      } yield (id, ivId)).toSet
+      assert(got == want, s"bucketWidth=$bw")
+    }
+  }
+
+  // ------------------------------------------------- connected components
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, for {
+      a <- Gen.choose(1L, 18L)
+      b <- Gen.choose(1L, 18L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+  /** Driver-side union-find — the independent reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("property: duplicateClusters == driver-side union-find on random graphs") {
+    forAll(edgeGen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == unionFind(edges))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ SCD-2
+
+  private val attrStream: Gen[List[(Long, String)]] =
+    Gen.listOfN(20, for {
+      k <- Gen.choose(1L, 4L)
+      attr <- Gen.oneOf("A", "B", "C")
+    } yield (k, attr))
+
+  test("property: SCD-2 runs chain (valid_to == next valid_from), one current per key") {
+    forAll(attrStream, n = 6) { rows =>
+      if (rows.nonEmpty) {
+        // timestamp = row index + 1 (globally unique): the chain
+        // assertions below recover run order from valid_from, which is
+        // only unambiguous when starts are distinct
+        val df = rows.zipWithIndex.map { case ((k, a), i) =>
+          (k, a, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), i.toLong) }
+          .toDF("k", "attr", "t", "tie")
+        val hist = Scd2.buildHistory(df, "k", "attr", "t", "tie")
+          .select("k", "attr", "valid_from", "valid_to", "is_current")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+            Option(r.getTimestamp(3)), r.getBoolean(4)))
+        // exactly one open (current) run per key
+        val byKey = hist.groupBy(_._1)
+        byKey.foreach { case (k, runs) =>
+          assert(runs.count(_._5) == 1, s"key $k: exactly one current run")
+          // runs chain: sorted by valid_from, each valid_to equals the
+          // next run's valid_from; only the last is open
+          val sorted = runs.sortBy(_._3.getTime)
+          sorted.sliding(2).foreach {
+            case Array(prev, next) => assert(prev._4.contains(next._3), s"key $k chain broken")
+            case _ =>
+          }
+          assert(sorted.last._4.isEmpty)
+          // adjacent runs always differ in attribute
+          sorted.sliding(2).foreach {
+            case Array(prev, next) => assert(prev._2 != next._2, s"key $k merged runs differ")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+}

@@ -63,4 +63,46 @@ object AsOfJoin {
       .filter(col("__tag") === 1 && col(s"$prefix$rightTime").isNotNull)
       .drop("__t", "__tag")
   }
+
+  /** Forward as-of: attach to each left row the EARLIEST right row with
+    * `right.time >= left.time` (nearest-later). Mirror of [[asOf]]: left
+    * rows sort before right rows at equal timestamps (so a same-instant
+    * right row matches), and the running window becomes `first(_,
+    * ignoreNulls)` over the FOLLOWING frame. Same single-shuffle shape.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, prefix: String = "asof_"): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(c => c == "__t" || c == "__tag"),
+      "asOfForward reserves the column names __t and __tag")
+    val leftPayload = left.columns.filterNot(c => keys.contains(c)).toSeq
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val alignedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(0).as("__tag")) ++
+        leftPayload.map(col) ++
+        Seq(lit(null).cast(rightTypes(rightTime)).as(s"__r_$rightTime")) ++
+        rightPayload.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")): _*)
+    val alignedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__tag")) ++
+        leftPayload.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
+        Seq(col(rightTime).as(s"__r_$rightTime")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val rightOut = (rightTime +: rightPayload).map(c =>
+      first(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c"))
+
+    alignedLeft.unionByName(alignedRight)
+      .select((keys.map(col) ++ Seq(col("__t"), col("__tag")) ++
+        leftPayload.map(col) ++ rightOut): _*)
+      .filter(col("__tag") === 0 && col(s"$prefix$rightTime").isNotNull)
+      .drop("__t", "__tag")
+  }
 }

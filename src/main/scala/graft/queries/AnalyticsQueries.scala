@@ -471,6 +471,25 @@ object AnalyticsQueries {
       .orderBy("segment")
   }
 
+  /** Forward as-of join ([[graft.ops.AsOfJoin.asOfForward]]): each
+    * signup enriched with the user's NEXT purchase at-or-after it —
+    * q33's mirror (nearest-later instead of nearest-earlier). Oracle:
+    * DuckDB ASOF JOIN with a `<=` condition.
+    */
+  private val q71: Q = (s, dir) => {
+    val ev = RefQueries.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"),
+        col("value").as("purchase_value"))
+    graft.ops.AsOfJoin.asOfForward(signups, purchases, Seq("user_id"), "ts", "ts")
+      .select(col("signup_event_id"), col("user_id"),
+        col("asof_purchase_event_id").as("purchase_event_id"),
+        col("asof_purchase_value").as("purchase_value"))
+      .orderBy("signup_event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q45_range_join" -> q45,
     "q46_grouping_sets" -> q46,
@@ -498,6 +517,7 @@ object AnalyticsQueries {
     "q68_minhash_clusters" -> q68,
     "q69_hll_merge" -> q69,
     "q70_stratified_sample" -> q70,
+    "q71_asof_forward" -> q71,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -749,5 +769,13 @@ object AnalyticsQueries {
          |           THEN ${duckHex4("CAST(c_custkey AS VARCHAR)")} % 10 = 0
          |           ELSE ${duckHex4("CAST(c_custkey AS VARCHAR)")} % 20 = 0 END
          |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q71_asof_forward" ->
+      """SELECT a.event_id AS signup_event_id, a.user_id,
+        |       b.event_id AS purchase_event_id, b.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.ts <= b.ts
+        |ORDER BY signup_event_id""".stripMargin,
   )
 }

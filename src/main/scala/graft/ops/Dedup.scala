@@ -241,11 +241,14 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // From identity labels, round 1 is just min(id, neighbor ids) — fuse
+    // it into initialization: one aggregate, no join, and one fewer
+    // convergence-check job.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")

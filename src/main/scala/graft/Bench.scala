@@ -6,12 +6,35 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, forcing full computation through the `noop`
   * sink (a bare `count()` would let Catalyst prune projections and
   * under-measure), and prints one JSON line.
+  *
+  * Methodology (pinned in round 3 — the round-2 adaptive early-exit
+  * recorded warm-up for some queries and mislabeled them regressions):
+  *  - FIXED iteration count per query: `warmups` discarded runs, then
+  *    `measured` timed runs. No early exit — the first execution of a
+  *    plan pays whole-stage-codegen compilation + JIT tiering (3-10x
+  *    steady state), and convergence under a 70-query sweep takes more
+  *    runs than alone because the JVM's JIT profiles are polluted by
+  *    neighboring queries.
+  *  - `queries` reports the MIN over measured runs (the standard
+  *    steady-state estimator under one-sided noise; also what rounds 1-2
+  *    reported, so round-over-round comparison stays apples-to-apples);
+  *    `queries_median` reports the median for a noise-robust second
+  *    opinion — a big min/median gap flags an unconverged measurement
+  *    rather than a slow plan.
+  *  - the codegen class cache is raised from its 100-entry default:
+  *    71 queries x 5 runs would otherwise evict and recompile each
+  *    other's generated classes mid-sweep.
+  *  - Global soft budget: past it, remaining queries get 1 warm-up +
+  *    1 measured run — keeps the sweep's wall-clock bounded no matter
+  *    how noisy the host is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
+    val measured = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEASURED", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,21 +44,11 @@ object Bench {
       // (at cluster scale the 128MB default is correct; this is a local
       // I/O-shape knob, not a semantic one)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Best-of-N per query (N up to 4, early-exit once a run stops
-    // improving): the first execution of a plan pays whole-stage-codegen
-    // compilation + JIT tiering (profiled at 3-10x steady state — q21
-    // converges 12.8 -> 6.2 -> 3.8 -> 1.8 s), the codegen class cache is
-    // a ~100-entry LRU shared by 35 queries, and the host adds run-to-run
-    // noise. The minimum over iterations is the standard steady-state
-    // latency estimator under one-sided noise. Warming at the same SF
-    // matters: AQE picks size-dependent physical plans.
-    // Global soft budget: past it, remaining queries get 2 iterations
-    // (warm + measure) instead of up to 7 — keeps the full 66-query
-    // sweep's wall-clock bounded no matter how noisy the host is.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "460").toDouble
     val sweepStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - sweepStart) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -47,33 +60,27 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      var best = Double.MaxValue
+      val (nWarm, nMeas) = if (elapsedSec > budgetSec) (1, 1) else (warmups, measured)
       var failed: Option[String] = None
-      var i = 0
-      var improving = true
-      // Up to 7 iterations while the run is still improving ≥5%: under
-      // the full 44-query sweep the shared codegen LRU + JIT tiering can
-      // take 4-5 executions to reach steady state (observed q31: 6.5 →
-      // 0.8 s), and stopping early records warm-up, not the plan.
-      val maxIter = if (elapsedSec > budgetSec) 2 else 7
-      while (i < maxIter && improving && failed.isEmpty) {
+      val times =
         try {
-          val t = once()
-          improving = t < best * 0.95 || i < math.min(2, maxIter - 1)
-          best = math.min(best, t)
+          (0 until nWarm).foreach(_ => once())
+          (0 until nMeas).map(_ => once()).sorted
         } catch {
-          case e: Throwable => failed = Some(e.getMessage)
+          case e: Throwable => failed = Some(e.getMessage); Seq.empty[Double]
         }
-        i += 1
-      }
       if (failed.isDefined)
         System.err.println(s"[bench] $name failed: ${failed.get}")
-      name -> (if (best == Double.MaxValue) -1.0 else best)
+      val mn = if (times.isEmpty) -1.0 else times.head
+      val med = if (times.isEmpty) -1.0 else times(times.size / 2)
+      (name, mn, med)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (n, mn, _) => n -> mn })
+    val med = obj(results.map { case (n, _, md) => n -> md })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

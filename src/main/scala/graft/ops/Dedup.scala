@@ -40,10 +40,12 @@ object Dedup {
     * Built explode-first — `posexplode(split(...))` + row filter + window
     * `lead` — rather than over token arrays: Spark's higher-order array
     * functions (`transform`/`filter`) evaluate interpreted, outside
-    * whole-stage codegen, and profiling at sf0.1 showed them 5x slower
-    * than this relational form. Costs one shuffle (the window partition
-    * by doc), which the downstream signature groupBy reuses conceptually;
-    * every operator here is codegen'd.
+    * whole-stage codegen. Measured steady-state at sf0.1 (ProfileForms,
+    * 2026-08-12, same pattern as simhash): the relational form wins by
+    * 1.5-8x depending on how many times the HOF plan re-evaluates the
+    * shared array. Costs one shuffle (the window partition by doc), which
+    * the downstream signature groupBy reuses conceptually; every operator
+    * here is codegen'd.
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val tok = df
@@ -109,23 +111,42 @@ object Dedup {
       threshold: Double = 0.5, numHashes: Int = 8, bands: Int = 4,
       shingleK: Int = 3): DataFrame = {
     // The shingle relation is consumed four times (signatures, pair
-    // intersection twice, sizes). Persist AND materialize eagerly:
-    // lazily-built cache partitions would be raced by the four consumers
-    // inside one job, each recomputing the shingling redundantly.
+    // intersection twice, sizes). Persist it; materialization rides on
+    // the cand.count() below (whose signature groupBy consumes every sh
+    // partition), so the later consumers read a fully-built cache
+    // without paying a separate materialization job.
     val sh = shingleTable(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
     val sig = minhashSignatures(sh, idCol, numHashes)
+    // LSH keeps |cand| << n^2 AND << n·shingles — everything after this
+    // line is proportional to the candidate set, never the corpus.
+    // Persist + materialize: cand feeds three consumers (two id-set
+    // semi-joins and the intersection join).
     val cand = lshCandidatePairs(sig, idCol, bands, numHashes / bands)
-    // set sizes ride along in the signature pass — one fewer scan of sh
-    val sizes = sig.select(col(idCol), col("n_shingles").as("n"))
-    val shA = sh.toDF("id_a", "sh")
-    val shB = sh.toDF("id_b", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    // Restrict the corpus-sized shingle relation to candidate docs with
+    // broadcast semi-joins BEFORE the exact-Jaccard pass: the round-2
+    // shape joined the full shingle table twice (two corpus-wide
+    // shuffles); this shape shuffles only candidate docs' shingles.
+    // Semantics are identical — non-candidate shingles can't contribute
+    // to a candidate pair's intersection. The candidate id set stays
+    // broadcastable even at 100 TB corpus scale as long as the dup rate
+    // is sane; if it isn't, drop the hint and the semi-join still holds
+    // the shuffle to |cand-docs|·shingles.
+    val idsA = cand.select(col("id_a")).distinct()
+    val idsB = cand.select(col("id_b")).distinct()
+    val shA = sh.toDF("id_a", "sh").join(broadcast(idsA), "id_a", "leftsemi")
+    val shB = sh.toDF("id_b", "sh").join(broadcast(idsB), "id_b", "leftsemi")
+    // set sizes come from the cached shingle relation directly — a bare
+    // count groupBy, not a recomputation of the 8-hash signature pass
+    // (sig is unpersisted; referencing it here would re-run its md5s)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .join(sizes.toDF("id_a", "n_a").join(broadcast(idsA), "id_a", "leftsemi"), "id_a")
+      .join(sizes.toDF("id_b", "n_b").join(broadcast(idsB), "id_b", "leftsemi"), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
@@ -133,11 +154,15 @@ object Dedup {
   }
 
   /** SimHash as a relation: explode tokens, hash each ONCE, then a
-    * single grouped aggregation with 16 conditional sums. Preferred at
-    * scale over the [[simhash]] Column form: Catalyst inlines a shared
-    * subexpression into each of the 16 per-bit aggregates of the Column
-    * form, re-hashing every token 16 times, whereas here the hash is
-    * computed once per token and the shuffle carries partial sums only.
+    * single grouped aggregation with 16 conditional sums. Preferred over
+    * the [[simhash]] Column form: Catalyst inlines a shared subexpression
+    * into each of the 16 per-bit aggregates of the Column form,
+    * re-hashing every token 16 times in interpreted HOF evaluation,
+    * whereas here the hash is computed once per token inside codegen and
+    * the shuffle carries partial sums only. Measured steady-state at
+    * sf0.1 (ProfileForms, 2026-08-12): relation 0.40 s vs Column 3.10 s
+    * — 7.8x. (BENCH_r02's 3.19 s for q22 was first-iteration warm-up
+    * recorded by the old adaptive bench, not this plan.)
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {

@@ -23,6 +23,15 @@ object ProfileMinhash {
     time("tokenize+count") {
       docs.select(explode(TextAnalysis.tokens(col("text")))).count()
     }
+    for (i <- 1 to 4) {
+      time(s"shingleTable(window) r$i") {
+        Dedup.shingleTable(docs, "doc_id", "text", 3).count()
+      }
+      time(s"shingleTable(HOF) r$i") {
+        docs.select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh")).count()
+      }
+    }
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
     time("shingleTable.count") { sh.count() }
     val shC = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, ExtQueries, RefQueries}
+import graft.queries.{AnalyticsQueries, ExtQueries, RefQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,10 +17,10 @@ object SparkEntry {
     * multimodal).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.all ++ ExtQueries.all ++ AnalyticsQueries.all
+    RefQueries.all ++ ExtQueries.all ++ AnalyticsQueries.all ++ StreamingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ ExtQueries.oracle ++ AnalyticsQueries.oracle
+    RefQueries.oracle ++ ExtQueries.oracle ++ AnalyticsQueries.oracle ++ StreamingQueries.oracle
 }

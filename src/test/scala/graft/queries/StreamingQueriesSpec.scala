@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.queries.RefQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The judged streaming queries (q72-q75) must equal their batch
+  * semantics — the same equality the DuckDB oracle checks externally,
+  * proven here in-JVM at sf0.001 so a contract break fails fast in
+  * `sbt test` rather than at verify time.
+  */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  private def batchEvents: DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def assertSame(streaming: DataFrame, batch: DataFrame): Unit = {
+    val s = streaming.collect().map(_.toString)
+    val b = batch.collect().map(_.toString)
+    assert(s.length == b.length, s"row counts differ: ${s.length} vs ${b.length}")
+    assert(s.sameElements(b),
+      s.zip(b).filter { case (x, y) => x != y }.take(5).mkString("first diffs:\n", "\n", ""))
+  }
+
+  test("q72 streaming dedup equals batch SELECT DISTINCT") {
+    assertSame(run("q72_stream_dedup"),
+      batchEvents.select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"))
+  }
+
+  test("q73 streaming sessions equal batch session_window") {
+    assertSame(run("q73_stream_sessions"),
+      batchEvents
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"))
+  }
+
+  test("q74 streaming interval join equals batch interval join") {
+    val ev = batchEvents
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("user_id_c"),
+        col("ts").as("click_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("user_id_c") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy("purchase_id", "click_id")
+    assertSame(run("q74_stream_interval_join"), batch)
+  }
+
+  test("q75 streaming windowed agg equals batch day-window agg") {
+    assertSame(run("q75_stream_windowed"),
+      batchEvents
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day_start", "event_type"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -140,6 +140,32 @@ object ExtQueries {
       expr("n_chars div 100").as("n_chunks"),
     ).orderBy("media_id")
 
+  /** Real image decode end to end: each document becomes a binary PPM
+    * payload (deterministic 8×6 gradient keyed by (doc_id, n_chars) —
+    * [[Multimodal.gradientPpm]]), which [[Multimodal.imageStatsTable]]
+    * actually PARSES (header grammar + pixel traversal) to recover
+    * dimensions and exact channel sums. The oracle recomputes the
+    * gradient arithmetic in SQL — a broken encoder OR decoder breaks the
+    * match. Channel means divide long sums by the pixel count in doubles
+    * on both sides (identical IEEE operands), rounded to 6.
+    */
+  private val q76: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, Multimodal.gradientPpm(id, n, 8, 6)) }
+      .toDF("media_id", "payload")
+    Multimodal.imageStatsTable(media)
+      .select(col("media_id"),
+        col("img_w").cast("long").as("img_w"),
+        col("img_h").cast("long").as("img_h"),
+        round(col("sum_r").cast("double") / (col("img_w") * col("img_h")), 6).as("r_mean"),
+        round(col("sum_g").cast("double") / (col("img_w") * col("img_h")), 6).as("g_mean"),
+        round(col("sum_b").cast("double") / (col("img_w") * col("img_h")), 6).as("b_mean"))
+      .orderBy("media_id")
+  }
+
   /** Semantic dedup composition: embedding near-dup pairs (q28's LSH
     * blocking) joined back to document metadata — the cross-modal step a
     * real pipeline runs before dropping semantic duplicates.
@@ -168,6 +194,7 @@ object ExtQueries {
     "q29_multimodal_meta" -> q29,
     "q37_ivf_ann" -> q37,
     "q44_semantic_dedup" -> q44,
+    "q76_image_decode" -> q76,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -342,6 +369,25 @@ object ExtQueries {
          |JOIN documents da ON da.doc_id = p.id_a
          |JOIN documents db ON db.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors gradientPpm's pixel arithmetic; the Spark side must
+    // recover the same sums from actual PPM bytes
+    "q76_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id + 3*x.x + 5*y.y) % 256 AS r,
+        |         (d.doc_id + d.n_chars + 7*x.x + 11*y.y) % 256 AS g,
+        |         (2*d.doc_id + 13*x.x + 17*y.y) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y))
+        |SELECT doc_id AS media_id,
+        |       CAST(8 AS BIGINT) AS img_w, CAST(6 AS BIGINT) AS img_h,
+        |       round(CAST(sum(r) AS DOUBLE) / 48, 6) AS r_mean,
+        |       round(CAST(sum(g) AS DOUBLE) / 48, 6) AS g_mean,
+        |       round(CAST(sum(b) AS DOUBLE) / 48, 6) AS b_mean
+        |FROM px GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "q37_ivf_ann" ->
       s"""WITH $embCte,

@@ -196,13 +196,66 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == out(1L).getSeq[Float](out(1L).fieldIndex("feature")).toList)
   }
 
-  test("extractFrameStub: deterministic proportional slices; resize is the marked codec boundary") {
+  test("extractFrameStub: deterministic proportional slices; resize rejects non-PPM bytes") {
     val payload = (0 until 100).map(_.toByte).toArray
     val f0 = Multimodal.extractFrameStub(payload, 0L, 10000L)
     val fMid = Multimodal.extractFrameStub(payload, 5000L, 10000L)
     assert(f0.head == 0.toByte && fMid.head != f0.head)
     assert(Multimodal.extractFrameStub(payload, 5000L, 10000L).toSeq == fMid.toSeq)
-    intercept[NotImplementedError](Multimodal.resizeImage(payload, 2, 2))
+    intercept[IllegalArgumentException](Multimodal.resizeImage(payload, 2, 2))
+  }
+
+  test("PPM codec: encode/decode roundtrip, header grammar, truncation rejected") {
+    val rgb = (0 until 4 * 3 * 3).map(_.toByte).toArray
+    val img = Multimodal.RasterImage(4, 3, rgb)
+    val decoded = Multimodal.decodePpm(Multimodal.encodePpm(img))
+    assert(decoded.width == 4 && decoded.height == 3)
+    assert(decoded.rgb.toSeq == rgb.toSeq)
+    // comments + arbitrary whitespace between header tokens
+    val weird = ("P6 # binary ppm\n# a comment line\n 4\t3 # dims\n255\n"
+      .getBytes("US-ASCII")) ++ rgb
+    val d2 = Multimodal.decodePpm(weird)
+    assert(d2.width == 4 && d2.height == 3 && d2.rgb.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(Multimodal.encodePpm(img).dropRight(1)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII")))
+  }
+
+  test("resizeImage: nearest-neighbor downscale picks source pixels") {
+    // 4x4 image whose quadrants are solid colors
+    val rgb = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v: Byte = (if (y < 2) { if (x < 2) 10 else 20 }
+                     else { if (x < 2) 30 else 40 }).toByte
+      val i = (y * 4 + x) * 3
+      rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+    }
+    val small = Multimodal.decodePpm(Multimodal.resizeImage(
+      Multimodal.encodePpm(Multimodal.RasterImage(4, 4, rgb)), 2, 2))
+    assert(small.width == 2 && small.height == 2)
+    assert(small.rgb.grouped(3).map(_.head).toSeq == Seq[Byte](10, 20, 30, 40))
+    // upscale roundtrip: 2x2 -> 4x4 -> every quadrant constant
+    val up = Multimodal.decodePpm(Multimodal.resizeImage(
+      Multimodal.encodePpm(small), 4, 4))
+    assert(up.rgb.grouped(3).map(_.head).toSeq ==
+      Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40))
+  }
+
+  test("PpmDecoder: real decode through decodeFeatures, exact channel means") {
+    // solid-color 2x2: means are exactly the channel values
+    val rgb = Array.fill(4)(Array[Byte](100.toByte, 150.toByte, 200.toByte)).flatten
+    val payload = Multimodal.encodePpm(Multimodal.RasterImage(2, 2, rgb))
+    val rows = Seq(org.apache.spark.sql.Row(7L, "image/x-portable-pixmap",
+      payload, 2, 2, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val f = Multimodal.decodeFeatures(df, new Multimodal.PpmDecoder)
+      .collect().head.getSeq[Float](5)
+    assert(f.take(5) == Seq(2f, 2f, 100f, 150f, 200f))
+    val stats = Multimodal.imageStatsTable(df.select(col("media_id"), col("payload")))
+      .collect().head
+    assert(stats.getLong(3) == 400L && stats.getLong(4) == 600L && stats.getLong(5) == 800L)
   }
 
   test("mediaMetadata: payload-free metadata columns") {

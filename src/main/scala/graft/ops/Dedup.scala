@@ -297,4 +297,86 @@ object Dedup {
           "(component diameter exceeds maxRounds)")
     labels.withColumnRenamed("label", "cluster_id")
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the diameter-robust alternative to
+    * [[duplicateClusters]]'s label propagation. Propagation needs
+    * O(diameter) rounds; the star operations contract every component to
+    * a star rooted at its minimum id in O(log²) rounds, so a pathological
+    * long-chain component (diameter in the hundreds) converges in a
+    * handful of iterations instead of blowing the round budget.
+    *
+    * Each round is two grouped aggregations + joins on the node id — the
+    * same shuffle shape per round as propagation, just fewer rounds. The
+    * edge relation is re-canonicalized (`lo < hi`) and distinct'd every
+    * step, so the working set only shrinks; the driver exchanges a 1-row
+    * equality flag per round, never data. Same output contract as
+    * [[duplicateClusters]]: (id, cluster_id = component minimum), one row
+    * per node that appears in `pairs`.
+    */
+  def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
+    // canonical undirected edges: (lo, hi), lo < hi, no self-loops
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("lo") =!= col("hi"))
+        .select(least(col("lo"), col("hi")).as("lo"),
+          greatest(col("lo"), col("hi")).as("hi"))
+        .distinct()
+
+    // Large-star: every node u links its strictly-larger neighbors to
+    // m(u) = min(neighbors ∪ {u}).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(edges.select(col("hi").as("src"), col("lo").as("dst")))
+      val m = dir.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+      // dst > src ≥ m, so (m, dst) is already lo < hi
+      canon(dir.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("m").as("lo"), col("dst").as("hi")))
+    }
+
+    // Small-star: every node u links its smaller neighbors AND itself to
+    // m(u) = min of those neighbors (all dst < src here).
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(col("hi").as("src"), col("lo").as("dst"))
+      val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      val withM = dir.join(m, "src")
+      canon(
+        withM.select(col("m").as("lo"), col("dst").as("hi"))
+          .unionByName(withM.select(col("m").as("lo"), col("src").as("hi"))))
+    }
+
+    var edges = canon(pairs.select(col(idA).as("lo"), col(idB).as("hi")))
+      .localCheckpoint() // lineage truncation — see duplicateClusters
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // set equality: both sides are distinct, so equal counts + empty
+      // one-sided difference ⇒ identical edge sets
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge in $maxRounds rounds")
+    // The convergence check sees only the composed round; guard the
+    // star-forest postcondition explicitly (every hi exactly once, no hi
+    // also a lo) — a non-star fixpoint would silently mislabel.
+    val dupHi = edges.groupBy("hi").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    val hiAsLo = edges.select("lo").distinct()
+      .join(edges.select(col("hi").as("lo")).distinct(), Seq("lo"), "leftsemi")
+      .limit(1).count()
+    if (dupHi + hiAsLo > 0)
+      throw new IllegalStateException(
+        "duplicateClustersStar fixpoint is not a star forest")
+    // fixpoint = stars rooted at each component's minimum: every non-root
+    // node appears exactly once as hi, roots label themselves
+    edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
+      .distinct()
+  }
 }

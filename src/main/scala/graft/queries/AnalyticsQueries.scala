@@ -221,6 +221,21 @@ object AnalyticsQueries {
       .orderBy("vec_id")
   }
 
+  /** q57's component extraction by the alternating-star algorithm
+    * ([[Dedup.duplicateClustersStar]]) instead of label propagation —
+    * the diameter-robust O(log²)-round variant, judged against the same
+    * recursive-CTE transitive-closure oracle. Two independently-built
+    * distributed algorithms and one independent SQL closure must agree.
+    */
+  private val q77: Q = (s, dir) => {
+    val pairs = graft.ops.Similarity.nearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4)
+    Dedup.duplicateClustersStar(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** Train/val/test split by the same md5 mechanism as q50: an 80/10/10
     * assignment that is reproducible, partition-invariant, and stable
     * under data growth (a row's split never changes when other rows
@@ -518,6 +533,7 @@ object AnalyticsQueries {
     "q69_hll_merge" -> q69,
     "q70_stratified_sample" -> q70,
     "q71_asof_forward" -> q71,
+    "q77_star_clusters" -> q77,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -544,6 +560,27 @@ object AnalyticsQueries {
        |sig AS (SELECT doc_id,
        |               CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
        |        FROM b GROUP BY 1)""".stripMargin
+
+  /** DuckDB recursive-CTE transitive closure over the embedding near-dup
+    * pairs — the shared algorithm-independent oracle for q57
+    * (propagation) and q77 (alternating star).
+    */
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE ${ExtQueries.embCte},
+       |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes4)} AS bucket,
+       |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+       |  WHERE round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |r(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id)
+       |SELECT id AS vec_id, min(reach) AS cluster_id
+       |FROM r GROUP BY id ORDER BY vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q45_range_join" ->
@@ -638,22 +675,11 @@ object AnalyticsQueries {
     // q56_approx_sketch: intentionally no oracle — approximate estimators
     // (HLL++, t-digest) have no engine-portable exact form; rows-only.
 
-    "q57_dup_clusters" ->
-      s"""WITH RECURSIVE ${ExtQueries.embCte},
-         |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes4)} AS bucket,
-         |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-         |  WHERE round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |r(id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id)
-         |SELECT id AS vec_id, min(reach) AS cluster_id
-         |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+    "q57_dup_clusters" -> dupClustersOracle,
+
+    // q77 runs the alternating-star algorithm against the SAME closure
+    // oracle as q57's propagation — algorithm-independent ground truth
+    "q77_star_clusters" -> dupClustersOracle,
 
     "q58_train_split" ->
       s"""SELECT CASE WHEN ${duckHex4("CAST(o_orderkey AS VARCHAR)")} % 100 < 80 THEN 'train'

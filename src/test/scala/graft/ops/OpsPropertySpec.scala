@@ -82,6 +82,59 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ as-of joins
+
+  /** Left rows (key, t, id); right rows (key, rt, payload) with (key, rt)
+    * unique and payload a pure function of (key, rt). Times are drawn
+    * from a small range so equal-timestamp ties occur constantly — the
+    * tie semantics (as-of matches same-instant rows on BOTH directions)
+    * are exactly what the naive reference pins.
+    */
+  private val asofCase: Gen[(List[(Long, Int, Long)], List[(Long, Int, Double)])] =
+    for {
+      nL <- Gen.choose(5, 25)
+      left <- Gen.listOfN(nL, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0, 20)
+      } yield (k, t))
+      right <- Gen.listOfN(30, for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0, 20)
+      } yield (k, t))
+    } yield (
+      left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      right.distinct.map { case (k, t) => (k, t, k * 100.0 + t) })
+
+  test("property: asOfForward == naive earliest-later subquery (ties included)") {
+    forAll(asofCase, n = 8) { case (left, right) =>
+      val got = AsOfJoin.asOfForward(
+          left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+          Seq("k"), "t", "rt")
+        .select("lid", "asof_rt", "asof_v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val want = left.flatMap { case (k, lt, id) =>
+        val cands = right.filter(r => r._1 == k && r._2 >= lt)
+        if (cands.isEmpty) None
+        else { val m = cands.minBy(_._2); Some((id, m._2, m._3)) }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("property: asOf (backward) == naive latest-earlier subquery (ties included)") {
+    forAll(asofCase, n = 8) { case (left, right) =>
+      val got = AsOfJoin.asOf(
+          left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"),
+          Seq("k"), "t", "rt")
+        .select("lid", "asof_rt", "asof_v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val want = left.flatMap { case (k, lt, id) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= lt)
+        if (cands.isEmpty) None
+        else { val m = cands.maxBy(_._2); Some((id, m._2, m._3)) }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
   // ------------------------------------------------------------------ SCD-2
 
   private val attrStream: Gen[List[(Long, String)]] =

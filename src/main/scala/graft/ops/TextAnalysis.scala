@@ -138,4 +138,62 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
+
+  /** Token-bigram relation WITH multiplicity: one row per in-document
+    * bigram occurrence (id, bg). Same explode-first + window-`lead`
+    * shape as [[Dedup.shingleTable]] (all codegen'd, one keyed shuffle)
+    * but occurrences are kept — repetition measures need counts, not
+    * sets.
+    */
+  def bigramTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    tok
+      .select(col(idCol),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("bg"),
+        lead(col("tok"), 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col(idCol), col("bg"))
+  }
+
+  /** Gopher-style repetition signals per document — the "is this doc
+    * degenerate boilerplate?" quality gate (Rae et al. 2021, §A1.1
+    * repetition filters, adapted to word n-grams):
+    *   - `dup_token_frac`: fraction of token occurrences that are
+    *     repeats of an earlier token (1 - distinct/total);
+    *   - `dup_bigram_frac`: same over token bigrams;
+    *   - `top_bigram_frac`: occurrences of the single most frequent
+    *     bigram over all bigram occurrences.
+    * High values ⇒ looping/templated text. Two grouped aggregates over
+    * the token and bigram relations (map-side combined, one keyed
+    * shuffle each) joined on the doc id — no pair space, no UDFs.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tokSig = tokenTable(df, idCol, textCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), count_distinct(col("tok")).as("n_tok_d"))
+      .select(col(idCol),
+        ((col("n_tok") - col("n_tok_d")).cast("double") /
+          col("n_tok").cast("double")).as("dup_token_frac"))
+    val bgCounts = bigramTable(df, idCol, textCol)
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+    val bgSig = bgCounts.groupBy(idCol)
+      .agg(sum(col("c")).as("n_bg"), count(lit(1)).as("n_bg_d"),
+        max(col("c")).as("max_bg"))
+      .select(col(idCol),
+        ((col("n_bg") - col("n_bg_d")).cast("double") /
+          col("n_bg").cast("double")).as("dup_bigram_frac"),
+        (col("max_bg").cast("double") / col("n_bg").cast("double"))
+          .as("top_bigram_frac"))
+    tokSig.join(bgSig, Seq(idCol), "left")
+      .select(col(idCol), col("dup_token_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
 }

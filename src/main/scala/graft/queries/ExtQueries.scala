@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -181,6 +181,34 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Benchmark decontamination ([[Decontamination.overlapReport]]):
+    * a held-out "benchmark" slice (doc_id ≡ 7 mod 20 — an eval set by
+    * construction) checked for 5-gram shingle overlap against the rest
+    * of the corpus. Any corpus doc sharing ≥ 3 distinct 5-grams with a
+    * benchmark doc is flagged — the pretraining leak check.
+    */
+  private val q78: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    Decontamination.overlapReport(corpus, bench, "doc_id", "text",
+        k = 5, minOverlap = 3)
+      .orderBy("corpus_id", "bench_id")
+  }
+
+  /** Gopher-style repetition quality signals
+    * ([[TextAnalysis.repetitionSignals]]): duplicate-token fraction,
+    * duplicate-bigram fraction, top-bigram fraction per document —
+    * the degenerate-text filter of a pretraining pipeline.
+    */
+  private val q79: Q = (s, dir) =>
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"),
+        round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
@@ -195,6 +223,8 @@ object ExtQueries {
     "q37_ivf_ann" -> q37,
     "q44_semantic_dedup" -> q44,
     "q76_image_decode" -> q76,
+    "q78_decontamination" -> q78,
+    "q79_repetition" -> q79,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -410,5 +440,39 @@ object ExtQueries {
          |FROM assign a JOIN probe p ON a.cell = p.cell, q
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q78_decontamination" ->
+      s"""WITH $tokensCte,
+         |sh AS (SELECT DISTINCT doc_id,
+         |              w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
+         |       WHERE len(w) >= 5),
+         |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
+         |corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
+         |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_overlap
+         |FROM corp c JOIN bench b ON c.sh = b.sh
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q79_repetition" ->
+      s"""WITH $tokensCte,
+         |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+         |ts AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT t) AS n_tok_d
+         |       FROM tok GROUP BY 1),
+         |bg AS (SELECT doc_id, w[i]||' '||w[i+1] AS bg
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-1, 0))) AS g(i)
+         |       WHERE len(w) >= 2),
+         |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, sum(c) AS n_bg, count(*) AS n_bg_d, max(c) AS max_bg
+         |       FROM bgc GROUP BY 1)
+         |SELECT ts.doc_id,
+         |       round(CAST(ts.n_tok - ts.n_tok_d AS DOUBLE) / CAST(ts.n_tok AS DOUBLE), 6)
+         |         AS dup_token_frac,
+         |       round(coalesce(CAST(bs.n_bg - bs.n_bg_d AS DOUBLE) / CAST(bs.n_bg AS DOUBLE), 0), 6)
+         |         AS dup_bigram_frac,
+         |       round(coalesce(CAST(bs.max_bg AS DOUBLE) / CAST(bs.n_bg AS DOUBLE), 0), 6)
+         |         AS top_bigram_frac
+         |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
   )
 }

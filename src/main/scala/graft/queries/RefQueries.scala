@@ -300,6 +300,22 @@ object RefQueries {
       .orderBy("status")
   }
 
+  /** K-family extension: ORC sink + source round-trip — Spark's second
+    * first-class columnar format (predicate pushdown + column pruning
+    * work the same as parquet). Write a projected slice as ORC, read
+    * back, aggregate; the oracle computes the same aggregate directly
+    * from parquet, so the round-trip must be lossless.
+    */
+  private val q80: Q = (s, dir) => {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_${ProcessHandle.current().pid()}"
+    t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"), decSum(col("p_retailprice")).as("sum_price"))
+      .orderBy("brand")
+  }
+
   /** E10/S4 inverse: structured JSON parsing with `from_json` + explicit
     * schema (vs q17's regexp path) — grouped rollup over the extracted
     * field.
@@ -526,6 +542,7 @@ object RefQueries {
     "q41_set_ops" -> q41,
     "q42_percentiles" -> q42,
     "q43_cube" -> q43,
+    "q80_orc_roundtrip" -> q80,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -681,6 +698,11 @@ object RefQueries {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q80_orc_roundtrip" ->
+      """SELECT p_brand AS brand, count(*) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "q31_from_json" ->
       """SELECT event_type,

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta"),
+    (101L, "one two three four five six seven"),
+  ).toDF("doc_id", "text")
+
+  test("flags a doc sharing >= minOverlap shingles, skips disjoint docs") {
+    val corpus = Seq(
+      // shares 5-gram windows with bench 100 (same leading 6 words)
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      // shares nothing
+      (2L, "red green blue cyan magenta yellow black"),
+      // shares exactly one 5-gram with bench 101 -> below minOverlap=2
+      (3L, "one two three four five NOPE NOPE"),
+    ).toDF("doc_id", "text")
+    val got = Decontamination
+      .overlapReport(corpus, bench, "doc_id", "text", k = 5, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 vs bench 100: windows of "alpha..zeta eta" include 2 shingles
+    // present in bench 100 ("alpha..epsilon", "beta..zeta")
+    assert(got == Set((1L, 100L, 2L)))
+  }
+
+  test("benchmark-side document-frequency cap drops stop-shingles") {
+    // the same boilerplate shingle appears in BOTH bench docs -> df=2
+    val bench2 = Seq(
+      (100L, "common header words here now alpha"),
+      (101L, "common header words here now beta"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq((1L, "common header words here now gamma")).toDF("doc_id", "text")
+    val uncapped = Decontamination
+      .overlapReport(corpus, bench2, "doc_id", "text", k = 5, minOverlap = 1)
+      .count()
+    val capped = Decontamination
+      .overlapReport(corpus, bench2, "doc_id", "text", k = 5, minOverlap = 1,
+        maxBenchShingleDf = 1)
+      .count()
+    assert(uncapped == 2L) // matches both bench docs via the shared shingle
+    assert(capped == 0L)   // df=2 shingle dropped by the cap
+  }
+
+  test("contaminatedDocs reports the worst benchmark match per doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+    ).toDF("doc_id", "text")
+    val got = Decontamination
+      .contaminatedDocs(corpus, bench, "doc_id", "text", k = 5, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 100L, 2L)))
+  }
+
+  test("repetition signals: degenerate text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "all distinct words appear once here"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 6 tokens 1 distinct -> 5/6; 5 bigrams 1 distinct -> 4/5; top 5/5
+    assert(got(1L) == ((5.0 / 6.0, 4.0 / 5.0, 1.0)))
+    // doc 2: all distinct -> 0; bigrams all distinct -> 0; top 1/5
+    assert(got(2L) == ((0.0, 0.0, 1.0 / 5.0)))
+  }
+}

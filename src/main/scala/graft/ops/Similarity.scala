@@ -158,6 +158,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd-refined k-means over the embedding column — the semantic
+    * clustering step of a data-curation pipeline (cluster-balanced
+    * sampling, per-cluster dedup budgets, topic pruning). Fixed
+    * iteration count and a deterministic seed (the k lowest-id vectors,
+    * the same convention as [[ivfQuery]]'s coarse quantizer) make the
+    * result engine-reproducible: assignment uses cosine rounded to 6
+    * decimals with a smaller-centroid-id tie-break, and centroid means
+    * go through DECIMAL sums (exact, order-independent) rounded to 6
+    * before re-use, so no step depends on partitioning or float
+    * summation order.
+    *
+    * Scale shape: centroids are a k-row DataFrame — they stay
+    * distributed (nothing is collected to the driver) and every
+    * assignment is a broadcast cross join + `max_by` argmax (partial
+    * aggregation, not a window sort). The recompute explodes assigned
+    * vectors to (cell, dim, val) rows — one keyed shuffle per
+    * iteration whose payload is partial decimal sums, map-side
+    * combined. Cost per iteration ≈ one corpus scan; iterations are a
+    * fixed small constant.
+    *
+    * Returns (id, cell, sim): the final assignment and its cosine.
+    */
+  def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col(idCol), col("v"),
+          col("cid"), round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+        .groupBy(col(idCol), col("v"))
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"),
+          max(col("csim")).as("sim"))
+    var cents = e.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      // exact per-dimension mean: DECIMAL sum (order-independent) over
+      // the exploded (cell, dim, val) relation, rounded to 6 so the
+      // next assignment sees identical centroid literals in any engine
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("val").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .select(col("cell"), col("dim"), round(col("m"), 6).as("m"))
+      // rebuild centroid vectors: sort by dim (unique key, so the sort
+      // is total and collect_list's order-nondeterminism is erased)
+      cents = means
+        .groupBy(col("cell").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cnrm", sqrt(ndot(col("cv"), col("cv"))))
+    }
+    // e stays persisted for the returned (lazy) plan — callers / the
+    // bench clear caches between queries, matching nearDuplicates
+    assign(cents).select(col(idCol), col("cell"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space
     * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
     * Returns (id_a, id_b, sim) with id_a < id_b.

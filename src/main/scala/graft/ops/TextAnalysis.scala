@@ -139,6 +139,30 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
 
+  /** PII scrub patterns — deliberately restricted to syntax that means
+    * the same thing in Java regex (Spark) and RE2 (DuckDB, Go tooling):
+    * character classes, bounded repetition, alternation; no backrefs,
+    * no lookaround. A pattern that can't be mirrored in the oracle
+    * can't be judged.
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val phonePattern = "\\+[0-9]{7,15}"
+
+  /** PII redaction for pretraining text: URLs, then emails, then
+    * international-format phone numbers, each replaced by a typed
+    * placeholder token (URL first — URLs may embed '@' userinfo that
+    * the email pass would otherwise shred mid-string). Pure
+    * `regexp_replace` chain: codegen'd, no UDF, scales as a narrow map
+    * over the corpus with zero shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Token-bigram relation WITH multiplicity: one row per in-document
     * bigram occurrence (id, bg). Same explode-first + window-`lead`
     * shape as [[Dedup.shingleTable]] (all codegen'd, one keyed shuffle)

@@ -209,6 +209,40 @@ object ExtQueries {
         round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
       .orderBy("doc_id")
 
+  /** PII scrubbing ([[TextAnalysis.scrubPii]]): the documents table is
+    * augmented with synthetic PII derived from each doc_id (an email,
+    * a URL, a phone number — the test corpus itself contains none),
+    * then redacted. Output = per-doc PII counts (found pre-scrub) and
+    * the scrubbed text; the oracle mirrors both the synthesis and the
+    * redaction with RE2-compatible patterns, so a drifting pattern or
+    * replacement order breaks the hash.
+    */
+  private val q81: Q = (s, dir) => {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example via https://ex.test/d/"), col("doc_id"),
+        lit(" or +155500"), col("doc_id")).as("text"))
+    withPii.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(TextAnalysis.emailPattern)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(TextAnalysis.urlPattern)).cast("long").as("n_url"),
+        regexp_count(col("text"), lit(TextAnalysis.phonePattern)).cast("long").as("n_phone"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** K-means semantic clustering ([[Similarity.kmeans]]): one Lloyd
+    * iteration (seed = 8 lowest-id vectors → assign → exact decimal
+    * centroid means → re-assign) over the embeddings table. The oracle
+    * unrolls the same iteration in SQL — seed choice, rounding points,
+    * and tie-breaks all mirrored — so the two engines must agree on
+    * every vector's final cluster and cosine.
+    */
+  private val q82: Q = (s, dir) =>
+    Similarity.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1)
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
@@ -225,6 +259,8 @@ object ExtQueries {
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
+    "q81_pii_scrub" -> q81,
+    "q82_kmeans" -> q82,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -474,5 +510,61 @@ object ExtQueries {
          |         AS top_bigram_frac
          |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
+
+    "q81_pii_scrub" -> {
+      val em = TextAnalysis.emailPattern
+      val ur = TextAnalysis.urlPattern
+      val ph = TextAnalysis.phonePattern
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@mail.example via https://ex.test/d/' || CAST(doc_id AS VARCHAR)
+         |              || ' or +155500' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(text, '$ur')) AS BIGINT) AS n_url,
+         |       CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text, '$ur', '<URL>', 'g'),
+         |           '$em', '<EMAIL>', 'g'),
+         |         '$ph', '<PHONE>', 'g') AS scrubbed
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q82_kmeans" ->
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT en.vec_id, c0.cid,
+         |           row_number() OVER (PARTITION BY en.vec_id
+         |             ORDER BY round(list_dot_product(en.v, c0.cv) / (en.nrm * c0.cnrm), 6) DESC,
+         |                      c0.cid) AS rn
+         |    FROM en, c0)
+         |  WHERE rn = 1),
+         |d1 AS (
+         |  SELECT a1.cell, g.i - 1 AS dim, en.v[g.i] AS val
+         |  FROM en JOIN a1 USING (vec_id),
+         |       UNNEST(generate_series(1, len(en.v))) AS g(i)),
+         |m1 AS (
+         |  SELECT cell, dim,
+         |         round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM d1 GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+         |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+         |a2 AS (
+         |  SELECT vec_id, cid AS cell, sim FROM (
+         |    SELECT en.vec_id, c1n.cid,
+         |           round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) AS sim,
+         |           row_number() OVER (PARTITION BY en.vec_id
+         |             ORDER BY round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) DESC,
+         |                      c1n.cid) AS rn
+         |    FROM en, c1n)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, sim FROM a2 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -55,6 +55,25 @@ class DecontaminationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 2L)))
   }
 
+  test("PII scrub: emails, urls, phones replaced; clean text untouched") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "write to alice.b+test@corp.example please"),
+      (2L, "docs at https://docs.example/path?q=1 here"),
+      (3L, "call +15551234567 now"),
+      (4L, "userinfo url https://u@h.example/x stays one URL"),
+      (5L, "nothing sensitive here"),
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "write to <EMAIL> please")
+    assert(got(2L) == "docs at <URL> here")
+    assert(got(3L) == "call <PHONE> now")
+    // URL pass runs first, so the embedded userinfo '@' never becomes an email
+    assert(got(4L) == "userinfo url <URL> stays one URL")
+    assert(got(5L) == "nothing sensitive here")
+  }
+
   test("repetition signals: degenerate text scores high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Decontamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Multimodal, SequencePacking, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -243,6 +243,50 @@ object ExtQueries {
         k = 8, iters = 1)
       .orderBy("vec_id")
 
+  /** Sequence packing ([[SequencePacking.packSequences]]): token-offset
+    * layout of the corpus into 512-token training windows via a
+    * distributed prefix sum (range partition + per-partition scan +
+    * broadcast partition prefixes — never a keyless window over data).
+    * Pure integer arithmetic; the oracle is the naive global window.
+    */
+  private val q83: Q = (s, dir) =>
+    SequencePacking.packSequences(t(s, dir, "documents"), "doc_id", "text", 512)
+      .orderBy("doc_id")
+
+  /** The end-to-end curation gate — the composition a pretraining
+    * pipeline actually ships: keep a document iff it is (a) not in the
+    * held-out benchmark slice, (b) the keeper of its exact-dup group,
+    * (c) not contaminated (q78's overlap check), (d) predicted English,
+    * (e) above the quality floor, (f) below the repetition ceiling.
+    * Each predicate is an operator judged on its own elsewhere; this
+    * query judges their composition.
+    */
+  private val q84: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val signals = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_token_frac"))
+    val contaminated = Decontamination
+      .overlapReport(corpus, bench, "doc_id", "text", k = 5, minOverlap = 3)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    corpus.select(col("doc_id"))
+      .join(signals, "doc_id")
+      .join(rep, "doc_id")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("lang_pred") === "en" &&
+        col("quality") >= 0.3 && col("dup_token_frac") <= 0.6)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
@@ -261,6 +305,8 @@ object ExtQueries {
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
     "q82_kmeans" -> q82,
+    "q83_seq_packing" -> q83,
+    "q84_curation_gate" -> q84,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -566,5 +612,67 @@ object ExtQueries {
          |    FROM en, c1n)
          |  WHERE rn = 1)
          |SELECT vec_id, cell, sim FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q83_seq_packing" ->
+      s"""WITH $tokensCte,
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM w),
+         |c AS (SELECT doc_id, n_tok,
+         |             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |      FROM n)
+         |SELECT doc_id, n_tok, start_tok,
+         |       start_tok // 512 AS seq_id,
+         |       start_tok % 512 AS seq_offset,
+         |       CASE WHEN n_tok = 0 THEN CAST(1 AS BIGINT)
+         |            ELSE ((start_tok + n_tok - 1) // 512) - (start_tok // 512) + 1
+         |       END AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q84_curation_gate" ->
+      s"""WITH $tokensCte,
+         |sig AS (
+         |  SELECT d.doc_id,
+         |         (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE)
+         |            / CAST(len(w.w) AS DOUBLE)) * 0.5
+         |           + least(CAST(len(w.w) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality,
+         |         len(list_filter(w.w, x -> x IN ('der','die','und'))) AS c_de,
+         |         len(list_filter(w.w, x -> x IN ('the','and','of'))) AS c_en,
+         |         len(list_filter(w.w, x -> x IN ('el','la','los'))) AS c_es,
+         |         len(list_filter(w.w, x -> x IN ('le','la','et'))) AS c_fr
+         |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+         |lang AS (
+         |  SELECT doc_id,
+         |         CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+         |              WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+         |              WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+         |              WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+         |              ELSE 'fr' END AS lang_pred, quality
+         |  FROM sig),
+         |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+         |rep AS (SELECT doc_id,
+         |               CAST(count(*) - count(DISTINCT t) AS DOUBLE)
+         |                 / CAST(count(*) AS DOUBLE) AS dup_token_frac
+         |        FROM tok GROUP BY 1),
+         |sh5 AS (SELECT DISTINCT doc_id,
+         |               w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
+         |        FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
+         |        WHERE len(w) >= 5),
+         |cont AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT * FROM sh5 WHERE doc_id % 20 <> 7) c
+         |  JOIN (SELECT * FROM sh5 WHERE doc_id % 20 = 7) b ON c.sh = b.sh
+         |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT l.doc_id, round(l.quality, 6) AS quality,
+         |       round(r.dup_token_frac, 6) AS dup_token_frac
+         |FROM lang l
+         |JOIN rep r ON r.doc_id = l.doc_id
+         |WHERE l.doc_id % 20 <> 7
+         |  AND l.doc_id IN (SELECT doc_id FROM keep)
+         |  AND l.doc_id NOT IN (SELECT doc_id FROM cont)
+         |  AND l.lang_pred = 'en'
+         |  AND l.quality >= 0.3
+         |  AND r.dup_token_frac <= 0.6
+         |ORDER BY l.doc_id""".stripMargin,
   )
 }

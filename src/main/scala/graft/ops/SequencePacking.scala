@@ -13,18 +13,21 @@ import org.apache.spark.sql.functions._
   * The global running sum is a DISTRIBUTED PREFIX SUM, not a keyless
   * window (`Window.orderBy` with no partition moves the whole corpus to
   * one task — the anti-pattern q67 exists to avoid):
-  *   1. range-partition by the id (range boundaries may vary with
-  *      sampling; the final offsets cannot — a prefix sum over a total
-  *      order is independent of where partitions split);
-  *   2. per-partition running sums in parallel (window partitioned by
-  *      the physical partition id);
-  *   3. per-partition totals — one row per partition, a provably tiny
-  *      relation — get their own prefix via a window over that
+  *   1. bucket by the ID VALUE (`id div bucketWidth`) — deterministic
+  *      group boundaries with no sampling and no dependence on
+  *      physical partitioning (an earlier draft used
+  *      `spark_partition_id` after a range repartition; that costs a
+  *      second corpus-sized exchange because the window then has to
+  *      hash-partition by pid — the value-derived bucket needs ONE);
+  *   2. per-bucket running sums in parallel (window partitioned by
+  *      bucket, ordered by id);
+  *   3. bucket totals — one row per bucket, corpus_size/bucketWidth
+  *      rows — get their own prefix via a window over that tiny
   *      relation alone, then broadcast-join back.
-  * Cost: one range shuffle + one per-partition sort + a broadcast of
-  * #partitions rows. At 100 TB this is the same shape sort-based
-  * global ranking uses; nothing corpus-sized ever converges on one
-  * task.
+  * Cost: one keyed shuffle of (id, n_tok) + a broadcast of #buckets
+  * rows. At 100 TB pick bucketWidth so #buckets stays ~10^5-10^6:
+  * the prefix relation is still single-task trivial and each bucket's
+  * sort fits one task comfortably.
   */
 object SequencePacking {
 
@@ -35,30 +38,29 @@ object SequencePacking {
     * construction.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      window: Int): DataFrame = {
+      window: Int, bucketWidth: Int = 4096): DataFrame = {
     require(window > 0, "window must be positive")
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    require(bucketWidth > 0, "bucketWidth must be positive")
     val base = df
       .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
-      .repartitionByRange(par, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .withColumn("__g", expr(s"$idCol div $bucketWidth"))
+    val wIn = Window.partitionBy(col("__g")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("local_cum",
       coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
-    // one row per partition; the keyless window below runs over THIS
-    // relation only (≤ parallelism rows), never the corpus
-    val wTot = Window.orderBy(col("__pid"))
+    // one row per bucket; the keyless window below runs over THIS
+    // relation only (corpus/bucketWidth rows), never the corpus
+    val wTot = Window.orderBy(col("__g"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = base.groupBy("__pid")
-      .agg(sum(col("n_tok")).as("__ptot"))
-      .withColumn("part_prefix", coalesce(sum(col("__ptot")).over(wTot), lit(0L)))
-      .select(col("__pid"), col("part_prefix"))
+    val prefixes = base.groupBy("__g")
+      .agg(sum(col("n_tok")).as("__gtot"))
+      .withColumn("bucket_prefix", coalesce(sum(col("__gtot")).over(wTot), lit(0L)))
+      .select(col("__g"), col("bucket_prefix"))
     // `div` (integral division), never `/` + cast: Spark's double cast
     // truncates where DuckDB's rounds — integer arithmetic sidesteps
     // the divergence entirely (same rule as q29's chunk count)
-    local.join(broadcast(prefixes), "__pid")
-      .withColumn("start_tok", col("part_prefix") + col("local_cum"))
+    local.join(broadcast(prefixes), "__g")
+      .withColumn("start_tok", col("bucket_prefix") + col("local_cum"))
       .selectExpr(idCol, "n_tok", "start_tok",
         s"start_tok div $window AS seq_id",
         s"start_tok % $window AS seq_offset",

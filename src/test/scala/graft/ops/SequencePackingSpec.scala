@@ -28,14 +28,16 @@ class SequencePackingSpec extends SparkSpec {
 
   test("result is invariant to the partition count of the prefix sum") {
     val big = (1L to 400L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
-    def run(par: Int) = {
+    def run(par: Int, bucketWidth: Int) = {
       val df = big.repartition(par)
-      SequencePacking.packSequences(df, "doc_id", "text", 16)
+      SequencePacking.packSequences(df, "doc_id", "text", 16, bucketWidth)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
     }
-    assert(run(1) == run(13))
+    // invariant to BOTH physical partitioning and the bucket width
+    assert(run(1, 32) == run(13, 32))
+    assert(run(13, 32) == run(13, 4096))
     // contiguity: each start is the previous start + previous length
-    val rows = SequencePacking.packSequences(big, "doc_id", "text", 16)
+    val rows = SequencePacking.packSequences(big, "doc_id", "text", 16, 32)
       .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
     rows.sliding(2).foreach { case Array((n0, s0), (_, s1)) => assert(s1 == s0 + n0) }
   }

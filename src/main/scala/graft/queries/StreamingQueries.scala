@@ -47,12 +47,17 @@ object StreamingQueries {
     * any event-time op.
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source requires a *directory* base path; the glob
-    // filter narrows the listing to the events table
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file stream source requires a *directory* base path. The
+    // driver's tables are single FILES (events.parquet), so the base is
+    // the parent dir + a glob narrowing the listing to that file; a
+    // Spark-written table is a DIRECTORY of part files, which is itself
+    // the valid base path (the glob would match no part file).
+    val base =
+      if (new java.io.File(path).isDirectory) s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
+    base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   // unique sink names: the memory sink registers a session-global temp

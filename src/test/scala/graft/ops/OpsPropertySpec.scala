@@ -178,4 +178,38 @@ class OpsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------------------- decontamination
+
+  /** Random docs over a tiny vocabulary so k-gram collisions actually
+    * occur; split into corpus/benchmark by index parity.
+    */
+  private val decontCase: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      n <- Gen.choose(10, 24)
+      docs <- Gen.listOfN(n, Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    } yield {
+      val indexed = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      (indexed.filter(_._1 % 2 == 0), indexed.filter(_._1 % 2 == 1))
+    }
+
+  test("property: overlapReport == naive distinct k-gram intersection count") {
+    forAll(decontCase, n = 6) { case (corpus, bench) =>
+      val k = 3
+      def shingles(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(k).filter(_.length == k)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (cid, ct) <- corpus
+        (bid, bt) <- bench
+        ov = (shingles(ct) intersect shingles(bt)).size
+        if ov >= 2
+      } yield (cid, bid, ov.toLong)).toSet
+      val got = Decontamination.overlapReport(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, minOverlap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    }
+  }
 }

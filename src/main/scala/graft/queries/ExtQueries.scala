@@ -617,14 +617,14 @@ object ExtQueries {
       s"""WITH $tokensCte,
          |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM w),
          |c AS (SELECT doc_id, n_tok,
-         |             coalesce(sum(n_tok) OVER (ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |             CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
          |      FROM n)
          |SELECT doc_id, n_tok, start_tok,
-         |       start_tok // 512 AS seq_id,
-         |       start_tok % 512 AS seq_offset,
+         |       CAST(start_tok // 512 AS BIGINT) AS seq_id,
+         |       CAST(start_tok % 512 AS BIGINT) AS seq_offset,
          |       CASE WHEN n_tok = 0 THEN CAST(1 AS BIGINT)
-         |            ELSE ((start_tok + n_tok - 1) // 512) - (start_tok // 512) + 1
+         |            ELSE CAST(((start_tok + n_tok - 1) // 512) - (start_tok // 512) + 1 AS BIGINT)
          |       END AS n_seqs
          |FROM c ORDER BY doc_id""".stripMargin,
 

@@ -15,6 +15,11 @@ run / fork := true
 // prefixes every stdout line with "[info] ", which corrupts the one-line
 // JSON contract of graft.Bench (the driver parses raw stdout).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." after the run: the driver keeps only the
+// last 2000 chars of stdout and parses them — graft.Bench's one-line JSON
+// must be the final stdout content.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

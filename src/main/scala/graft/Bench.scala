@@ -80,7 +80,22 @@ object Bench {
     val qs = obj(results.map { case (n, mn, _) => n -> mn })
     val med = obj(results.map { case (n, _, md) => n -> md })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    // Full-detail artifact: the driver snapshots only the LAST 2000 chars
+    // of stdout, which amputated the full per-query JSON in rounds 1-4
+    // (BENCH_r0N.json "parsed": null). The complete JSON goes to a repo
+    // file the driver snapshots via git instead.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    // Final stdout line stays under the 2000-char tail window: short qNN
+    // keys (the unique prefix of each query name) and 3-decimal values.
+    // build.sbt sets `Global / showSuccess := false` so no sbt "[success]"
+    // line lands after it inside the captured tail.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val shortQs = obj(results.map { case (n, mn, _) => n.takeWhile(_ != '_') -> r3(mn) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -194,17 +194,34 @@ object AnalyticsQueries {
       .orderBy("id_a", "id_b")
 
   /** Approximate sketches (HLL++ count-distinct at 1% rsd, t-digest
-    * percentile): no portable oracle exists — both are estimator-specific
-    * — so this entry takes the driver's rows-only check; SketchSpec pins
-    * the estimates against exact values within the configured error.
+    * median) judged by an epsilon CONTRACT: the estimates have no
+    * engine-portable exact form, so the query computes them NEXT TO
+    * their exact Spark-side counterparts and emits the exact distinct
+    * count plus `within_bound` = |approx − exact| ≤ 5%·exact booleans;
+    * the oracle recomputes the exact count in DuckDB and emits literal
+    * TRUE bounds. A drifting estimator, a broken exact aggregate, or a
+    * bound violation all break the hash. (The exact median value itself
+    * is not emitted: both engines interpolate it in doubles and could
+    * differ in the last bit; the 5% band is float-robust.) eps = 5% is
+    * >5σ for the rsd-1% HLL and generous for a 10000-bucket t-digest;
+    * `SketchSpec` pins the tighter per-estimator bounds locally.
     */
-  private val q56: Q = (s, dir) =>
-    t(s, dir, "orders")
-      .groupBy(col("o_orderstatus").as("status"))
+  private val q56: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val approx = o.groupBy(col("o_orderstatus").as("status"))
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("ac"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"))
+    val exact = o.groupBy(col("o_orderstatus").as("status"))
+      .agg(count_distinct(col("o_custkey")).as("exact_cust"),
+        expr("percentile(o_totalprice, 0.5)").as("em"))
+    approx.join(exact, "status")
+      .select(col("status"), col("exact_cust"),
+        (abs(col("ac") - col("exact_cust")).cast("double")
+          <= col("exact_cust").cast("double") * 0.05).as("cust_within_bound"),
+        (abs(col("am") - col("em")) <= abs(col("em")) * 0.05).as("median_within_bound"))
       .orderBy("status")
+  }
 
   /** Duplicate-cluster extraction ([[Dedup.duplicateClusters]]):
     * embedding near-dup pairs (q28's blocking) collapsed to connected
@@ -454,17 +471,26 @@ object AnalyticsQueries {
     * union + estimate across days — how "distinct users ever" stays a
     * per-batch increment at 100 TB instead of a full-history rescan.
     * Sketch merge is commutative/idempotent, so the estimate is
-    * partition- and order-invariant. Rows-only (estimator-specific, like
-    * q56); `SketchSpec` pins the error bound.
+    * partition- and order-invariant. Judged by the same epsilon contract
+    * as q56: the merged estimate is compared Spark-side against the
+    * exact distinct count and emitted as a `within_bound` boolean (the
+    * oracle recomputes the exact count and emits literal TRUE);
+    * `SketchSpec` pins the tighter error bound locally.
     */
   private val q69: Q = (s, dir) => {
-    val daily = RefQueries.events(s, dir)
+    val ev = RefQueries.events(s, dir)
+    val daily = ev
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n"))
-    daily.agg(
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"),
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
       sum(col("n")).as("n_events"),
       count(lit(1)).cast("long").as("n_days"))
+    val exact = ev.agg(count_distinct(col("user_id")).as("exact_distinct_users"))
+    merged.crossJoin(exact)
+      .select(col("n_events"), col("n_days"), col("exact_distinct_users"),
+        (abs(col("est") - col("exact_distinct_users")).cast("double")
+          <= col("exact_distinct_users").cast("double") * 0.05).as("within_bound"))
   }
 
   /** Stratified sampling: per-stratum rates (BUILDING 10%, others 5%)
@@ -672,8 +698,22 @@ object AnalyticsQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
-    // q56_approx_sketch: intentionally no oracle — approximate estimators
-    // (HLL++, t-digest) have no engine-portable exact form; rows-only.
+    // q56/q69 epsilon contracts: the oracle re-derives the EXACT values
+    // and asserts the bound columns are literally true — the estimator
+    // itself is checked Spark-side against the exact aggregate.
+    "q56_approx_sketch" ->
+      """SELECT o_orderstatus AS status,
+        |       count(DISTINCT o_custkey) AS exact_cust,
+        |       true AS cust_within_bound,
+        |       true AS median_within_bound
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q69_hll_merge" ->
+      """SELECT count(*) AS n_events,
+        |       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+        |       count(DISTINCT user_id) AS exact_distinct_users,
+        |       true AS within_bound
+        |FROM events""".stripMargin,
 
     "q57_dup_clusters" -> dupClustersOracle,
 

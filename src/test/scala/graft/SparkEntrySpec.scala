@@ -9,14 +9,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // Queries that deliberately ship without an oracle (approximate
-  // estimators have no portable exact form; the driver records a
-  // rows-only check and a spec pins the error bound instead).
-  private val rowsOnly = Set("q56_approx_sketch", "q69_hll_merge")
-
   test("every query has oracle SQL and vice versa") {
-    assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
-    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
+    // includes the sketch queries: q56/q69 are judged via epsilon
+    // contracts (exact values + within_bound booleans), so the full
+    // surface is oracle-backed
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
     assert(SparkEntry.queries.nonEmpty)
   }
 

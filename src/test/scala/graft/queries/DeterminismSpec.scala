@@ -6,13 +6,13 @@ package graft
   * DECIMAL, interpolated floats are rounded, collections are sorted
   * before hashing, and every query ends in a total ORDER BY.
   *
-  * Scope note: the guarantee is strict for the oracle-backed surface.
-  * Of the rows-only sketch queries, HLL estimates (q69, q56's
-  * count-distinct) are partition-invariant by construction
-  * (register-max merge); q56's Greenwald-Khanna percentile is invariant
-  * only while a group fits the accuracy buffer (true at this spec's
-  * sf0.001 — at larger scale its estimate may vary within the error
-  * bound, which is why q56 carries no oracle).
+  * Scope note: the sketch queries (q56/q69) emit exact values plus
+  * within-bound booleans. HLL estimates are partition-invariant by
+  * construction (register-max merge); q56's Greenwald-Khanna percentile
+  * estimate can vary with partitioning once a group exceeds the accuracy
+  * buffer, but the JUDGED columns only change if that variation crosses
+  * the 5% band — which is why the emitted shape is the boolean contract,
+  * not the raw estimate.
   */
 class DeterminismSpec extends SparkSpec {
 

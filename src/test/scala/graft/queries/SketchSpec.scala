@@ -3,9 +3,9 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** q56 has no DuckDB oracle (approximate estimators aren't portable);
-  * this spec is its correctness gate: estimates must sit within the
-  * configured error of the exact answers.
+/** The judged q56/q69 queries assert a 5% epsilon contract against exact
+  * aggregates (the DuckDB oracle checks the booleans); this spec pins the
+  * TIGHTER per-estimator bounds the 5% band is derived from.
   */
 class SketchSpec extends SparkSpec {
   import spark.implicits._

@@ -118,7 +118,12 @@ object Multimodal {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(maxval == 255, s"only maxval 255 supported, got $maxval")
     pos += 1 // the single whitespace byte before pixel data
-    val n = width * height * 3
+    // size math in Long: adversarial headers (e.g. 50000x50000) overflow
+    // Int to a negative, which would make the truncation check below
+    // pass spuriously
+    val nL = width.toLong * height * 3L
+    require(nL <= Int.MaxValue - 8, s"raster too large: ${width}x$height")
+    val n = nL.toInt
     require(payload.length - pos >= n,
       s"truncated PPM pixel data: need $n bytes, have ${payload.length - pos}")
     RasterImage(width, height,

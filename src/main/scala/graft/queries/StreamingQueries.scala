@@ -71,11 +71,31 @@ object StreamingQueries {
     * exactly this backfill/verification shape.
     */
   private def runToCompletion(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_sq_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    // State-store partition count is a STATE-SIZING knob, pinned at
+    // query start into the checkpoint: every partition pays a state
+    // file commit (+ fsync) per operator per micro-batch, so 32
+    // partitions of near-empty state made replay commit-bound (q74 was
+    // 4.6 s at sf0.1 — ~3x the next streaming query — almost entirely
+    // HDFSStateStore commits). 4 partitions bounds per-partition state
+    // at ~state/4 — right for a bounded replay; a continuous 100 TB/day
+    // deployment sizes this to expected live state instead (the
+    // partition count, not the operator shape, is the deployment knob).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    df.sparkSession.table(name)
+    // Detach the result from the memory sink's session-global temp view
+    // before dropping it (localCheckpoint materializes the rows), so a
+    // long-lived session does not accumulate one full result copy per
+    // invocation.
+    val out = df.sparkSession.table(name).localCheckpoint()
+    df.sparkSession.catalog.dropTempView(name)
+    out
   }
 
   /** Exact, order-independent sum of a 2-decimal double column. */
@@ -159,7 +179,12 @@ object StreamingQueries {
         |FROM events ORDER BY user_id, event_type""".stripMargin,
 
     // identical to q39's batch oracle: session = run of events per user
-    // with gaps < 1 hour; end = last event + gap
+    // split when the gap EXCEEDS 1 hour; end = last event + gap.
+    // Boundary convention verified empirically against Spark 4.1.2
+    // (2026-08-12): `session_window` MERGES two events exactly 1 h apart
+    // (an event at prior start+gap extends the session — merge condition
+    // is start <= current end, boundary-inclusive), which is exactly
+    // `> INTERVAL 1 HOUR` as the split test here. `>=` would diverge.
     "q73_stream_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts,

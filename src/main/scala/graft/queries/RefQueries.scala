@@ -509,6 +509,33 @@ object RefQueries {
       .toDF("status", "priority", "n", "g_status", "g_priority")
       .orderBy(col("status").asc_nulls_first, col("priority").asc_nulls_first)
 
+  /** S1/O4/O5 judged end to end: the REST source's distributed per-city
+    * fetch (reference: DataExtraction.py:32-40, sequential loop :58-60)
+    * runs against the deterministic [[graft.sources.FixtureTransport]] —
+    * url building, partitioned fan-out, `from_json` parsing with the
+    * explicit [[graft.schema.WeatherSchema.root]], and the error-skip
+    * contract (one city returns HTTP 500 and surfaces as an error row
+    * with null forecast fields instead of failing the job) all sit on
+    * the judged path. The oracle inlines the fixture arithmetic as a
+    * VALUES list.
+    */
+  private val q85: Q = (s, _) => {
+    val cities = graft.schema.WeatherSchema.locationMap.map(_._1)
+    val fetched = graft.sources.RestSource.fetchForecasts(s, cities,
+      apiKey = "fixture", days = 3,
+      transport = new graft.sources.FixtureTransport(Set("Pune")))
+    fetched.select(
+      col("city"), col("error"),
+      col("forecast.location.name").as("loc_name"),
+      col("forecast.location.lat").as("lat"),
+      col("forecast.current.temp_c").as("temp_c"),
+      col("forecast.current.humidity").cast("long").as("humidity"),
+      element_at(col("forecast.forecast.forecastday"), 1)
+        .getField("day").getField("avgtemp_c").as("avgtemp_d1"),
+      size(col("forecast.forecast.forecastday")).cast("long").as("n_days"))
+      .orderBy("city")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -543,6 +570,7 @@ object RefQueries {
     "q42_percentiles" -> q42,
     "q43_cube" -> q43,
     "q80_orc_roundtrip" -> q80,
+    "q85_rest_fixture" -> q85,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -764,6 +792,9 @@ object RefQueries {
         |FROM lineitem JOIN dim ON l_returnflag = f
         |GROUP BY 1 ORDER BY flag""".stripMargin,
 
+    // split on `>` (not `>=`): Spark's session_window merges two events
+    // exactly gap apart — verified empirically on 4.1.2 (see the
+    // StreamingQueries q73 oracle note)
     "q39_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,
@@ -815,5 +846,30 @@ object RefQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin,
+
+    // FixtureTransport's arithmetic inlined: temp = 15 + 1.5·idx,
+    // humidity = 40 + 3·idx, avgtemp day 1 = 12 + 2.25·idx,
+    // lat = 10 + idx, in city-list order; Pune (idx 3) is the judged
+    // error-skip row (all dyadic rationals — bit-exact in both engines)
+    "q85_rest_fixture" ->
+      """SELECT city, error, loc_name,
+        |       CAST(lat AS DOUBLE) AS lat,
+        |       CAST(temp_c AS DOUBLE) AS temp_c,
+        |       CAST(humidity AS BIGINT) AS humidity,
+        |       CAST(avgtemp_d1 AS DOUBLE) AS avgtemp_d1,
+        |       CAST(n_days AS BIGINT) AS n_days
+        |FROM (VALUES
+        |  ('Ahmedabad', NULL, 'Ahmedabad', 19.0, 28.5, 67, 32.25, 3),
+        |  ('Bangalore', NULL, 'Bangalore', 11.0, 16.5, 43, 14.25, 3),
+        |  ('Chennai',   NULL, 'Chennai',   12.0, 18.0, 46, 16.5,  3),
+        |  ('Hyderabad', NULL, 'Hyderabad', 15.0, 22.5, 55, 23.25, 3),
+        |  ('Jaipur',    NULL, 'Jaipur',    16.0, 24.0, 58, 25.5,  3),
+        |  ('Kochi',     NULL, 'Kochi',     17.0, 25.5, 61, 27.75, 3),
+        |  ('Kolkata',   NULL, 'Kolkata',   18.0, 27.0, 64, 30.0,  3),
+        |  ('Mumbai',    NULL, 'Mumbai',    14.0, 21.0, 52, 21.0,  3),
+        |  ('New Delhi', NULL, 'New Delhi', 10.0, 15.0, 40, 12.0,  3),
+        |  ('Pune', 'HTTP 500', NULL, NULL, NULL, NULL, NULL, NULL)
+        |) AS t(city, error, loc_name, lat, temp_c, humidity, avgtemp_d1, n_days)
+        |ORDER BY city""".stripMargin,
   )
 }

@@ -12,7 +12,7 @@ import java.time.LocalDate
   * must not capture the spec instance, which is not serializable),
   * failing one city to exercise error-skip.
   */
-private case class FixtureTransport(bodies: Map[String, String], failCity: String)
+private case class CannedTransport(bodies: Map[String, String], failCity: String)
     extends RestSource.Transport {
   def get(url: String): Either[String, String] = {
     val q = url.split("[?&]").find(_.startsWith("q=")).get.drop(2)
@@ -39,7 +39,7 @@ class RestSourceSpec extends SparkSpec {
   test("distributed fetch: per-city error-skip, survivors parse to the raw relation") {
     val cities = Seq("New Delhi", "Mumbai", "Chennai")
     val fetched = RestSource.fetchForecasts(spark, cities, "KEY",
-      transport = FixtureTransport(fixtureBodies(cities), failCity = "Mumbai"))
+      transport = CannedTransport(fixtureBodies(cities), failCity = "Mumbai"))
     val errors = fetched.filter(col("error").isNotNull)
       .select("city", "error").collect().map(r => (r.getString(0), r.getString(1)))
     assert(errors.toSeq == Seq(("Mumbai", "HTTP 500")))

@@ -183,7 +183,7 @@ object Dedup {
     * recorded by the old adaptive bench, not this plan.)
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 32): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, ≤ 60")
     val tok = df
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("t"))
@@ -228,15 +228,19 @@ object Dedup {
     * — so the slice-value self-join produces a candidate superset, and
     * the exact `bit_count(xor)` filter keeps no false positives.
     *
-    * Scale: the shuffle carries (band, slice-value) groups. Bucket count
-    * is 2^(bits/bands) per band — at 100 TB use the max 60-bit
+    * Scale: the shuffle carries (band, slice-value) groups. The DEFAULT
+    * signature is 32-bit / 4-band (8-bit slices, 256 buckets per band):
+    * 16-bit/4-band profiled ~25x more candidate pairs for the same
+    * output at sf0.1 (SCALE.md), so the narrow width is never the
+    * shipped default. Bucket count is 2^(bits/bands) per band — at
+    * 100 TB use the max 60-bit
     * signatures (15 md5 hex chars; 64 would overflow a signed long in
     * `conv`) with 6 bands of 10-bit slices (1024-way, plus the hash
     * partitioning on top), and skew in a slice value means
     * near-identical docs, which is exactly the output.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
     require(bits % bands == 0, "bands must divide bits")

@@ -39,11 +39,14 @@ object ExtQueries {
         threshold = 0.5, numHashes = 8, bands = 4, shingleK = 3)
       .orderBy("id_a", "id_b")
 
-  /** SimHash: 16-bit signature over unigram tokens (relation form — one
-    * hash per token, single grouped aggregation).
+  /** SimHash: 32-bit signature over unigram tokens (relation form — one
+    * hash per token, single grouped aggregation). 32 bits is the
+    * scale-safe default width ([[Dedup.simhashTable]]): the narrow
+    * 16-bit signature's band buckets produce ~25x more candidate pairs
+    * downstream (SCALE.md).
     */
   private val q22: Q = (s, dir) =>
-    Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text", 16)
+    Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Text quality metrics: token counts, BPE-ish count, mean token
@@ -262,22 +265,70 @@ object ExtQueries {
     * query judges their composition.
     */
   private val q84: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val bench = docs.filter(col("doc_id") % 20 === 7)
-    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
-    val signals = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.langId(col("text")).as("lang_pred"))
-    val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
-      .select(col("doc_id"), col("dup_token_frac"))
-    val contaminated = Decontamination
-      .overlapReport(corpus, bench, "doc_id", "text", k = 5, minOverlap = 3)
-      .select(col("corpus_id").as("doc_id")).distinct()
-    val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
-      .select(col("keeper_id").as("doc_id"))
-    corpus.select(col("doc_id"))
+    // SHARED-RELATION composition (the 100 TB shape): ONE corpus scan
+    // builds a base relation carrying the exact-dup hash and the token
+    // array; the positional token relation derived from it feeds
+    // quality, language-ID, repetition, AND the 5-gram contamination
+    // shingles. The naive composition (each operator called on `docs`)
+    // re-reads the corpus once per signal — 3+ redundant full scans at
+    // 100 TB. Signal semantics are unchanged: the per-doc aggregates
+    // below compute exactly [[TextAnalysis.qualityScore]]/[[TextAnalysis
+    // .langId]]/[[TextAnalysis.repetitionSignals]].dup_token_frac, and
+    // the shingle block is [[Dedup.shingleTable]](k=5) feeding
+    // [[Decontamination.overlapReport]]'s join (df cap 0), so the
+    // oracle is untouched.
+    val base = docs
+      .select(col("doc_id"), md5(col("text")).as("text_hash"),
+        split(lower(col("text")), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    // every per-doc token aggregate in ONE grouped pass (map-side combined)
+    def cntIn(words: Seq[String]) =
+      count(when(col("tok").isin(words.map(x => x: Any): _*), 1))
+    val markers = TextAnalysis.langMarkers
+    val perDoc = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"),
+      (count_distinct(col("tok")).as("n_tok_d") +:
+        cntIn(TextAnalysis.defaultStopwords).as("n_stop") +:
+        markers.map { case (l, ws) => cntIn(ws).as(s"c_$l") }): _*)
+    val maxC = greatest(markers.map { case (l, _) => col(s"c_$l") }: _*)
+    val langPred = markers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(maxC > 0 && col(s"c_$l") === maxC, lit(l)).otherwise(acc)
+    }
+    val signals = perDoc.select(col("doc_id"),
+      ((col("n_stop").cast("double") / col("n_tok").cast("double")) * lit(0.5) +
+        least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.5))
+        .as("quality"),
+      langPred.as("lang_pred"),
+      ((col("n_tok") - col("n_tok_d")).cast("double") /
+        col("n_tok").cast("double")).as("dup_token_frac"))
+    // 5-gram contamination shingles from the SAME token relation
+    val w5 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until 5).map(o => lead(col("tok"), o).over(w5))
+    val sh5 = tok
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("sh"),
+        parts.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("sh"))
+      .dropDuplicates("doc_id", "sh")
+    val benchSh = sh5.filter(col("doc_id") % 20 === 7)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val contaminated = sh5.filter(col("doc_id") % 20 =!= 7)
+      .join(benchSh, "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 3)
+      .select(col("doc_id")).distinct()
+    // exact-dup keepers ride the cached base relation's hash column
+    val keepers = base.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    base.filter(col("doc_id") % 20 =!= 7).select(col("doc_id"))
       .join(signals, "doc_id")
-      .join(rep, "doc_id")
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("lang_pred") === "en" &&
@@ -311,14 +362,16 @@ object ExtQueries {
 
   // ----------------------------------------------------------------- oracle
 
-  /** DuckDB expression: integer value of the first 4 hex chars of
-    * md5(`e`) — the portable hex4 used by simhash and the LSH planes.
+  /** DuckDB expression: integer value of the first `n` hex chars of
+    * md5(`e`) — the portable hash prefix used by simhash and the LSH
+    * planes.
     */
-  private def duckHex4(e: String): String =
-    s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16" +
-      s" + (strpos('0123456789abcdef', substr(md5($e),4,1))-1))"
+  private def duckHexN(e: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e),$i,1))-1)::BIGINT*${1L << (4 * (n - i))}")
+      .mkString("(", " + ", ")")
+
+  private def duckHex4(e: String): String = duckHexN(e, 4)
 
   /** DuckDB literal for one hyperplane (exact dyadic decimals). */
   private def planeLit(p: Array[Double]): String =
@@ -393,10 +446,10 @@ object ExtQueries {
     "q22_simhash" ->
       s"""WITH $tokensCte,
          |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
-         |v AS (SELECT doc_id, ${duckHex4("t")} AS v FROM tok),
+         |v AS (SELECT doc_id, ${duckHexN("t", 8)} AS v FROM tok),
          |b AS (SELECT doc_id, g.bit AS bit,
          |             sum(CASE WHEN (v >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-         |      FROM v, UNNEST(generate_series(0, 15)) AS g(bit)
+         |      FROM v, UNNEST(generate_series(0, 31)) AS g(bit)
          |      GROUP BY 1, 2)
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash

@@ -204,6 +204,86 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  // ------------------------------------------------------------ PCM codec
+
+  /** Decode 16-bit signed little-endian PCM (the raw payload of a WAV
+    * `data` chunk — the interchange format every audio toolchain speaks).
+    * Truncated trailing bytes are rejected rather than silently dropped:
+    * a half-sample means an upstream writer bug, not valid audio.
+    */
+  def decodePcm16(payload: Array[Byte]): Array[Short] = {
+    require(payload.length % 2 == 0,
+      s"PCM16 payload has odd length ${payload.length}")
+    val out = new Array[Short](payload.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Encode samples back to s16le bytes — the inverse of [[decodePcm16]]. */
+  def encodePcm16(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Exact per-clip statistics from decoded s16le audio: sample count,
+    * integer sum and sum-of-squares (longs — downstream mean/RMS divide
+    * identically in any engine), peak amplitude. One decode pass per
+    * partition, same batching contract as [[imageStatsTable]].
+    */
+  def audioStatsTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_amp", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+    ))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val samples = decodePcm16(r.getAs[Array[Byte]](1))
+        var s = 0L; var sq = 0L; var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toInt
+          s += v; sq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Row(r.getLong(0), samples.length.toLong, s, sq, peak)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic synthetic PCM16 clip: sample i of clip `id` is
+    * ((id·31 + salt·17 + i·7919) mod 65536) − 32768 — a full-range
+    * sawtooth, reproducible from (id, salt, n) alone in any engine (the
+    * judged query's oracle recomputes sums in SQL). 7919 is odd, so the
+    * sawtooth cycles through all 65536 values before repeating.
+    */
+  def sawtoothPcm(id: Long, salt: Long, nSamples: Int): Array[Byte] = {
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val v = java.lang.Math.floorMod(id * 31L + salt * 17L + i * 7919L, 65536L)
+      samples(i) = (v - 32768L).toShort
+      i += 1
+    }
+    encodePcm16(samples)
+  }
+
   /** Deterministic synthetic PPM: pixel (x, y) of image `id` has
     * channels ((id + 3x + 5y) % 256, (id + salt + 7x + 11y) % 256,
     * (2·id + 13x + 17y) % 256) — a gradient, so channel means exercise

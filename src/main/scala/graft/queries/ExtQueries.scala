@@ -169,6 +169,82 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Image resize end to end ([[Multimodal.resizeImage]]): the q76
+    * gradient PPM (8×6) is decoded, nearest-neighbor-resampled to 5×4
+    * (non-divisible ratio, so the floor in `sx = x·srcW/dstW` is
+    * exercised), re-encoded, and decoded AGAIN by [[Multimodal
+    * .imageStatsTable]] — the full decode→transform→encode→decode chain
+    * a thumbnailing pipeline runs. The oracle replays the source-pixel
+    * arithmetic under the same floor-division sampling in SQL.
+    */
+  private val q86: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.resizeImage(Multimodal.gradientPpm(id, n, 8, 6), 5, 4))
+      }
+      .toDF("media_id", "payload")
+    Multimodal.imageStatsTable(media)
+      .select(col("media_id"),
+        col("img_w").cast("long").as("img_w"),
+        col("img_h").cast("long").as("img_h"),
+        round(col("sum_r").cast("double") / (col("img_w") * col("img_h")), 6).as("r_mean"),
+        round(col("sum_g").cast("double") / (col("img_w") * col("img_h")), 6).as("g_mean"),
+        round(col("sum_b").cast("double") / (col("img_w") * col("img_h")), 6).as("b_mean"))
+      .orderBy("media_id")
+  }
+
+  /** Real audio decode end to end: each document becomes an s16le PCM
+    * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
+    * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
+    * which [[Multimodal.audioStatsTable]] actually PARSES (little-endian
+    * 16-bit reassembly) to recover exact sample statistics. The oracle
+    * recomputes the sawtooth arithmetic in SQL — a broken encoder OR
+    * decoder (e.g. sign-extension or byte-order bugs) breaks the match.
+    */
+  private val q87: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.sawtoothPcm(id, n, (200 + id % 57).toInt))
+      }
+      .toDF("media_id", "payload")
+    Multimodal.audioStatsTable(media).orderBy("media_id")
+  }
+
+  /** Video frame sampling ([[Multimodal.framePositions]] +
+    * [[Multimodal.extractFrameStub]]): each document's bytes act as a
+    * timed medium (duration = 10 ms/byte), sampled every 1000 ms — the
+    * video analog of the reference pipeline's hour-slot sampling
+    * (A3). The judged columns are each frame's position and the md5 of
+    * its extracted bytes; the oracle replays the proportional byte-seek
+    * with the same double arithmetic and slices the text instead (the
+    * corpus is ASCII, so char positions == byte positions and DuckDB's
+    * VARCHAR md5 hashes the same bytes Spark's binary md5 sees).
+    */
+  private val q88: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val payload = text.getBytes("US-ASCII")
+        val durationMs = payload.length * 10L
+        Multimodal.framePositions(durationMs, stepMs = 1000L).map { pos =>
+          (id, pos, Multimodal.extractFrameStub(payload, pos, durationMs))
+        }
+      }
+      .toDF("media_id", "pos_ms", "frame")
+      .select(col("media_id"), col("pos_ms"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "pos_ms")
+  }
+
   /** Semantic dedup composition: embedding near-dup pairs (q28's LSH
     * blocking) joined back to document metadata — the cross-modal step a
     * real pipeline runs before dropping semantic duplicates.
@@ -358,6 +434,9 @@ object ExtQueries {
     "q82_kmeans" -> q82,
     "q83_seq_packing" -> q83,
     "q84_curation_gate" -> q84,
+    "q86_image_resize" -> q86,
+    "q87_audio_decode" -> q87,
+    "q88_frame_sample" -> q88,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -553,6 +632,59 @@ object ExtQueries {
         |       round(CAST(sum(b) AS DOUBLE) / 48, 6) AS b_mean
         |FROM px GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
+    // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the
+    // Spark side must recover the same sums from the re-encoded bytes
+    "q86_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id + 3*((x.x*8)//5) + 5*((y.y*6)//4)) % 256 AS r,
+        |         (d.doc_id + d.n_chars + 7*((x.x*8)//5) + 11*((y.y*6)//4)) % 256 AS g,
+        |         (2*d.doc_id + 13*((x.x*8)//5) + 17*((y.y*6)//4)) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 4)) AS x(x),
+        |       UNNEST(generate_series(0, 3)) AS y(y))
+        |SELECT doc_id AS media_id,
+        |       CAST(5 AS BIGINT) AS img_w, CAST(4 AS BIGINT) AS img_h,
+        |       round(CAST(sum(r) AS DOUBLE) / 20, 6) AS r_mean,
+        |       round(CAST(sum(g) AS DOUBLE) / 20, 6) AS g_mean,
+        |       round(CAST(sum(b) AS DOUBLE) / 20, 6) AS b_mean
+        |FROM px GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // mirrors sawtoothPcm's sample arithmetic; the Spark side must
+    // recover the same statistics from actual s16le bytes
+    "q87_audio_decode" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id*31 + d.n_chars*17 + i.i*7919) % 65536 - 32768 AS v
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 200 + d.doc_id % 57 - 1)) AS i(i))
+        |SELECT doc_id AS media_id,
+        |       count(*) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS sum_amp,
+        |       CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(v)) AS INT) AS peak
+        |FROM smp GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // mirrors framePositions (every 1000 ms over duration = 10 ms/byte)
+    // + extractFrameStub's proportional seek (same IEEE double ops:
+    // pos/duration, * (len-1), truncate); the corpus is ASCII so
+    // substr's char positions equal the byte positions Spark slices
+    "q88_frame_sample" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, i.i * 1000 AS pos_ms,
+        |         CAST(trunc((CAST(i.i * 1000 AS DOUBLE) / (length(d.text) * 10))
+        |                    * (length(d.text) - 1)) AS BIGINT) AS start,
+        |         length(d.text) AS len, d.text AS text
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, (length(d.text) * 10 - 1) // 1000)) AS i(i))
+        |SELECT doc_id AS media_id, pos_ms,
+        |       CAST(least(16, len - start) AS BIGINT) AS frame_len,
+        |       md5(substr(text, CAST(start + 1 AS INT), 16)) AS frame_md5
+        |FROM f ORDER BY media_id, pos_ms""".stripMargin,
 
     "q37_ivf_ann" ->
       s"""WITH $embCte,

@@ -242,6 +242,37 @@ class MultimodalSpec extends SparkSpec {
       Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40))
   }
 
+  test("PCM16 codec: roundtrip, byte order, sign extension, odd length rejected") {
+    val samples = Array[Short](0, 1, -1, 257, -257, Short.MaxValue, Short.MinValue)
+    val bytes = Multimodal.encodePcm16(samples)
+    assert(bytes.length == samples.length * 2)
+    // little-endian: 257 = 0x0101 -> 01 01; 1 = 0x0001 -> 01 00
+    assert(bytes(2) == 1.toByte && bytes(3) == 0.toByte)
+    assert(Multimodal.decodePcm16(bytes).toSeq == samples.toSeq)
+    // -1 = 0xFFFF must decode back negative (sign extension of the high byte)
+    assert(Multimodal.decodePcm16(Array(0xff.toByte, 0xff.toByte)).head == -1)
+    intercept[IllegalArgumentException](Multimodal.decodePcm16(bytes.dropRight(1)))
+  }
+
+  test("audioStatsTable: exact stats from real s16le bytes; sawtooth covers full range") {
+    val payload = Multimodal.encodePcm16(Array[Short](100, -200, 300))
+    val rows = Seq(org.apache.spark.sql.Row(3L, "audio/pcm", payload, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val r = Multimodal.audioStatsTable(df.select(col("media_id"), col("payload")))
+      .collect().head
+    assert(r.getLong(1) == 3L)                                    // n_samples
+    assert(r.getLong(2) == 200L)                                  // sum
+    assert(r.getLong(3) == 100L * 100 + 200L * 200 + 300L * 300)  // sum_sq
+    assert(r.getInt(4) == 300)                                    // peak
+    // sawtooth: deterministic, and decodes to the closed-form samples
+    val saw = Multimodal.decodePcm16(Multimodal.sawtoothPcm(5L, 11L, 64))
+    assert(saw.toSeq == Multimodal.decodePcm16(Multimodal.sawtoothPcm(5L, 11L, 64)).toSeq)
+    assert(saw.zipWithIndex.forall { case (v, i) =>
+      v == (java.lang.Math.floorMod(5L * 31 + 11L * 17 + i * 7919L, 65536L) - 32768L).toShort
+    })
+  }
+
   test("PpmDecoder: real decode through decodeFeatures, exact channel means") {
     // solid-color 2x2: means are exactly the channel values
     val rgb = Array.fill(4)(Array[Byte](100.toByte, 150.toByte, 200.toByte)).flatten

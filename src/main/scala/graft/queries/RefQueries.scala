@@ -536,6 +536,68 @@ object RefQueries {
       .orderBy("city")
   }
 
+  /** S2 judged end to end: the config/secret source's provider chain
+    * (reference: DataExtraction.py:8-28's `get_secret()`), run over a
+    * REAL `.properties` file plus fixed override/env maps so every
+    * precedence path is exercised — override beats env (`days`), env
+    * beats file (`endpoint`, `api_key`), file-only fallback (`region`)
+    * — and the audit view masks the secret BEFORE row construction.
+    * The oracle is the expected resolution as a VALUES list; a broken
+    * precedence order or a leaked secret value breaks the match.
+    */
+  private val q91: Q = (s, _) => {
+    val propsPath =
+      s"${sys.props("java.io.tmpdir")}/graft_q91_${ProcessHandle.current().pid()}.properties"
+    java.nio.file.Files.write(java.nio.file.Paths.get(propsPath),
+      java.util.Arrays.asList(
+        "endpoint=https://file.example/v1",
+        "api_key=file-key-000",
+        "days=7",
+        "region=file-region"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val overrides = Map("days" -> "3")
+    val env = Map(
+      "endpoint" -> "https://env.example/v1",
+      "api_key" -> "env-secret-123")
+    val keys = Seq("endpoint", "api_key", "days", "region")
+    val resolved = keys.map(k =>
+      k -> graft.sources.ConfigSource.require(k, overrides, env, Some(propsPath))).toMap
+    graft.sources.ConfigSource.asDataFrame(s, resolved).orderBy("key")
+  }
+
+  /** K5 judged end to end: the count-verify-truncate protocol
+    * (reference: location.sql:36-79 — MERGE, compare staged vs merged
+    * distinct keys, truncate the stage only on agreement). The purchase
+    * slice is staged as REAL parquet files, merged into the click-slice
+    * target, verified with [[graft.warehouse.Merge.verifyCounts]], and
+    * only then are the stage's backing files deleted — the materialized
+    * merge result (localCheckpoint, taken BEFORE the truncate) is what
+    * the oracle checks, and a failed verify or surviving stage directory
+    * fails the judged query.
+    */
+  private val q90: Q = (s, dir) => {
+    val stagePath =
+      s"${sys.props("java.io.tmpdir")}/graft_q90_stage_${ProcessHandle.current().pid()}"
+    events(s, dir).filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(stagePath)
+    val stage = s.read.parquet(stagePath)
+    val target = events(s, dir).filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+    val merged = graft.warehouse.Merge.upsert(target, stage, Seq("event_id"))
+      .localCheckpoint()
+    val (staged, inTarget) = graft.warehouse.Merge.verifyCounts(merged, stage, "event_id")
+    require(staged == inTarget,
+      s"verified truncate refused: staged=$staged merged=$inTarget")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(stagePath))
+    require(!new java.io.File(stagePath).exists, "stage truncate failed")
+    merged.orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_projection" -> q01,
     "q02_dim_lookup" -> q02,
@@ -571,6 +633,8 @@ object RefQueries {
     "q43_cube" -> q43,
     "q80_orc_roundtrip" -> q80,
     "q85_rest_fixture" -> q85,
+    "q90_verified_truncate" -> q90,
+    "q91_config_source" -> q91,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -871,5 +935,23 @@ object RefQueries {
         |  ('Pune', 'HTTP 500', NULL, NULL, NULL, NULL, NULL, NULL)
         |) AS t(city, error, loc_name, lat, temp_c, humidity, avgtemp_d1, n_days)
         |ORDER BY city""".stripMargin,
+
+    // the verified merge is disjoint-key (purchases staged into clicks),
+    // so its result is exactly the two slices' union
+    "q90_verified_truncate" ->
+      """SELECT event_id, user_id, value
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |ORDER BY event_id""".stripMargin,
+
+    // expected provider-chain resolution: override > env > file; the
+    // secret key surfaces masked, never its value
+    "q91_config_source" ->
+      """SELECT key, value, is_secret FROM (VALUES
+        |  ('api_key',  '********',               true),
+        |  ('days',     '3',                      false),
+        |  ('endpoint', 'https://env.example/v1', false),
+        |  ('region',   'file-region',            false)
+        |) AS t(key, value, is_secret)
+        |ORDER BY key""".stripMargin,
   )
 }

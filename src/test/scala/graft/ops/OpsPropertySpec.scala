@@ -212,4 +212,45 @@ class OpsPropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  // ------------------------------------------------------- media codecs
+
+  test("property: PCM16 encode∘decode == identity for random sample arrays") {
+    val gen = Gen.listOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    forAll(gen, n = 12) { xs =>
+      val samples = xs.map(_.toShort).toArray
+      val back = Multimodal.decodePcm16(Multimodal.encodePcm16(samples))
+      assert(back.toSeq == samples.toSeq)
+    }
+  }
+
+  test("property: PPM resize preserves the nearest-neighbor sampling law") {
+    val dims = for {
+      sw <- Gen.choose(1, 12); sh <- Gen.choose(1, 12)
+      dw <- Gen.choose(1, 12); dh <- Gen.choose(1, 12)
+    } yield (sw, sh, dw, dh)
+    forAll(dims, n = 12) { case (sw, sh, dw, dh) =>
+      // deterministic pixel content keyed by position
+      val rgb = Array.tabulate(sw * sh * 3)(i => ((i * 7 + 3) % 256).toByte)
+      val src = Multimodal.RasterImage(sw, sh, rgb)
+      val out = Multimodal.decodePpm(
+        Multimodal.resizeImage(Multimodal.encodePpm(src), dw, dh))
+      assert(out.width == dw && out.height == dh)
+      for (y <- 0 until dh; x <- 0 until dw; c <- 0 until 3) {
+        val s = ((y * sh / dh) * sw + (x * sw / dw)) * 3 + c
+        assert(out.rgb((y * dw + x) * 3 + c) == rgb(s),
+          s"pixel ($x,$y) channel $c for ${sw}x$sh -> ${dw}x$dh")
+      }
+    }
+  }
+
+  test("property: PPM decode rejects any single-byte header truncation") {
+    val img = Multimodal.RasterImage(3, 2, Array.tabulate(18)(_.toByte))
+    val full = Multimodal.encodePpm(img)
+    // every strict prefix that cuts into pixel data (or header) must throw
+    for (cut <- 1 until full.length) {
+      intercept[IllegalArgumentException](
+        Multimodal.decodePpm(full.take(full.length - cut)))
+    }
+  }
 }

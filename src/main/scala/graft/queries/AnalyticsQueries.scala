@@ -188,9 +188,20 @@ object AnalyticsQueries {
     * per band keeps candidate density low (16-bit/4-bit profiled 25×
     * more candidates at sf0.1 for the same output).
     */
+  /** SimHash near-dup at the CORPUS-SCALE shape: 60-bit signatures
+    * (the `conv` ceiling — 15 md5 hex chars), 4 bands of 15-bit slices
+    * = 32k buckets per band. Profiled at sf1: with 32-bit/8-bit-slice
+    * signatures the banded self-join dominated the query (~6.4 s of
+    * 7.1 s; the signature aggregate itself is 0.75 s) because 256
+    * buckets per band leave ~19M candidate pairs at 50 k docs. The
+    * 15-bit slices cut candidates ~128× for the same pigeonhole
+    * guarantee (maxHamming 3 < 4 bands). The oracle is the naive
+    * all-pairs Hamming join over the same 60-bit signatures, so the
+    * banding is pure optimization under the same contract.
+    */
   private val q55: Q = (s, dir) =>
     Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        bits = 32, bands = 4, maxHamming = 3)
+        bits = 60, bands = 4, maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   /** Approximate sketches (HLL++ count-distinct at 1% rsd, t-digest
@@ -692,7 +703,7 @@ object AnalyticsQueries {
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q55_simhash_neardup" ->
-      s"""WITH ${simhashCtes(32)}
+      s"""WITH ${simhashCtes(60)}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

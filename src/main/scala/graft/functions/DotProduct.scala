@@ -90,7 +90,8 @@ object GraftFunctions {
     * `spark.sql.extensions` path for sessions built with it).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotProductDescriptor, TopKAgg.descriptor).foreach { case (id, info, builder) =>
+    Seq(dotProductDescriptor, TopKAgg.descriptor, SimhashAgg.descriptor)
+      .foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }

@@ -185,6 +185,7 @@ object Dedup {
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, ≤ 60")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val tok = df
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("t"))
       .filter(col("t") =!= "")
@@ -192,13 +193,12 @@ object Dedup {
     // of signature width
     val v = tok.select(col(idCol),
       conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long").as("v"))
-    val sums = v.groupBy(col(idCol)).agg(
-      sum(when(shiftright(col("v"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until bits).map(b =>
-        sum(when(shiftright(col("v"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
-    sums.select(col(idCol),
-      (0 until bits).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    // ONE native aggregate ([[graft.functions.SimhashAgg]]: a bits-long
+    // counter vector per group, map-side combined) instead of `bits`
+    // separate `sum(when(bit_b))` buffers — same per-bit signed-sum
+    // semantics, a fraction of the per-row and shuffle overhead.
+    v.groupBy(col(idCol))
+      .agg(call_function("graft_simhash", col("v"), lit(bits)).as("simhash"))
   }
 
   /** SimHash: `bits`-bit signature from md5-derived token hashes. Bit b is

@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.dotProductDescriptor)
     extensions.injectFunction(graft.functions.TopKAgg.descriptor)
+    extensions.injectFunction(graft.functions.SimhashAgg.descriptor)
   }
 }

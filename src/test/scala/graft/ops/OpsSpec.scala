@@ -101,6 +101,35 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("simhashTable (native aggregate) == the per-bit column-sum formulation") {
+    // random-ish docs with repeated tokens (multiplicity matters) and a
+    // token mix wide enough to exercise every bit position
+    val docs = (1L to 40L).map { i =>
+      val toks = (0 until (3 + (i % 9)).toInt)
+        .map(j => s"tok${(i * 7 + j * 13) % 23}")
+      (i, (toks ++ toks.take((i % 3).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (bits <- Seq(16, 32, 60)) {
+      val got = Dedup.simhashTable(docs, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent reference: the bits-separate conditional sums
+      val v = docs
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("t"))
+        .filter($"t" =!= "")
+        .select($"doc_id",
+          conv(substring(md5($"t"), 1, bits / 4), 16, 10).cast("long").as("v"))
+      val want = v.groupBy($"doc_id")
+        .agg(sum(when(shiftright($"v", 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+          (1 until bits).map(b =>
+            sum(when(shiftright($"v", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+        .select($"doc_id",
+          (0 until bits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"bits=$bits")
+    }
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -197,12 +197,20 @@ object StreamingQueries {
         if (c.isDirectory) parquetsUnder(c)
         else if (c.getName.endsWith(".parquet")) 1 else 0
       }.sum
+    // The cleaner may still be mid-rename between the two listings (a
+    // file absent from BOTH for a moment), so poll for a CONSISTENT
+    // snapshot: all 4 files accounted for, at least 3 already archived
+    // (batches 2..4 enqueue cleanup of batches 1..3; the final batch's
+    // file may or may not be cleaned depending on a trailing fetch).
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    while (parquetsUnder(arch) < 3 && System.nanoTime() < deadline)
+    var archived = parquetsUnder(arch)
+    var remaining = parquetsUnder(in)
+    while ((archived < 3 || archived + remaining != 4) && System.nanoTime() < deadline) {
       Thread.sleep(100)
-    val archived = parquetsUnder(arch)
-    val remaining = parquetsUnder(in)
-    require(archived >= 1 && archived + remaining == 4,
+      archived = parquetsUnder(arch)
+      remaining = parquetsUnder(in)
+    }
+    require(archived >= 3 && archived + remaining == 4,
       s"archive-and-delete failed: archived=$archived remaining=$remaining")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)

@@ -417,18 +417,31 @@ object Dedup {
           .unionByName(withM.select(col("m").as("lo"), col("src").as("hi"))))
     }
 
+    // Convergence signature: (count, XOR of xxhash64(lo, hi)) — ONE
+    // aggregation job per round over the (distinct) edge set, replacing
+    // the count + count + E-sized exceptAll triple the loop originally
+    // ran per round. XOR is order/partition-independent, and a hash
+    // collision (two different edge sets with equal count AND equal
+    // 64-bit XOR) cannot produce a silently wrong answer: a
+    // falsely-early stop leaves a non-star-forest edge set, which the
+    // explicit postcondition below rejects loudly.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("lo"), col("hi")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // ckptReset, not bare localCheckpoint: each star round self-joins
     // the previous round's relation, so inherited stats estimates would
     // double in bit-length per round — see ckptReset.
     var edges = ckptReset(canon(pairs.select(col(idA).as("lo"), col(idB).as("hi"))))
+    var cur = signature(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = ckptReset(smallStar(largeStar(edges)))
-      // set equality: both sides are distinct, so equal counts + empty
-      // one-sided difference ⇒ identical edge sets
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).count() == 0
+      val nextSig = signature(next)
+      converged = nextSig == cur
+      cur = nextSig
       edges = next
       round += 1
     }

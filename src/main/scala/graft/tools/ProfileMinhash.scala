@@ -10,6 +10,10 @@ object ProfileMinhash {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // match Bench's split sizing — without it a single-file table
+      // scans in ~1 partition and every stage serializes, so timings
+      // are not comparable to the sweep's
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, ExtQueries, RefQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, ExtQueries, RefQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,10 +17,12 @@ object SparkEntry {
     * multimodal).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.all ++ ExtQueries.all ++ AnalyticsQueries.all ++ StreamingQueries.all
+    RefQueries.all ++ ExtQueries.all ++ AnalyticsQueries.all ++
+      StreamingQueries.all ++ CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ ExtQueries.oracle ++ AnalyticsQueries.oracle ++ StreamingQueries.oracle
+    RefQueries.oracle ++ ExtQueries.oracle ++ AnalyticsQueries.oracle ++
+      StreamingQueries.oracle ++ CorpusQueries.oracle
 }

@@ -85,12 +85,19 @@ object GraftFunctions {
     (children: Seq[Expression]) => DotProduct(children.head, children(1)),
   )
 
+  val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getCanonicalName, "graft_bloom_contains"),
+    (children: Seq[Expression]) => BloomContains(children.head, children(1)),
+  )
+
   /** Idempotently register graft functions on an existing session (the
     * extension-less path; [[graft.plans.GraftExtensions]] is the
     * `spark.sql.extensions` path for sessions built with it).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotProductDescriptor, TopKAgg.descriptor, SimhashAgg.descriptor)
+    Seq(dotProductDescriptor, bloomContainsDescriptor,
+        TopKAgg.descriptor, SimhashAgg.descriptor)
       .foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

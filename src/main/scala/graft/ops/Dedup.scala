@@ -171,6 +171,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index — the deterministic counterpart of [[nearDuplicates]]:
+    * MinHash+LSH finds candidates *probabilistically* (a pair can be
+    * missed when no band agrees); this enumerates every pair sharing at
+    * least one surviving shingle, so for `maxShingleDf = 0` the output
+    * is the complete, exact Jaccard-≥-τ pair set (any pair with
+    * Jaccard > 0 shares a shingle by definition).
+    *
+    * Scale shape: the pair space is generated per posting list (the
+    * docs sharing one shingle), never all-pairs — cost Σ_sh df(sh)².
+    * That sum is dominated by stop-shingles: one boilerplate shingle
+    * appearing in 10⁶ docs alone yields 10¹² candidate rows. The
+    * `maxShingleDf` cap drops postings longer than the cap BEFORE the
+    * self-join, bounding candidates by maxDf · |postings| (linear in
+    * the corpus). The cap is the documented recall trade: a true pair
+    * is lost only if EVERY shared shingle is capped — and a shingle
+    * shared by millions of docs carries no near-dup signal. Set sizes
+    * (the Jaccard denominator) always come from the UNCAPPED relation,
+    * so reported similarities for surviving pairs stay exact.
+    */
+  def jaccardNearDup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      maxShingleDf: Int = 0): DataFrame = {
+    // consumed by sizes AND (possibly capped) by both join sides
+    val sh = shingleTable(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting =
+      if (maxShingleDf <= 0) sh
+      else {
+        // df over the shingle relation itself; the hot set (postings
+        // longer than the cap) is tiny by Zipf and broadcasts
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // explicit selects, not positional toDF: the using-column anti join
+    // above moves `sh` to the front of the schema when the cap is active
+    val inter = posting.select(col(idCol).as("id_a"), col("sh"))
+      .join(posting.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash as a relation: explode tokens, hash each ONCE, then a
     * single grouped aggregation with 16 conditional sums. Preferred over
     * the [[simhash]] Column form: Catalyst inlines a shared subexpression

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.dotProductDescriptor)
+    extensions.injectFunction(GraftFunctions.bloomContainsDescriptor)
     extensions.injectFunction(graft.functions.TopKAgg.descriptor)
     extensions.injectFunction(graft.functions.SimhashAgg.descriptor)
   }

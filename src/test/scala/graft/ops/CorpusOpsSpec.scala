@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator suite: exact n-gram Jaccard, bloom-pruned semi
+  * join, count-min heavy hitters, BM25, robust outliers, PageRank.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  test("jaccardNearDup: complete exact pair set at threshold") {
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles: {a b c, b c d, c d e}
+      (2L, "a b c d e"), // identical -> jaccard 1.0 with 1
+      (3L, "a b c d x"), // {a b c, b c d, c d x} -> 2/4 = 0.5 with 1/2
+      (4L, "z z z z z"), // {z z z} -> disjoint
+      (5L, "q r"),       // too short for 3-shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+  }
+
+  test("jaccardNearDup matches naive all-pairs Jaccard on a random-ish corpus") {
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 24L).map { i =>
+      val toks = (0 until 8).map(j => words(((i * 7 + j * 5) % 6).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.jaccardNearDup(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive: exact Jaccard over distinct 3-shingle sets, all pairs
+    val sets = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.3
+    } yield (a, b, j)).toSet
+    assert(fast == naive)
+  }
+
+  test("jaccardNearDup: maxShingleDf drops stop-shingle candidate fan-out only") {
+    // 'x x x' appears in every doc (stop shingle); the real pair shares more
+    val docs = Seq(
+      (1L, "x x x a b c d"),
+      (2L, "x x x a b c e"),
+      (3L, "x x x q r s t"),
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardNearDup(docs, "doc_id", "text",
+      threshold = 0.3, maxShingleDf = 2)
+    // pair (1,2) still found via its uncapped shared shingles (x x a/x a b/a b c)
+    val ids = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ids.contains((1L, 2L)))
+    // doc 3 shares ONLY the capped stop-shingle with 1/2 -> no pair survives
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ------------------------------------------------------ bloom-pruned join
+
+  test("BloomPrune.semiJoin equals the plain semi join") {
+    val fact = (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
+    val keys = Seq(3L, 9L, 27L, 81L, 243L, 999L).toDF("key")
+    val got = BloomPrune.semiJoin(fact, "k", keys, "key")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val want = fact.join(keys, col("k") === col("key"), "left_semi")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq(3L, 9L, 27L, 81L, 243L))
+  }
+
+  test("BloomContains: no false negatives; prunes most non-members") {
+    val keys = (0L until 200L).map(i => i * 13).toDF("key")
+    val bytes = BloomPrune.buildFilter(keys, "key", fpp = 0.01)
+    graft.functions.GraftFunctions.register(spark)
+    val probes = (0L until 5000L).toDF("k")
+      .select(col("k"),
+        call_function("graft_bloom_contains", col("k"), lit(bytes)).as("hit"))
+      .as[(Long, Boolean)].collect()
+    val members = probes.filter(p => p._1 % 13 == 0 && p._1 / 13 < 200)
+    assert(members.forall(_._2), "bloom filters must have no false negatives")
+    val nonMembers = probes.filterNot(p => p._1 % 13 == 0 && p._1 / 13 < 200)
+    val fpRate = nonMembers.count(_._2).toDouble / nonMembers.length
+    assert(fpRate < 0.05, s"false-positive rate $fpRate far above fpp")
+  }
+
+  // --------------------------------------------------- count-min heavy hits
+
+  test("cmsHeavyHitters: exact top-k with contract satisfied") {
+    // zipf-ish: item i appears 200/i times
+    val items = (1 to 20).flatMap(i => Seq.fill(200 / i)(s"term$i"))
+      .toDF("tok")
+    val out = Sketches.cmsHeavyHitters(items, "tok", k = 5, eps = 0.001)
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 5)
+    assert(out.map(_._1).head == "term1")
+    assert(out.map(_._2).toSeq == Seq(200L, 100L, 66L, 50L, 40L))
+    assert(out.forall(_._3), "CMS estimates must satisfy the epsilon contract")
+  }
+
+  // ------------------------------------------------------------------- bm25
+
+  test("bm25TopK: tf saturation and idf ordering behave") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "rare filler filler filler filler filler filler filler"),
+      (4L, "filler a b c d e f g"),
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      query = Seq("spark", "rare"), k = 10)
+      .as[(Long, Double)].collect()
+    val score = out.toMap
+    // doc3's term is rarer (df 1 vs 2) than doc2's -> higher idf, same tf/dl
+    assert(score(3L) > score(2L))
+    // more tf beats less tf at the same df/dl
+    assert(score(1L) > score(2L))
+    // doc4 matches nothing -> absent
+    assert(!score.contains(4L) && out.length == 3)
+  }
+
+  // --------------------------------------------------------- robust outliers
+
+  test("robustOutliers flags the injected spike and nothing else") {
+    val base = (1 to 101).map(i => (i.toLong, "a", 100.0 + (i % 11)))
+    val spike = Seq((999L, "a", 10000.0))
+    val df = (base ++ spike).toDF("id", "grp", "value")
+    val out = Outliers.robustOutliers(df, "grp", "value", threshold = 3.0)
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(999L))
+  }
+
+  test("robustOutliers: median/MAD resist 20% contamination (mean/std would not)") {
+    val inliers = (1 to 80).map(i => (i.toLong, "g", 50.0 + (i % 5)))
+    val outliers = (81 to 100).map(i => (i.toLong, "g", 100000.0 + i))
+    val df = (inliers ++ outliers).toDF("id", "grp", "value")
+    val flagged = Outliers.robustOutliers(df, "grp", "value", threshold = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == (81 to 100).map(_.toLong).toSet)
+  }
+
+  // ---------------------------------------------------------------- pagerank
+
+  test("pageRank: ranks sum to ~1 and the hub outranks leaves") {
+    // star graph: 1 <-> {2,3,4,5}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = PageRank.pageRank(pairs, iters = 3).as[(Long, Double)].collect().toMap
+    assert(out.size == 5)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out(1L) > out(2L) * 2, "hub must dominate leaves")
+    assert(Seq(2L, 3L, 4L, 5L).map(out).distinct.size == 1, "leaves are symmetric")
+  }
+
+  test("pageRank: uniform on a cycle (regular graph fixed point)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val out = PageRank.pageRank(pairs, iters = 3).as[(Long, Double)].collect().toMap
+    out.values.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / splitting for training-data curation: hash
+  * split (train/val/test), stratified sampling, target-mixture
+  * resampling, and per-domain quota capping.
+  *
+  * Why hash-based and not `df.sample()`: a training pipeline needs its
+  * split/sample decisions to be (a) stable across re-runs and cluster
+  * topologies — a document must land in `test` forever, or eval leaks —
+  * and (b) replayable by any other engine auditing the pipeline.
+  * `sample()` is seeded per-partition, so the same row flips subsets
+  * when partitioning changes; a content hash never does. Each decision
+  * here is a pure function of the row's key: u(key) < fraction, with
+  * u(key) the first 24 bits of md5 scaled to [0,1).
+  *
+  * Scale shape: every operator is one narrow projection/filter over the
+  * data (the hash evaluates inside the scan's codegen span, zero
+  * shuffle) plus, where per-group statistics are needed, a |groups|-row
+  * aggregate broadcast back. Nothing here sorts or windows the corpus
+  * globally; the quota cap windows WITHIN groups only.
+  *
+  * Cross-engine determinism: u(key) is an exact integer < 2²⁴ divided
+  * by 2²⁴ — both factors exactly representable as doubles, so every
+  * engine computes the identical IEEE value (`md5` being the only hash,
+  * as everywhere in graft). Derived fractions round to 6 decimals
+  * before any comparison.
+  */
+object Sampling {
+
+  /** u(key) ∈ [0,1): the first 6 hex chars of md5(key) as an exact
+    * 24-bit integer, scaled by 2⁻²⁴. Codegen'd end to end (md5, substr,
+    * conv are all built-ins).
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit((1 << 24).toDouble)
+
+  /** Leakage-safe split assignment: adds `split`, the label of the
+    * cumulative-fraction interval u(key) falls in. `splits` are
+    * (label, fraction) with fractions summing to ~1; the LAST label
+    * absorbs the remainder so every row is labeled. Group-level splits
+    * (all docs of one site/author together) are just `key = that
+    * grouping column` — the decision hashes whatever identity must not
+    * straddle the boundary.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val u = hashUniform(col(keyCol))
+    // decimal accumulation: 0.8 + 0.1 must be the boundary 0.9, not the
+    // double 0.9000000000000001 — replaying engines write exact literals
+    val cum = splits.scanLeft(BigDecimal(0)) { (acc, s) =>
+      acc + BigDecimal.valueOf(s._2)
+    }.tail.map(_.toDouble)
+    val labeled = splits.init.zip(cum.init).foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), bound)) => when(acc.isNull && u < bound, label).otherwise(acc)
+    }
+    df.withColumn("split", coalesce(labeled, lit(splits.last._1)))
+  }
+
+  /** Per-stratum Bernoulli sample at the given keep fractions: rows of
+    * strata absent from `fractions` are dropped. One broadcast join of
+    * the |strata|-row fraction relation + a codegen'd row filter.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fr = fractions.toSeq.toDF(strataCol, "keep_frac")
+    df.join(broadcast(fr), strataCol)
+      .filter(hashUniform(col(keyCol)) < col("keep_frac"))
+      .drop("keep_frac")
+  }
+
+  /** Resample to a target domain mixture, keeping as much data as
+    * possible: the binding domain (largest nᵈ/wᵈ deficit) keeps
+    * everything and every other domain downsamples to match, i.e.
+    * T = min_d(nᵈ/wᵈ), keep fraction fᵈ = round(wᵈ·T/nᵈ, 6). Domains
+    * not in `weights` drop. Two jobs: a |domains|-row count aggregate
+    * (collected — bounded by the domain vocabulary, never the corpus)
+    * to derive fᵈ, then one broadcast-join + filter pass over the data.
+    */
+  def mixtureResample(df: DataFrame, domainCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(domainCol).isin(weights.keys.toSeq.map(x => x: Any): _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val t = counts.map { case (d, n) => n.toDouble / weights(d) }.min
+    val fracs = counts.map { case (d, n) =>
+      (d, BigDecimal(weights(d) * t / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF(domainCol, "keep_frac")
+    df.join(broadcast(fracs), domainCol)
+      .filter(hashUniform(col(keyCol)) < col("keep_frac"))
+      .drop("keep_frac")
+  }
+
+  /** Per-domain quota: the top `n` rows of each group by `orderCol`
+    * descending (ties broken by ascending `tieCol`, so the cut is
+    * total and deterministic), with `rank_in_domain` attached. The
+    * window partitions by group — state is one group's rows, never the
+    * corpus; a skewed giant domain is the `Skew` salting case.
+    */
+  def quotaCap(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, n: Int): DataFrame =
+    df.withColumn("rank_in_domain",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(orderCol).desc, col(tieCol).asc)))
+      .filter(col("rank_in_domain") <= n)
+}

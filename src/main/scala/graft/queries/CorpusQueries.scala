@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BloomPrune, Dedup, Outliers, PageRank, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomPrune, Chunking, Dedup, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -109,6 +109,60 @@ object CorpusQueries {
       .orderBy("vec_id")
   }
 
+  /** Leakage-safe hash split ([[Sampling.hashSplit]], 80/10/10 on
+    * md5(doc_id)) summarized per (split, lang): the exact per-cell
+    * counts and char sums pin every row's assignment — one flipped
+    * document breaks two cells. The oracle replays u(key) = first 24
+    * md5 bits / 2²⁴ against the same cumulative bounds.
+    */
+  private val q98: Q = (s, dir) =>
+    Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+
+  /** Stratified sample ([[Sampling.stratifiedSample]]) at per-language
+    * fractions — row-level judged: every kept doc_id is in the output,
+    * so recall AND precision of the keep decision are hash-checked.
+    */
+  private val q99: Q = (s, dir) =>
+    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.125))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Target-mixture resample ([[Sampling.mixtureResample]]): skew four
+    * uniform source domains to 40/30/20/10. The oracle re-derives
+    * T = min(nᵈ/wᵈ) and fᵈ = round(wᵈ·T/nᵈ, 6) from its own counts,
+    * so the fraction computation — not just the filter — is judged.
+    */
+  private val q100: Q = (s, dir) =>
+    Sampling.mixtureResample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** Per-domain quota cap ([[Sampling.quotaCap]]): top-5 docs per
+    * source by n_chars, doc_id-ascending tiebreak — the "at most N
+    * documents per site" curation rule as a group-bounded window.
+    */
+  private val q101: Q = (s, dir) =>
+    Sampling.quotaCap(t(s, dir, "documents"), "source", "n_chars", "doc_id", n = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_domain"))
+      .orderBy("source", "rank_in_domain")
+
+  /** Overlapping chunking ([[Chunking.chunkTokens]], size 8 stride 6):
+    * chunk text is md5'd so the judged relation stays compact while
+    * still pinning every token of every chunk.
+    */
+  private val q102: Q = (s, dir) =>
+    Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        size = 8, stride = 6)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_toks"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   val all: Map[String, Q] = Map(
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
@@ -116,12 +170,25 @@ object CorpusQueries {
     "q95_bm25" -> q95,
     "q96_robust_outliers" -> q96,
     "q97_pagerank" -> q97,
+    "q98_hash_split" -> q98,
+    "q99_stratified_sample" -> q99,
+    "q100_mixture_resample" -> q100,
+    "q101_quota_cap" -> q101,
+    "q102_chunk_overlap" -> q102,
   )
 
   // ----------------------------------------------------------------- oracle
 
   private val bm25Terms = Seq("vector", "stream", "window")
   private val bm25TermList = bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** u(key)·2²⁴ in DuckDB: the first 6 md5 hex chars of the doc id as
+    * an exact integer — the replay of [[graft.ops.Sampling.hashUniform]].
+    * Declared BEFORE the oracle map that interpolates it: a plain val
+    * below the map would still be null during object initialization.
+    */
+  private val hashU24 =
+    "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
 
   /** The 3-iteration PageRank unroll: r0 = 1/N, then three grouped
     * contribution sums with the Spark side's exact rounding points.
@@ -226,5 +293,60 @@ object CorpusQueries {
         |ORDER BY event_id""".stripMargin,
 
     "q97_pagerank" -> pagerankOracle,
+
+    "q98_hash_split" ->
+      s"""WITH u AS (SELECT *, $hashU24 / 16777216.0 AS u
+         |           FROM documents d),
+         |lab AS (SELECT lang, n_chars,
+         |               CASE WHEN u < 0.8 THEN 'train'
+         |                    WHEN u < 0.9 THEN 'val'
+         |                    ELSE 'test' END AS split
+         |        FROM u)
+         |SELECT split, lang, count(*) AS n,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM lab GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q99_stratified_sample" ->
+      s"""WITH fr(lang, keep_frac) AS (VALUES
+         |  ('en', 0.5), ('es', 0.25), ('de', 0.25), ('fr', 0.125))
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN fr ON d.lang = fr.lang
+         |WHERE $hashU24 / 16777216.0 < fr.keep_frac
+         |ORDER BY doc_id""".stripMargin,
+
+    "q100_mixture_resample" ->
+      s"""WITH w(source, wt) AS (VALUES
+         |  ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+         |n AS (SELECT d.source, wt, count(*) AS n
+         |      FROM documents d JOIN w ON d.source = w.source GROUP BY 1, 2),
+         |t AS (SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM n),
+         |fr AS (SELECT source, round(wt * t.t / CAST(n AS DOUBLE), 6) AS keep_frac
+         |       FROM n, t)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN fr ON d.source = fr.source
+         |WHERE $hashU24 / 16777216.0 < fr.keep_frac
+         |ORDER BY doc_id""".stripMargin,
+
+    "q101_quota_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |                  row_number() OVER (PARTITION BY source
+        |                                     ORDER BY n_chars DESC, doc_id ASC)
+        |                    AS rank_in_domain
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars, rank_in_domain
+        |FROM r WHERE rank_in_domain <= 5
+        |ORDER BY source, rank_in_domain""".stripMargin,
+
+    "q102_chunk_overlap" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |starts AS (SELECT doc_id, w, g.s AS s
+         |           FROM w, UNNEST(generate_series(0, len(w) - 1, 6)) AS g(s)
+         |           WHERE len(w) > 0),
+         |ch AS (SELECT doc_id, s // 6 AS chunk_id,
+         |              w[s + 1 : least(s + 8, len(w))] AS toks
+         |       FROM starts)
+         |SELECT doc_id, chunk_id, len(toks) AS n_toks,
+         |       md5(array_to_string(toks, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

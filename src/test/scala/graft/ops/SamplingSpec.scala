@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling/splitting/chunking suite: hash-split stability, stratified
+  * keep semantics, mixture-resample fraction math, quota caps, and the
+  * chunk-overlap coverage law.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 400L)
+    .map(i => (i, s"src${i % 4}", (i * 37 % 97).toInt))
+    .toDF("id", "domain", "score")
+
+  // ------------------------------------------------------------ hashSplit
+
+  test("hashSplit: total, stable under repartitioning, near the asked fractions") {
+    val out = Sampling.hashSplit(docs, "id")
+    assert(out.filter(col("split").isNull).count() === 0)
+    val byLabel = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    // 400 rows, md5-uniform: 80/10/10 within a loose tolerance
+    assert(byLabel("train") > 280 && byLabel("train") < 360)
+    assert(byLabel("val") > 10 && byLabel("test") > 10)
+    // the same row keeps its split whatever the partitioning
+    val again = Sampling.hashSplit(docs.repartition(13), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("id", "split").as[(Long, String)].collect().toMap
+    assert(again === first)
+  }
+
+  test("hashSplit boundaries accumulate exactly (0.8 + 0.1 -> 0.9, not 0.9000…01)") {
+    // a key whose u lands in [0.9, 0.9000000000000001) would flip labels
+    // under double accumulation; assert label == the exact-decimal rule
+    val out = Sampling.hashSplit(docs, "id")
+      .withColumn("u", Sampling.hashUniform(col("id")))
+      .select("u", "split").as[(Double, String)].collect()
+    out.foreach { case (u, label) =>
+      val expect = if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+      assert(label === expect, s"u=$u")
+    }
+  }
+
+  // --------------------------------------------------- stratifiedSample
+
+  test("stratifiedSample: keeps only listed strata, decision is u < fraction") {
+    val fr = Map("src0" -> 0.5, "src1" -> 0.25)
+    val kept = Sampling.stratifiedSample(docs, "domain", "id", fr)
+      .select("id", "domain").as[(Long, String)].collect()
+    assert(kept.map(_._2).toSet.subsetOf(Set("src0", "src1")))
+    val keptIds = kept.map(_._1).toSet
+    docs.withColumn("u", Sampling.hashUniform(col("id")))
+      .select("id", "domain", "u").as[(Long, String, Double)].collect()
+      .foreach { case (id, dom, u) =>
+        val expect = fr.get(dom).exists(u < _)
+        assert(keptIds.contains(id) === expect, s"id=$id dom=$dom u=$u")
+      }
+  }
+
+  // ---------------------------------------------------- mixtureResample
+
+  test("mixtureResample: binding domain keeps all, fractions follow w·T/n") {
+    // src0..src3 have 100 rows each; weights 4:3:2:1 -> T = 100/0.4 = 250,
+    // f = (w·250)/100 -> src0 keeps 1.0, src1 0.75, src2 0.5, src3 0.25
+    val w = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val kept = Sampling.mixtureResample(docs, "domain", "id", w)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(kept("src0") === 100L) // f = 1.0: every row survives u < 1.0
+    // others: exact expected counts are data-dependent; assert ordering
+    // and rough proportionality of the realized mixture
+    assert(kept("src1") < 100L && kept("src2") < kept("src1") &&
+      kept("src3") < kept("src2"))
+  }
+
+  // ----------------------------------------------------------- quotaCap
+
+  test("quotaCap: at most n per group, ordered by score desc with id tiebreak") {
+    val out = Sampling.quotaCap(docs, "domain", "score", "id", n = 7)
+      .select("domain", "score", "id", "rank_in_domain")
+      .as[(String, Int, Long, Int)].collect()
+    val byDom = out.groupBy(_._1)
+    assert(byDom.forall(_._2.length <= 7))
+    byDom.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (-r._2, r._3))
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq ===
+        sorted.map(r => (r._2, r._3)).toSeq)
+    }
+    // the cut really is the global per-group top: nothing outside beats inside
+    import scala.math.Ordering.Implicits._
+    val keptMin = out.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(r => (r._2, -r._3)).min
+    }
+    val all = docs.as[(Long, String, Int)].collect()
+    all.foreach { case (id, dom, score) =>
+      val inside = out.exists(r => r._3 == id)
+      if (!inside) assert(((score, -id): (Int, Long)) <= keptMin(dom))
+    }
+  }
+
+  // --------------------------------------------------------- chunkTokens
+
+  test("chunkTokens: stride coverage law — every token appears, overlap = size - stride") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""), (3L, "x"))
+      .toDF("id", "text")
+    val chunks = Chunking.chunkTokens(df, "id", "text", size = 4, stride = 3)
+      .select("id", "chunk_id", "n_toks", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(c => (c._1, c._2))
+    // empty doc -> no chunks; single token -> one 1-token chunk
+    assert(!chunks.exists(_._1 == 2L))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0, 1L, "x")))
+    val c1 = chunks.filter(_._1 == 1L)
+    // starts 0,3,6,9 over 11 tokens
+    assert(c1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(c1.map(_._4).toSeq == Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9 t10"))
+    // adjacent chunks share exactly size - stride = 1 token
+    c1.sliding(2).foreach { case Array(a, b) =>
+      val overlap = a._4.split(" ").toSet intersect b._4.split(" ").toSet
+      assert(overlap.size === 1)
+    case _ => ()
+    }
+  }
+}

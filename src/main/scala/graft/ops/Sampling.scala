@@ -99,6 +99,48 @@ object Sampling {
       .drop("keep_frac")
   }
 
+  /** Temperature-scaled mixture: resample so the realized mixture is
+    * pᵈ ∝ nᵈ^α (α = 1 keeps the natural mixture, α → 0 approaches
+    * uniform across domains) — the standard multilingual-corpus rebalance
+    * that upweights low-resource domains without discarding the head
+    * entirely. Because keep fractions are scale-free in the weight
+    * normalization, the rule collapses to the closed form
+    * fᵈ = round((n_min / nᵈ)^(1−α), 6): the smallest domain keeps
+    * everything, every larger one downsamples by its size ratio raised
+    * to 1−α. Same two-job shape as [[mixtureResample]]: a |domains|-row
+    * count aggregate, then one broadcast-join + codegen filter pass.
+    */
+  def temperatureResample(df: DataFrame, domainCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val nMin = counts.values.min
+    val fracs = counts.map { case (d, n) =>
+      (d, BigDecimal(math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF(domainCol, "keep_frac")
+    df.join(broadcast(fracs), domainCol)
+      .filter(hashUniform(col(keyCol)) < col("keep_frac"))
+      .drop("keep_frac")
+  }
+
+  /** Exactly `k` rows per stratum, uniform without replacement: rank
+    * rows within each stratum by u(key) (ties broken by the key itself,
+    * so the order is total) and keep rank ≤ k. Unlike fraction-based
+    * sampling this guarantees the sample SIZE — the fixed-size held-out
+    * eval set — while staying deterministic and replayable. Window
+    * state is one stratum's rows, never the corpus.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int): DataFrame =
+    df.withColumn("sample_rank",
+        row_number().over(Window.partitionBy(col(strataCol))
+          .orderBy(hashUniform(col(keyCol)).asc, col(keyCol).asc)))
+      .filter(col("sample_rank") <= k)
+
   /** Per-domain quota: the top `n` rows of each group by `orderCol`
     * descending (ties broken by ascending `tieCol`, so the cut is
     * total and deterministic), with `rank_in_domain` attached. The

@@ -103,7 +103,7 @@ object CorpusQueries {
   private val q97: Q = (s, dir) => {
     val pairs = Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 4)
+      threshold = 0.35, numPlanes = 8)
     PageRank.pageRank(pairs, iters = 3, damping = 0.85)
       .select(col("id").as("vec_id"), col("rank"))
       .orderBy("vec_id")
@@ -163,6 +163,25 @@ object CorpusQueries {
         col("n_toks"), md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Temperature resample ([[Sampling.temperatureResample]], α = 0.5)
+    * across languages — row-level judged; the oracle re-derives the
+    * closed-form keep fractions fᵈ = round((n_min/nᵈ)^0.5, 6) from its
+    * own per-language counts.
+    */
+  private val q103: Q = (s, dir) =>
+    Sampling.temperatureResample(t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Exact-k uniform sample per stratum ([[Sampling.exactKPerStratum]],
+    * k = 50 per language): both membership AND the hash-order rank are
+    * judged, so the full within-stratum ordering is pinned.
+    */
+  private val q104: Q = (s, dir) =>
+    Sampling.exactKPerStratum(t(s, dir, "documents"), "lang", "doc_id", k = 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
   val all: Map[String, Q] = Map(
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
@@ -175,6 +194,8 @@ object CorpusQueries {
     "q100_mixture_resample" -> q100,
     "q101_quota_cap" -> q101,
     "q102_chunk_overlap" -> q102,
+    "q103_temperature_resample" -> q103,
+    "q104_exact_k_sample" -> q104,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -204,7 +225,7 @@ object CorpusQueries {
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${ExtQueries.embCte},
-       |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes4)} AS bucket,
+       |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes8)} AS bucket,
        |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
@@ -348,5 +369,28 @@ object CorpusQueries {
          |SELECT doc_id, chunk_id, len(toks) AS n_toks,
          |       md5(array_to_string(toks, ' ')) AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q103_temperature_resample" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |mn AS (SELECT min(n) AS nmin FROM n),
+         |fr AS (SELECT lang,
+         |              round(pow(CAST(mn.nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 6)
+         |                AS keep_frac
+         |       FROM n, mn)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN fr ON d.lang = fr.lang
+         |WHERE $hashU24 / 16777216.0 < fr.keep_frac
+         |ORDER BY doc_id""".stripMargin,
+
+    "q104_exact_k_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |                  row_number() OVER (
+         |                    PARTITION BY lang
+         |                    ORDER BY $hashU24 / 16777216.0 ASC, doc_id ASC)
+         |                    AS sample_rank
+         |           FROM documents d)
+         |SELECT doc_id, lang, sample_rank
+         |FROM r WHERE sample_rank <= 50
+         |ORDER BY lang, sample_rank""".stripMargin,
   )
 }

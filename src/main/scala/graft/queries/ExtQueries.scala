@@ -471,7 +471,7 @@ object ExtQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
-  private val planes8 = Similarity.lshPlanes(8, 64)
+  private[queries] val planes8 = Similarity.lshPlanes(8, 64)
   private[queries] val planes4 = Similarity.lshPlanes(4, 64)
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")

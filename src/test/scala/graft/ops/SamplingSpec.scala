@@ -74,6 +74,54 @@ class SamplingSpec extends SparkSpec {
       kept("src3") < kept("src2"))
   }
 
+  // ------------------------------------------------- temperatureResample
+
+  test("temperatureResample: smallest domain keeps all, fractions follow (n_min/n)^(1-a)") {
+    // skewed domains: 40/80/120/160 rows
+    val skewed = (1L to 400L).map { i =>
+      val dom = if (i <= 40) "a" else if (i <= 120) "b" else if (i <= 240) "c" else "d"
+      (i, dom)
+    }.toDF("id", "domain")
+    val kept = Sampling.temperatureResample(skewed, "domain", "id", alpha = 0.5)
+    val byDom = kept.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byDom("a") === 40L) // f = 1.0: the smallest domain survives whole
+    // replay the closed form row by row: keep iff u < round((40/n)^0.5, 6)
+    val n = Map("a" -> 40.0, "b" -> 80.0, "c" -> 120.0, "d" -> 160.0)
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    skewed.withColumn("u", Sampling.hashUniform(col("id")))
+      .as[(Long, String, Double)].collect().foreach { case (id, dom, u) =>
+        val f = BigDecimal(math.pow(40.0 / n(dom), 0.5))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(keptIds.contains(id) === (u < f), s"id=$id dom=$dom u=$u f=$f")
+      }
+    // alpha = 1 is the identity: natural mixture untouched
+    assert(Sampling.temperatureResample(skewed, "domain", "id", alpha = 1.0)
+      .count() === 400L)
+  }
+
+  // --------------------------------------------------- exactKPerStratum
+
+  test("exactKPerStratum: exactly k per stratum, ranked by hash order, stable under repartitioning") {
+    val out = Sampling.exactKPerStratum(docs, "domain", "id", k = 11)
+      .select("id", "domain", "sample_rank").as[(Long, String, Int)].collect()
+    val byDom = out.groupBy(_._2)
+    assert(byDom.keySet === Set("src0", "src1", "src2", "src3"))
+    byDom.values.foreach { rows =>
+      assert(rows.length === 11) // strata have 100 rows each: k binds
+      assert(rows.map(_._3).sorted.toSeq === (1 to 11))
+    }
+    // membership = the k smallest u values of the stratum
+    val u = docs.withColumn("u", Sampling.hashUniform(col("id")))
+      .select("id", "domain", "u").as[(Long, String, Double)].collect()
+    u.groupBy(_._2).foreach { case (dom, rows) =>
+      val expect = rows.sortBy(r => (r._3, r._1)).take(11).map(_._1).toSet
+      assert(byDom(dom).map(_._1).toSet === expect, s"dom=$dom")
+    }
+    val again = Sampling.exactKPerStratum(docs.repartition(13), "domain", "id", k = 11)
+      .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+    assert(again === out.map(r => (r._1, r._3)).toMap)
+  }
+
   // ----------------------------------------------------------- quotaCap
 
   test("quotaCap: at most n per group, ordered by score desc with id tiebreak") {

@@ -31,12 +31,15 @@ object CorpusQueries {
   /** EXACT n-gram Jaccard near-dup pairs ([[Dedup.jaccardNearDup]]):
     * the inverted-shingle-index complement of q21's MinHash — same
     * contract (3-shingles, Jaccard ≥ 0.5) but the complete pair set,
-    * not LSH candidates. Uncapped here (the judged corpus has no
-    * stop-shingles); `maxShingleDf` is the documented 100 TB lever.
+    * not LSH candidates. The judged shape runs WITH the stop-shingle
+    * cap active (df ≤ 1000 — the 100 TB lever that bounds posting-list
+    * quadratic blowup); the oracle replays the same cap. At every test
+    * scale max df is 25, so the cap shapes the plan without binding —
+    * on a Zipf web corpus it is what keeps the join sub-quadratic.
     */
   private val q92: Q = (s, dir) =>
     Dedup.jaccardNearDup(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleK = 3)
+        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
       .orderBy("id_a", "id_b")
 
   /** Bloom-pruned semi join ([[BloomPrune.semiJoin]] over the native
@@ -248,8 +251,10 @@ object CorpusQueries {
          |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
          |       WHERE len(w) >= 3),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard

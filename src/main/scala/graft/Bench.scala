@@ -8,25 +8,38 @@ import org.apache.spark.sql.SparkSession
   * under-measure), and prints one JSON line.
   *
   * Methodology (pinned in round 3 — the round-2 adaptive early-exit
-  * recorded warm-up for some queries and mislabeled them regressions):
+  * recorded warm-up for some queries and mislabeled them regressions;
+  * measurement-integrity layer added in round 7 after the round-6
+  * artifact shipped contaminated numbers):
   *  - FIXED iteration count per query: `warmups` discarded runs, then
   *    `measured` timed runs. No early exit — the first execution of a
   *    plan pays whole-stage-codegen compilation + JIT tiering (3-10x
-  *    steady state), and convergence under a 70-query sweep takes more
-  *    runs than alone because the JVM's JIT profiles are polluted by
-  *    neighboring queries.
+  *    steady state), and convergence under a 100+-query sweep takes
+  *    more runs than alone because the JVM's JIT profiles are polluted
+  *    by neighboring queries.
+  *  - CONVERGENCE RE-MEASURE: after the fixed runs, while the
+  *    min/median gap exceeds 30% (the unconverged-measurement tell the
+  *    round-6 audit used) and budget remains, the query gets up to 3
+  *    extra measured runs. A noisy neighbor (page cache, GC, another
+  *    process) inflates single runs; extra samples let min/median
+  *    re-converge instead of shipping the noise.
   *  - `queries` reports the MIN over measured runs (the standard
-  *    steady-state estimator under one-sided noise; also what rounds 1-2
+  *    steady-state estimator under one-sided noise; what every round
   *    reported, so round-over-round comparison stays apples-to-apples);
   *    `queries_median` reports the median for a noise-robust second
-  *    opinion — a big min/median gap flags an unconverged measurement
-  *    rather than a slow plan.
+  *    opinion; `queries_runs` reports HOW MANY measured runs each
+  *    number rests on — a 1-run entry is machine-visible, not a
+  *    forensic min==median inference (the round-6 artifact's failure
+  *    mode).
+  *  - the global soft budget SCALES WITH THE QUERY COUNT
+  *    (max(460, 6·|queries|) s): the round-6 sweep shipped with the
+  *    84-query budget against 104 queries, so the alphabetic tail ran
+  *    once, unconverged. Past the budget, remaining queries degrade to
+  *    1 warm-up + 2 measured (min/median still meaningful) and record
+  *    their run count; past 1.5× budget, to 1+1.
   *  - the codegen class cache is raised from its 100-entry default:
-  *    71 queries x 5 runs would otherwise evict and recompile each
+  *    104 queries × 5+ runs would otherwise evict and recompile each
   *    other's generated classes mid-sweep.
-  *  - Global soft budget: past it, remaining queries get 1 warm-up +
-  *    1 measured run — keeps the sweep's wall-clock bounded no matter
-  *    how noisy the host is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,7 +61,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "460").toDouble
+    val nQueries = SparkEntry.queries.size
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(math.max(460.0, 6.0 * nQueries))
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
     val sweepStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - sweepStart) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -60,28 +76,47 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      val (nWarm, nMeas) = if (elapsedSec > budgetSec) (1, 1) else (warmups, measured)
+      val (nWarm, nMeas) =
+        if (elapsedSec > 1.5 * budgetSec) (1, 1)
+        else if (elapsedSec > budgetSec) (1, 2)
+        else (warmups, measured)
       var failed: Option[String] = None
-      val times =
+      var times =
         try {
           (0 until nWarm).foreach(_ => once())
           (0 until nMeas).map(_ => once()).sorted
         } catch {
           case e: Throwable => failed = Some(e.getMessage); Seq.empty[Double]
         }
+      // convergence re-measure: a >30% min/median gap means at least one
+      // run caught host noise — add samples while budget remains
+      def gapTooWide: Boolean =
+        times.size >= 2 && times(times.size / 2) > 1.3 * times.head
+      var extra = 0
+      while (failed.isEmpty && gapTooWide && extra < maxExtra &&
+          elapsedSec < 1.5 * budgetSec) {
+        try { times = (times :+ once()).sorted }
+        catch { case e: Throwable => failed = Some(e.getMessage) }
+        extra += 1
+      }
       if (failed.isDefined)
         System.err.println(s"[bench] $name failed: ${failed.get}")
       val mn = if (times.isEmpty) -1.0 else times.head
       val med = if (times.isEmpty) -1.0 else times(times.size / 2)
-      (name, mn, med)
+      (name, mn, med, times.size)
     }
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (n, mn, _) => n -> mn })
-    val med = obj(results.map { case (n, _, md) => n -> md })
+    def objL(kv: Seq[(String, Long)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (n, mn, _, _) => n -> mn })
+    val med = obj(results.map { case (n, _, md, _) => n -> md })
+    val runs = objL(results.map { case (n, _, _, r) => n -> r.toLong })
     val total = results.map(_._2).sum
+    val nOneRun = results.count(_._4 < 2)
+    val nWideGap = results.count { case (_, mn, md, r) => r >= 2 && md > 1.3 * mn }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
     // Full-detail artifact: the driver snapshots only the LAST 2000 chars
     // of stdout, which amputated the full per-query JSON in rounds 1-4
     // (BENCH_r0N.json "parsed": null). The complete JSON goes to a repo
@@ -94,8 +129,8 @@ object Bench {
     // build.sbt sets `Global / showSuccess := false` so no sbt "[success]"
     // line lands after it inside the captured tail.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val shortQs = obj(results.map { case (n, mn, _) => n.takeWhile(_ != '_') -> r3(mn) })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","full":"$outPath"}""")
+    val shortQs = obj(results.map { case (n, mn, _, _) => n.takeWhile(_ != '_') -> r3(mn) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -162,13 +162,17 @@ object Dedup {
     val sizes = sig.select(col(idCol), col("n_shingles").as("n"))
     val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val pairs = inter
       .join(sizes.toDF("id_a", "n_a").join(broadcast(idsA), "id_a", "leftsemi"), "id_a")
       .join(sizes.toDF("id_b", "n_b").join(broadcast(idsB), "id_b", "leftsemi"), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Materialize the (candidate-proportional) pair list and RELEASE the
+    // three pins — the un-persist-on-completion contract. Without it the
+    // corpus-sized shingle cache outlives the call in a long session.
+    CacheLifecycle.resolveAndRelease(pairs, sh, sig, cand)
   }
 
   /** EXACT n-gram Jaccard near-duplicate pairs via an inverted shingle
@@ -197,6 +201,19 @@ object Dedup {
     // consumed by sizes AND (possibly capped) by both join sides
     val sh = shingleTable(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair list, release the shingle pin (see
+    // [[CacheLifecycle]]) — the output is candidate-proportional
+    CacheLifecycle.resolveAndRelease(
+      jaccardFromShingles(sh, idCol, threshold, maxShingleDf), sh)
+  }
+
+  /** The lazy pair plan of [[jaccardNearDup]] over an already-built
+    * (id, sh) shingle relation — exposed so the plan-guard spec can pin
+    * the physical shape (the active stop-shingle anti join) that the
+    * checkpointed public result hides.
+    */
+  private[graft] def jaccardFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double, maxShingleDf: Int): DataFrame = {
     val posting =
       if (maxShingleDf <= 0) sh
       else {

@@ -29,6 +29,16 @@ object Outliers {
   /** Rows whose |value − median| exceeds `threshold` robust standard
     * deviations (MAD · 1.4826, the normal-consistency constant):
     * original columns + `med`, `mad`, `robust_z`.
+    *
+    * MAD = 0 policy (a group where >50% of values are identical): the
+    * robust z is UNDEFINED there, so `robust_z` is null and the group
+    * flags nothing. The naive division would yield Infinity for every
+    * non-median row (flagging half a constant-heavy group) and NaN for
+    * value == med — and engines disagree on ±0/NaN division and NaN
+    * ordering, so the guard is also what keeps the op replayable
+    * cross-engine. A degenerate group needs a different detector
+    * (exact frequency, not dispersion); the explicit null says so
+    * instead of manufacturing flags.
     */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double = 3.0): DataFrame = {
@@ -41,7 +51,8 @@ object Outliers {
       .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
     withMed.join(broadcast(mad), groupCol)
       .withColumn("robust_z",
-        round(abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6))
+        when(col("mad") > 0,
+          round(abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad")), 6)))
       .filter(col("robust_z") > threshold)
   }
 }

@@ -52,6 +52,9 @@ object PageRank {
         .agg(round(lit(teleport) + lit(damping) * sum(col("c")).cast("double"), 12)
           .as("rank"))
     }
-    ranks
+    // materialize the |V|-row rank relation and release the edge pin —
+    // the un-persist-on-completion contract ([[CacheLifecycle]]);
+    // repeated calls in one session must not accumulate cached blocks
+    CacheLifecycle.resolveAndRelease(ranks, edgesDeg)
   }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Keyword retrieval scoring over the token relation — the ranking step
   * between a text corpus and a search/eval harness. BM25 extends q61's
@@ -10,12 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * saturation (Robertson/Spärck Jones; the public formula every search
   * engine documents).
   *
-  * Scale shape: per-term statistics (df) and per-document statistics
-  * (dl) are grouped aggregates over the token relation; the query-term
-  * filter lands BEFORE the tf aggregation, so the scored relation is
-  * |query terms| × matching docs, never the corpus × vocabulary. The
-  * global (N, avgdl) pair is a 1-row aggregate broadcast back — never a
-  * keyless window. Top-k is a rank-and-limit on the scored relation.
+  * Scale shape: ONE tokenization pass over the corpus feeds everything.
+  * A single grouped aggregate computes, per document, the length `dl`
+  * AND one conditional term-frequency counter per query term (map-side
+  * combined), so the corpus is scanned and shuffled exactly once; the
+  * |docs|-row per-doc statistics relation is pinned (not the many-×
+  * larger token relation) and feeds the global (N, avgdl) aggregate,
+  * the per-term document frequencies, and the scoring join. df and the
+  * global stats broadcast back. Top-k is a rank-and-limit on the scored
+  * relation. The pin is released on completion
+  * ([[CacheLifecycle.resolveAndRelease]]).
   *
   * Cross-engine determinism: each term's contribution is computed in
   * doubles on identical operands, rounded to 9 decimals, and summed as
@@ -30,14 +34,41 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark: SparkSession = docs.sparkSession
-    val toks = TextAnalysis.tokenTable(docs, idCol, textCol)
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val qToks = toks.filter(col("tok").isin(query.map(x => x: Any): _*))
-    val tf = qToks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = qToks.dropDuplicates(idCol, "tok")
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perDoc = perDocStats(docs, idCol, textCol, query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.resolveAndRelease(
+      rankFromStats(perDoc, idCol, query, k, k1, b), perDoc)
+  }
+
+  /** One row per document: `dl` (token count) plus one conditional
+    * term-frequency column `__tf{i}` per query term — the single corpus
+    * scan + single shuffle everything downstream derives from.
+    */
+  private[graft] def perDocStats(docs: DataFrame, idCol: String,
+      textCol: String, query: Seq[String]): DataFrame =
+    TextAnalysis.tokenTable(docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"),
+        query.zipWithIndex.map { case (t, i) =>
+          count(when(col("tok") === t, 1)).as(s"__tf$i")
+        }: _*)
+
+  /** The lazy scoring plan over an already-built per-doc stats relation
+    * — exposed so the plan-guard spec can pin the one-scan shape the
+    * checkpointed public result hides.
+    */
+  private[graft] def rankFromStats(perDoc: DataFrame, idCol: String,
+      query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // unpivot the per-term counters back to (id, dl, tok, tf > 0) rows —
+    // |query terms| map entries per doc, filtered before any join
+    val tf = perDoc
+      .select(col(idCol), col("dl"),
+        explode(map(query.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"__tf$i"))
+        }: _*)).as(Seq("tok", "tf")))
+      .filter(col("tf") > 0)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -47,7 +78,6 @@ object Retrieval {
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     val scored = tf
       .join(broadcast(dfreq), "tok")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         round(contrib, 9).cast(DecimalType(28, 10)).as("c"))

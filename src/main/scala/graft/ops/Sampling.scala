@@ -90,6 +90,11 @@ object Sampling {
     val counts = df.filter(col(domainCol).isin(weights.keys.toSeq.map(x => x: Any): _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
+    // a clear error beats the bare UnsupportedOperationException `.min`
+    // on an empty collection would throw on the driver
+    require(counts.nonEmpty,
+      s"mixtureResample: no rows in any weighted domain " +
+        s"(${weights.keys.toSeq.sorted.mkString(", ")})")
     val t = counts.map { case (d, n) => n.toDouble / weights(d) }.min
     val fracs = counts.map { case (d, n) =>
       (d, BigDecimal(weights(d) * t / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -117,6 +122,7 @@ object Sampling {
     import spark.implicits._
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
+    require(counts.nonEmpty, "temperatureResample: input has no rows")
     val nMin = counts.values.min
     val fracs = counts.map { case (d, n) =>
       (d, BigDecimal(math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha))

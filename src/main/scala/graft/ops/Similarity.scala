@@ -221,9 +221,11 @@ object Similarity {
           s => s.getField("m")).as("cv"))
         .withColumn("cnrm", sqrt(ndot(col("cv"), col("cv"))))
     }
-    // e stays persisted for the returned (lazy) plan — callers / the
-    // bench clear caches between queries, matching nearDuplicates
-    assign(cents).select(col(idCol), col("cell"), col("sim"))
+    // materialize the final assignment (the operator's output — one
+    // narrow row per vector) and release the normalized-vector pin
+    // ([[CacheLifecycle]]'s un-persist-on-completion contract)
+    CacheLifecycle.resolveAndRelease(
+      assign(cents).select(col(idCol), col("cell"), col("sim")), e)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space

@@ -456,11 +456,14 @@ object AnalyticsQueries {
         count(lit(1)).as("n_cust"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = byNation.agg(sum(col("bal")).as("total_bal"))
-    byNation.crossJoin(broadcast(total))
+    val shares = byNation.crossJoin(broadcast(total))
       .select(col("nation_name"), col("n_cust"),
         col("bal").cast("double").as("sum_bal"),
         round(col("bal").cast("double") / col("total_bal").cast("double"), 6).as("share"))
       .orderBy("nation_name")
+    // materialize the |nations|-row result, release the aggregate pin
+    // (graft.ops.CacheLifecycle's un-persist-on-completion contract)
+    graft.ops.CacheLifecycle.resolveAndRelease(shares, byNation)
   }
 
   /** The full text-dedup composition: MinHash near-dup pairs (q21) →

@@ -65,13 +65,19 @@ object CorpusQueries {
     * ≤ exact + ⌈ε·N⌉ verified against the distributed sketch; the
     * oracle recomputes the exact counts and emits literal TRUE. A
     * drifting sketch, a broken merge, or a bound violation all break
-    * the hash.
+    * the hash. Confidence carries the UNION-BOUND budget for the k = 20
+    * judged items (per-item δ = 5·10⁻⁶ ⇒ P(any of 20 exceeding ε·N)
+    * ≤ 10⁻⁴): the per-item bound holds only with probability
+    * `confidence`, so at the old 0.999 a legitimate sketch had ~2%
+    * odds of one judged item exceeding the bound — an intermittent
+    * hash flake by construction, not a bug. The deeper sketch
+    * (depth ⌈log₂(1/δ)⌉ = 18 rows vs 10) is still well under a MB.
     */
   private val q94: Q = (s, dir) =>
     Sketches.cmsHeavyHitters(
         TextAnalysis.tokenTable(t(s, dir, "documents"), "doc_id", "text")
           .select(col("tok")),
-        "tok", k = 20, eps = 0.001, confidence = 0.999, seed = 42)
+        "tok", k = 20, eps = 0.001, confidence = 1.0 - 5e-6, seed = 42)
       .orderBy(col("exact_n").desc, col("term"))
 
   /** BM25 top-20 ([[Retrieval.bm25TopK]]) for a fixed 3-term query —
@@ -315,7 +321,8 @@ object CorpusQueries {
         |SELECT e.event_id, e.event_type, e.value,
         |       round(abs(e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
         |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
-        |WHERE round(abs(e.value - m.med) / (1.4826 * d.mad), 6) > 3.0
+        |WHERE d.mad > 0
+        |  AND round(abs(e.value - m.med) / (1.4826 * d.mad), 6) > 3.0
         |ORDER BY event_id""".stripMargin,
 
     "q97_pagerank" -> pagerankOracle,

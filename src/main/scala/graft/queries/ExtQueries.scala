@@ -403,7 +403,7 @@ object ExtQueries {
     val keepers = base.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    base.filter(col("doc_id") % 20 =!= 7).select(col("doc_id"))
+    val gate = base.filter(col("doc_id") % 20 =!= 7).select(col("doc_id"))
       .join(signals, "doc_id")
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -412,6 +412,10 @@ object ExtQueries {
       .select(col("doc_id"), round(col("quality"), 6).as("quality"),
         round(col("dup_token_frac"), 6).as("dup_token_frac"))
       .orderBy("doc_id")
+    // Materialize the gate's keep set (3 narrow columns — the relation
+    // the pipeline writes anyway) and release the token-array base pin:
+    // graft.ops.CacheLifecycle's un-persist-on-completion contract.
+    graft.ops.CacheLifecycle.resolveAndRelease(gate, base)
   }
 
   val all: Map[String, Q] = Map(

@@ -46,9 +46,14 @@ object StreamingQueries {
     * [[RefQueries.events]]); converted to a microsecond timestamp before
     * any event-time op.
     */
+  // one footer-read job per path per session lifetime, not per query —
+  // the schema of a static test table never changes mid-run
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
     // the file stream source requires a *directory* base path. The
     // driver's tables are single FILES (events.parquet), so the base is
     // the parent dir + a glob narrowing the listing to that file; a

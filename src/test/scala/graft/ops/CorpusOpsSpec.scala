@@ -92,6 +92,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fpRate < 0.05, s"false-positive rate $fpRate far above fpp")
   }
 
+  test("BloomPrune.semiJoin: string keys — insert/probe representations agree") {
+    // regression: the round-6 shape inserted native-typed keys but probed
+    // cast("long"); string keys produced null probes -> every true match
+    // silently dropped (false negatives). Canonicalization fixes it.
+    val fact = (1 to 300).map(i => (s"user$i", i)).toDF("uid", "v")
+    val keys = Seq("user7", "user70", "user170", "ghost").toDF("key")
+    val got = BloomPrune.semiJoin(fact, "uid", keys, "key")
+      .orderBy("uid").as[(String, Int)].collect().toSeq
+    val want = fact.join(keys, col("uid") === col("key"), "left_semi")
+      .orderBy("uid").as[(String, Int)].collect().toSeq
+    assert(got == want && got.map(_._1) == Seq("user170", "user7", "user70"))
+  }
+
+  test("BloomPrune.semiJoin: int fact key against long key column still matches") {
+    val fact = (1 to 100).map(i => (i, i * 2)).toDF("k", "v") // k is Int
+    val keys = Seq(3L, 9L, 999L).toDF("key")                  // key is Long
+    val got = BloomPrune.semiJoin(fact, "k", keys, "key")
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    assert(got == Seq(3, 9))
+  }
+
+  test("BloomPrune.semiJoin rejects mixed integral/non-integral key pairs") {
+    val fact = Seq((1L, "x")).toDF("k", "v")
+    val keys = Seq("1").toDF("key")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(fact, "k", keys, "key")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   // --------------------------------------------------- count-min heavy hits
 
   test("cmsHeavyHitters: exact top-k with contract satisfied") {
@@ -145,6 +175,20 @@ class CorpusOpsSpec extends SparkSpec {
     val flagged = Outliers.robustOutliers(df, "grp", "value", threshold = 3.0)
       .select("id").as[Long].collect().toSet
     assert(flagged == (81 to 100).map(_.toLong).toSet)
+  }
+
+  test("robustOutliers: MAD=0 group flags nothing (undefined z, not Infinity)") {
+    // >50% identical values -> mad 0: the naive division would flag every
+    // non-median row via Infinity (and value==med via NaN ordering)
+    val constantHeavy = (1 to 10).map(i => (i.toLong, "c", 5.0)) ++
+      Seq((11L, "c", 6.0), (12L, "c", 1e9))
+    val healthy = (1 to 101).map(i => (100L + i, "h", 100.0 + (i % 11))) :+
+      (999L, "h", 10000.0)
+    val df = (constantHeavy ++ healthy).toDF("id", "grp", "value")
+    val out = Outliers.robustOutliers(df, "grp", "value", threshold = 3.0)
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(out.forall(_._2 == "h"), s"mad=0 group must flag nothing: ${out.toSeq}")
+    assert(out.map(_._1).toSeq == Seq(999L), "healthy group still flags its spike")
   }
 
   // ---------------------------------------------------------------- pagerank

@@ -169,4 +169,23 @@ class SamplingSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  // ----------------------------------------------------- empty-input guards
+
+  test("mixtureResample/temperatureResample: clear error on empty input") {
+    val empty = docs.filter(col("id") < 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(empty, "domain", "id", Map("src0" -> 1.0))
+    }
+    assert(e1.getMessage.contains("no rows"))
+    // weighted domains absent from a NON-empty frame is the same error
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(docs, "domain", "id", Map("nope" -> 1.0))
+    }
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.temperatureResample(empty, "domain", "id", alpha = 0.5)
+    }
+    assert(e3.getMessage.contains("no rows"))
+  }
 }

@@ -83,17 +83,46 @@ object StreamingQueries {
     // file commit (+ fsync) per operator per micro-batch, so 32
     // partitions of near-empty state made replay commit-bound (q74 was
     // 4.6 s at sf0.1 — ~3x the next streaming query — almost entirely
-    // HDFSStateStore commits). 4 partitions bounds per-partition state
-    // at ~state/4 — right for a bounded replay; a continuous 100 TB/day
-    // deployment sizes this to expected live state instead (the
-    // partition count, not the operator shape, is the deployment knob).
+    // HDFSStateStore commits). 2 partitions bounds per-partition state
+    // at ~state/2 — right for a bounded replay (a stream-stream join
+    // pays 4 store commits per partition per batch, so partitions are
+    // the multiplier); a continuous 100 TB/day deployment sizes this to
+    // expected live state instead (the partition count, not the
+    // operator shape, is the deployment knob).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // The replay watermark (10 years > any event-time span) means the
+    // trailing no-data micro-batch can never emit or evict anything —
+    // it exists to finalize watermark-gated state, and nothing is
+    // watermark-gated here (append shapes emit immediately, aggregate
+    // shapes run Complete). Skip it: one fewer full commit cycle
+    // (offset log + state commit per store per partition) per query.
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // A bounded replay-verification checkpoint is ephemeral by
+    // construction (AvailableNow → memory sink, deleted on completion):
+    // park it on tmpfs when the host has one, so the per-batch state
+    // commits don't pay disk fsyncs. A durable deployment points this
+    // at reliable storage — durability is a sink/checkpoint choice, not
+    // part of the operator semantics under test.
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_$name"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_$name"
     val q =
       try df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckRoot)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     q.awaitTermination()
+    // ephemeral by contract (see above) — remove eagerly, not at exit
+    def rmCk(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmCk)
+      f.delete(); ()
+    }
+    rmCk(new java.io.File(ckRoot))
     // Detach the result from the memory sink's session-global temp view
     // before dropping it (localCheckpoint materializes the rows), so a
     // long-lived session does not accumulate one full result copy per

@@ -243,7 +243,7 @@ object AnalyticsQueries {
   private val q57: Q = (s, dir) => {
     val pairs = graft.ops.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 4)
+      threshold = 0.35, numPlanes = 8)
     Dedup.duplicateClusters(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
@@ -258,7 +258,7 @@ object AnalyticsQueries {
   private val q77: Q = (s, dir) => {
     val pairs = graft.ops.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 4)
+      threshold = 0.35, numPlanes = 8)
     Dedup.duplicateClustersStar(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
@@ -607,7 +607,7 @@ object AnalyticsQueries {
     */
   private lazy val dupClustersOracle: String =
     s"""WITH RECURSIVE ${ExtQueries.embCte},
-       |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes4)} AS bucket,
+       |b AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes8)} AS bucket,
        |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b

@@ -125,10 +125,16 @@ object ExtQueries {
     Similarity.ivfQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 5, numCentroids = 8, nprobe = 2)
 
-  /** Embedding near-dup pairs: 4-plane LSH blocking + cosine ≥ 0.35. */
+  /** Embedding near-dup pairs: 8-plane LSH blocking + cosine ≥ 0.35.
+    * Plane count follows the round-6 q97 rule — planes ∝
+    * log₂(n/target-bucket), and 8 is the widest that keeps the
+    * sf0.001 judged graph non-empty; at sf1 it cuts candidate pairs
+    * ~6× vs 4 planes for the same judged output discipline (the
+    * oracle replays the identical 8-plane buckets).
+    */
   private val q28: Q = (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 4)
+        threshold = 0.35, numPlanes = 8)
       .orderBy("id_a", "id_b")
 
   /** Multimodal metadata: text payload treated as an opaque binary blob —
@@ -246,12 +252,15 @@ object ExtQueries {
   }
 
   /** Semantic dedup composition: embedding near-dup pairs (q28's LSH
-    * blocking) joined back to document metadata — the cross-modal step a
-    * real pipeline runs before dropping semantic duplicates.
+    * blocking, same 8-plane width) joined back to document metadata —
+    * the cross-modal step a real pipeline runs before dropping semantic
+    * duplicates. The round-7 sf1 sweep caught this query still on the
+    * 4-plane graph (17.2 s — the one super-linear entry); the pair
+    * relation, not the metadata join, was the cost.
     */
   private val q44: Q = (s, dir) => {
     val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 4)
+      threshold = 0.35, numPlanes = 8)
     val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     pairs
       .join(meta.toDF("id_a", "lang_a"), "id_a")
@@ -476,7 +485,6 @@ object ExtQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   private[queries] val planes8 = Similarity.lshPlanes(8, 64)
-  private[queries] val planes4 = Similarity.lshPlanes(4, 64)
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -590,7 +598,7 @@ object ExtQueries {
 
     "q28_embedding_neardup" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, v, ${duckBucket(planes4)} AS bucket FROM e)
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e)
          |SELECT a.vec_id AS id_a, bb.vec_id AS id_b, ${cosSql("a.v", "bb.v")} AS sim
          |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
@@ -605,7 +613,7 @@ object ExtQueries {
 
     "q44_semantic_dedup" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, v, ${duckBucket(planes4)} AS bucket,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket,
          |             sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,

@@ -240,6 +240,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional n-gram CONTAINMENT near-duplicates over the same
+    * inverted shingle index as [[jaccardNearDup]]: for a pair (A, B),
+    * containment(A in B) = |A∩B| / |A|. Jaccard misses the
+    * quote/subset case a web corpus is full of — a short document
+    * wholly contained in a long one has low Jaccard (the union is
+    * dominated by the long side) but containment 1.0. Returns
+    * (id_a, id_b, cont_a_in_b, cont_b_in_a) for pairs whose LARGER
+    * containment clears `threshold`; both directions ship so the
+    * caller can pick keep-longest / keep-shortest policy downstream.
+    *
+    * Scale shape and the `maxShingleDf` stop-shingle cap are exactly
+    * [[jaccardNearDup]]'s — pair space per posting list, sizes from
+    * the uncapped relation, cost Σ df². Same un-persist-on-completion
+    * contract.
+    */
+  def containmentNearDup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleK: Int = 3,
+      maxShingleDf: Int = 0): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.resolveAndRelease(
+      containmentFromShingles(sh, idCol, threshold, maxShingleDf), sh)
+  }
+
+  /** Lazy plan of [[containmentNearDup]] over a built shingle relation
+    * (plan-guard hook, mirroring [[jaccardFromShingles]]).
+    */
+  private[graft] def containmentFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double, maxShingleDf: Int): DataFrame = {
+    val posting =
+      if (maxShingleDf <= 0) sh
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = posting.select(col(idCol).as("id_a"), col("sh"))
+      .join(posting.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / col("n_a").cast("double"))
+          .as("cont_a_in_b"),
+        (col("n_inter").cast("double") / col("n_b").cast("double"))
+          .as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** SimHash as a relation: explode tokens, hash each ONCE, then a
     * single grouped aggregation with 16 conditional sums. Preferred over
     * the [[simhash]] Column form: Catalyst inlines a shared subexpression

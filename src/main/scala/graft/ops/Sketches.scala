@@ -45,4 +45,52 @@ object Sketches {
       }
       .toDF("term", "exact_n", "within_bound")
   }
+
+  /** Rank-error contract for `percentile_approx` — the judged scale
+    * path the exact-percentile queries (q42/q48/q96) document as their
+    * 100 TB escape hatch: exact percentiles concentrate each group's
+    * values into one aggregation buffer, the sketch keeps per-group
+    * state at O(accuracy) regardless of group size.
+    *
+    * Spark's `percentile_approx` is a Greenwald–Khanna summary with a
+    * DETERMINISTIC guarantee (unlike the probabilistic CMS/HLL
+    * contracts of q94/q56/q69): the returned value is an element of
+    * the group whose rank r satisfies |r − p·n| ≤ ε·n with
+    * ε = 1/accuracy — always, not with some confidence. The contract
+    * verdict re-derives that rank EXACTLY: one broadcast join of the
+    * |groups|-row approx relation back onto the data, one conditional
+    * count pass (`< approx` and `≤ approx` bound the duplicate-value
+    * rank range), and a closed-form bound check with ±1 slack for the
+    * floor/ceil boundary conventions. Output: (group, n,
+    * within_<name> per requested percentile) — the oracle recomputes
+    * n and emits literal TRUE, so a drifting sketch breaks the hash.
+    */
+  def approxPercentileContract(df: DataFrame, groupCol: String,
+      valueCol: String, percentiles: Seq[(String, Double)],
+      accuracy: Int = 1000): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    val eps = 1.0 / accuracy
+    val approx = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(percentiles.map(p => lit(p._2)): _*), lit(accuracy)).as("__ap"))
+    val ap = approx.select(
+      col(groupCol) +: percentiles.zipWithIndex.map { case ((nm, _), i) =>
+        col("__ap")(i).as(s"__ap_$nm")
+      }: _*)
+    val aggs = count(lit(1)).as("n") +: percentiles.flatMap { case (nm, _) =>
+      Seq(count(when(col(valueCol) < col(s"__ap_$nm"), 1)).as(s"__lo_$nm"),
+        count(when(col(valueCol) <= col(s"__ap_$nm"), 1)).as(s"__hi_$nm"))
+    }
+    val counts = df.join(broadcast(ap), groupCol)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    counts.select(
+      col(groupCol) +: col("n") +: percentiles.map { case (nm, p) =>
+        // duplicate values give the returned element the rank RANGE
+        // (lo, hi]; the guarantee holds iff that range intersects
+        // [p·n − ε·n, p·n + ε·n]
+        ((col(s"__hi_$nm").cast("double") >= lit(p - eps) * col("n") - 1) &&
+          (col(s"__lo_$nm").cast("double") <= lit(p + eps) * col("n") + 1))
+          .as(s"within_$nm")
+      }: _*)
+  }
 }

@@ -191,7 +191,37 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("sample_rank"))
       .orderBy("lang", "sample_rank")
 
+  /** Approx-percentile rank contract ([[Sketches
+    * .approxPercentileContract]], GK sketch, accuracy 1000): per
+    * event type, the sketch's p50/p95 must sit within ε = 10⁻³ rank
+    * error of their exact positions — verified exactly Spark-side, the
+    * oracle emits literal TRUE. This is the judged form of the scale
+    * escape hatch q42/q48/q96 document: per-group sketch state is
+    * O(accuracy) where exact percentiles buffer the whole group. The
+    * GK guarantee is deterministic, so unlike the probabilistic q94
+    * contract there is no flake budget at all.
+    */
+  private val q105: Q = (s, dir) =>
+    Sketches.approxPercentileContract(RefQueries.events(s, dir),
+        "event_type", "value", Seq("p50" -> 0.5, "p95" -> 0.95),
+        accuracy = 1000)
+      .orderBy("event_type")
+
+  /** Directional n-gram containment near-dup ([[Dedup
+    * .containmentNearDup]], 3-shingles, max-side containment ≥ 0.6,
+    * stop-shingle cap 1000): the quote/subset detector Jaccard misses —
+    * a short document inside a long one scores containment ~1.0 but
+    * low Jaccard. Same inverted-index pair space and cap as q92; the
+    * oracle replays both directional ratios.
+    */
+  private val q106: Q = (s, dir) =>
+    Dedup.containmentNearDup(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, shingleK = 3, maxShingleDf = 1000)
+      .orderBy("id_a", "id_b")
+
   val all: Map[String, Q] = Map(
+    "q105_approx_percentile" -> q105,
+    "q106_ngram_containment" -> q106,
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
     "q94_cms_topk" -> q94,
@@ -251,6 +281,34 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // deterministic GK rank guarantee: the oracle recomputes n and
+    // emits literal TRUE per contract column
+    "q105_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |       true AS within_p50, true AS within_p95
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q106_ngram_containment" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
+         |       CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE),
+         |               CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q92_ngram_jaccard" ->
       s"""WITH ${ExtQueries.tokensCte},
          |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh

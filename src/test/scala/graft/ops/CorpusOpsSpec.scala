@@ -64,6 +64,71 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // --------------------------------------------------- n-gram containment
+
+  test("containmentNearDup: subset doc scores 1.0 where Jaccard stays low") {
+    val docs = Seq(
+      (1L, "a b c d"),                               // shingles {abc, bcd} — inside 2
+      (2L, "a b c d e f g h i j k l m n o p q r"),   // long superset
+      (3L, "z y x w v u"),                           // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentNearDup(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 2.0 / 16.0)))
+    // the same pair is invisible to Jaccard at any reasonable threshold
+    val jac = Dedup.jaccardNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .count()
+    assert(jac == 0)
+  }
+
+  test("containmentNearDup matches naive directional containment") {
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 20L).map { i =>
+      val len = 4 + (i % 5).toInt
+      (i, (0 until len).map(j => words(((i * 7 + j * 5) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val sets = docs.as[(Long, String)].collect().map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      if inter > 0
+      ca = inter.toDouble / sets(a).size
+      cb = inter.toDouble / sets(b).size
+      if math.max(ca, cb) >= 0.5
+    } yield (a, b, ca, cb)).toSet
+    assert(fast == naive)
+  }
+
+  // ----------------------------------------------- approx-percentile bound
+
+  test("approxPercentileContract: GK rank bound holds; broken bound detected") {
+    val df = (1 to 10000).map(i => (i.toLong, if (i % 2 == 0) "g0" else "g1",
+      (i * 37 % 9973).toDouble)).toDF("id", "grp", "value")
+    val out = Sketches.approxPercentileContract(df, "grp", "value",
+      Seq("p50" -> 0.5, "p95" -> 0.95), accuracy = 1000)
+      .as[(String, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("g0", "g1"))
+    assert(out.forall(r => r._2 == 5000L && r._3 && r._4))
+    // sanity of the verdict arithmetic: a deliberately wrong "sketch
+    // value" (the group's minimum posing as p95) must fail the bound
+    val broken = df.groupBy(col("grp")).agg(min(col("value")).as("__ap_p95"))
+    val n = df.join(broadcast(broken), "grp")
+      .groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("__ap_p95"), 1)).as("lo"),
+        count(when(col("value") <= col("__ap_p95"), 1)).as("hi"))
+      .select(col("grp"),
+        ((col("hi").cast("double") >= lit(0.95 - 0.001) * col("n") - 1) &&
+          (col("lo").cast("double") <= lit(0.95 + 0.001) * col("n") + 1)).as("ok"))
+      .as[(String, Boolean)].collect()
+    assert(n.forall(!_._2), "minimum-as-p95 must violate the rank bound")
+  }
+
   // ------------------------------------------------------ bloom-pruned join
 
   test("BloomPrune.semiJoin equals the plain semi join") {

@@ -240,6 +240,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CROSS-CORPUS exact Jaccard near-dup — the incremental-dedup shape
+    * a production pipeline actually runs: a new crawl/batch is checked
+    * against the already-indexed corpus, never against itself. Returns
+    * directional (new_id, corpus_id, jaccard ≥ threshold) pairs.
+    *
+    * Scale shape: the pair space is Σ_sh df_new(sh)·df_corpus(sh) —
+    * proportional to the BATCH, not the corpus, for any shingle the
+    * cap keeps (the batch side is orders of magnitude smaller, so the
+    * posting product is bounded by df_new · cap). `maxShingleDf` caps
+    * the CORPUS side's posting lists (the Zipf tail lives there); the
+    * batch side joins uncapped — a capped corpus shingle simply
+    * contributes no candidates. Set sizes (the Jaccard denominator)
+    * come from each side's own uncapped shingle relation, so surviving
+    * pairs stay exact. Same un-persist-on-completion contract as
+    * [[jaccardNearDup]].
+    */
+  def crossJaccardNearDup(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      shingleK: Int = 3, maxShingleDf: Int = 0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shNew = shingleTable(newDf, idCol, textCol, shingleK).persist(lvl)
+    val shOld = shingleTable(corpusDf, idCol, textCol, shingleK).persist(lvl)
+    val posting =
+      if (maxShingleDf <= 0) shOld
+      else {
+        val hot = shOld.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("sh")
+        shOld.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
+    val sizesOld = shOld.groupBy(col(idCol)).agg(count(lit(1)).as("n_b"))
+    val inter = shNew.select(col(idCol).as("new_id"), col("sh"))
+      .join(posting.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(sizesNew.toDF("new_id", "n_a"), "new_id")
+      .join(sizesOld.toDF("corpus_id", "n_b"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    CacheLifecycle.resolveAndRelease(pairs, shNew, shOld)
+  }
+
   /** Directional n-gram CONTAINMENT near-duplicates over the same
     * inverted shingle index as [[jaccardNearDup]]: for a pair (A, B),
     * containment(A in B) = |A∩B| / |A|. Jaccard misses the

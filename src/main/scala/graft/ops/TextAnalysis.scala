@@ -31,6 +31,34 @@ object TextAnalysis {
     df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
+  /** Per-document token-distribution (Shannon) entropy in nats:
+    * H = ln n − (Σ_t c_t·ln c_t)/n over the token frequencies — the
+    * cheap perplexity proxy a curation pipeline uses to catch
+    * degenerate text from both ends (H ≈ 0: one token repeated; high
+    * H at a given length: near-unique tokens, i.e. noise/UUID soup).
+    *
+    * Scale shape: two grouped aggregations over the token relation
+    * (per-(doc, token) counts, then per-doc), both map-side combined —
+    * no windows, no corpus-wide state. Cross-engine determinism: each
+    * c·ln c term is computed in doubles on identical integer operands,
+    * rounded to 9 and summed as DECIMAL (order-invariant — the q95
+    * discipline for ln-bearing sums); the final entropy rounds to 6.
+    * Tokenless documents are absent from the output (H undefined).
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = tokenTable(df, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("s"))
+      .select(col(idCol),
+        round(log(col("n").cast("double")) -
+          col("s").cast("double") / col("n").cast("double"), 6)
+          .as("token_entropy"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

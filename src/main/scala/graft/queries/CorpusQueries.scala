@@ -219,9 +219,61 @@ object CorpusQueries {
         threshold = 0.6, shingleK = 3, maxShingleDf = 1000)
       .orderBy("id_a", "id_b")
 
+  /** Split-leakage audit: the eval-integrity check a training pipeline
+    * runs before shipping a split — near-duplicate pairs (q92's exact
+    * Jaccard relation) crossed with the q98 hash-split labels, counted
+    * per unordered split pair. Off-diagonal rows ARE leakage: a test
+    * document with a train-side near-dup is a contaminated eval. The
+    * diagonal rows pin the non-leaky mass so the judged relation is
+    * never vacuously empty. Pure composition — one |pairs|-sized join
+    * against the split labels, nothing corpus-shaped beyond q92.
+    */
+  private val q107: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+    val splits = Sampling.hashSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.toDF("id_a", "split_a"), "id_a")
+      .join(splits.toDF("id_b", "split_b"), "id_b")
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  /** Token-distribution entropy ([[TextAnalysis.tokenEntropy]]) per
+    * document — the perplexity-proxy quality signal (degenerate-low
+    * AND noise-high ends both matter). ln-bearing terms follow q95's
+    * round-9 + DECIMAL-sum discipline so the oracle replays bit-equal.
+    */
+  private val q108: Q = (s, dir) =>
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Incremental cross-corpus dedup ([[Dedup.crossJaccardNearDup]]):
+    * a quarter of the corpus plays the incoming crawl batch
+    * (doc_id ≡ 1 mod 4), checked against the indexed remainder — the
+    * pair space is batch-proportional, the production shape where
+    * self-dedup of the full corpus would be wasted work. Corpus-side
+    * stop-shingle cap active as in q92.
+    */
+  private val q109: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.crossJaccardNearDup(
+        docs.filter(col("doc_id") % 4 === 1),
+        docs.filter(col("doc_id") % 4 =!= 1),
+        "doc_id", "text", threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+      .orderBy("new_id", "corpus_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
     "q106_ngram_containment" -> q106,
+    "q107_split_leakage" -> q107,
+    "q108_token_entropy" -> q108,
+    "q109_cross_dedup" -> q109,
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
     "q94_cms_topk" -> q94,
@@ -308,6 +360,69 @@ object CorpusQueries {
          |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE),
          |               CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q107_split_leakage" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |lab AS (SELECT doc_id,
+         |               CASE WHEN $hashU24 / 16777216.0 < 0.8 THEN 'train'
+         |                    WHEN $hashU24 / 16777216.0 < 0.9 THEN 'val'
+         |                    ELSE 'test' END AS split
+         |        FROM documents d)
+         |SELECT least(la.split, lb.split) AS split_lo,
+         |       greatest(la.split, lb.split) AS split_hi,
+         |       count(*) AS n_pairs
+         |FROM pairs
+         |JOIN lab la ON la.doc_id = id_a
+         |JOIN lab lb ON lb.doc_id = id_b
+         |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+
+    "q108_token_entropy" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(c) AS n,
+         |               sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+         |                        AS DECIMAL(28,10))) AS s
+         |        FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |       round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |         AS token_entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q109_cross_dedup" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |newsh AS (SELECT * FROM sh WHERE doc_id % 4 = 1),
+         |oldsh AS (SELECT * FROM sh WHERE doc_id % 4 <> 1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM oldsh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM oldsh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |          FROM newsh a JOIN post b ON a.sh = b.sh
+         |          GROUP BY 1, 2)
+         |SELECT new_id, corpus_id,
+         |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = new_id
+         |JOIN sizes nb ON nb.doc_id = corpus_id
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q92_ngram_jaccard" ->
       s"""WITH ${ExtQueries.tokensCte},

@@ -104,6 +104,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("crossJaccardNearDup equals the cross-pair restriction of the full dedup") {
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 24L).map { i =>
+      (i, (0 until 8).map(j => words(((i * 7 + j * 5) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 4 === 1)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    val cross = Dedup.crossJaccardNearDup(newDocs, corpus, "doc_id", "text",
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val full = Dedup.jaccardNearDup(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 4 == 1) != (b % 4 == 1) }.toSet
+    assert(cross == full && cross.nonEmpty)
+  }
+
+  test("tokenEntropy: closed-form cases") {
+    val docs = Seq(
+      (1L, "x x x x"),          // single token -> H = 0
+      (2L, "a b c d"),          // uniform distinct -> H = ln 4
+      (3L, "a a b b"),          // two tokens twice -> H = ln 2
+      (4L, ""),                 // tokenless -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(4)) < 1e-6)
+    assert(math.abs(out(3L) - math.log(2)) < 1e-6)
+    assert(!out.contains(4L) && out.size == 3)
+  }
+
   // ----------------------------------------------- approx-percentile bound
 
   test("approxPercentileContract: GK rank bound holds; broken bound detected") {

@@ -262,6 +262,17 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shNew = shingleTable(newDf, idCol, textCol, shingleK).persist(lvl)
     val shOld = shingleTable(corpusDf, idCol, textCol, shingleK).persist(lvl)
+    CacheLifecycle.resolveAndRelease(
+      crossFromShingles(shNew, shOld, idCol, threshold, maxShingleDf),
+      shNew, shOld)
+  }
+
+  /** Lazy pair plan of [[crossJaccardNearDup]] over built batch/corpus
+    * shingle relations (plan-guard hook, mirroring
+    * [[jaccardFromShingles]]).
+    */
+  private[graft] def crossFromShingles(shNew: DataFrame, shOld: DataFrame,
+      idCol: String, threshold: Double, maxShingleDf: Int): DataFrame = {
     val posting =
       if (maxShingleDf <= 0) shOld
       else {
@@ -276,14 +287,13 @@ object Dedup {
       .join(posting.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")),
         col("sh") === col("sh_b"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_inter"))
-    val pairs = inter
+    inter
       .join(sizesNew.toDF("new_id", "n_a"), "new_id")
       .join(sizesOld.toDF("corpus_id", "n_b"), "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    CacheLifecycle.resolveAndRelease(pairs, shNew, shOld)
   }
 
   /** Directional n-gram CONTAINMENT near-duplicates over the same

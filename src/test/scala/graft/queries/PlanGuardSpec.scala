@@ -102,6 +102,27 @@ class PlanGuardSpec extends SparkSpec {
       s"the hot-shingle side must broadcast (it is tiny by Zipf):\n${anti.get}")
   }
 
+  test("q106/q109: the stop-shingle cap anti join survives in both new dedup shapes") {
+    import org.apache.spark.sql.functions.col
+    val sh = graft.ops.Dedup.shingleTable(docs, "doc_id", "text", k = 3)
+    val pContain = graft.ops.Dedup
+      .containmentFromShingles(sh, "doc_id", threshold = 0.6, maxShingleDf = 1000)
+      .queryExecution.executedPlan.toString
+    assert(pContain.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"containment must keep the broadcast stop-shingle anti join:\n$pContain")
+    val shNew = graft.ops.Dedup.shingleTable(
+      docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", k = 3)
+    val shOld = graft.ops.Dedup.shingleTable(
+      docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text", k = 3)
+    val pCross = graft.ops.Dedup
+      .crossFromShingles(shNew, shOld, "doc_id", threshold = 0.5, maxShingleDf = 1000)
+      .queryExecution.executedPlan.toString
+    assert(pCross.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"cross-dedup must broadcast-anti-join the corpus-side hot set:\n$pCross")
+  }
+
   test("q98 hash split: pure scan-shaped projection, zero exchanges") {
     val p = graft.ops.Sampling.hashSplit(docs, "doc_id")
       .queryExecution.executedPlan.toString

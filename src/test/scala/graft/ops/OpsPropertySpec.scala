@@ -253,4 +253,68 @@ class OpsPropertySpec extends SparkSpec {
         Multimodal.decodePpm(full.take(full.length - cut)))
     }
   }
+
+  // ------------------------------------------------------ round-7 operators
+
+  private val corpusCase: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    for {
+      n <- Gen.choose(6, 18)
+      docs <- Gen.listOfN(n, Gen.choose(0, 9).flatMap(len =>
+        Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+  }
+
+  test("property: token entropy bounded by ln(distinct), permutation-invariant") {
+    forAll(corpusCase) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val h = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+        .as[(Long, Double)].collect().toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) assert(!h.contains(id))
+        else {
+          val hd = h(id)
+          assert(hd >= -1e-9, s"entropy must be non-negative, got $hd")
+          assert(hd <= math.log(toks.distinct.length.toDouble) + 1e-6,
+            s"entropy exceeds ln(distinct) for doc $id")
+          // permutation invariance: H is a function of the multiset
+          val perm = toks.reverse.mkString(" ")
+          val hp = TextAnalysis.tokenEntropy(
+            Seq((id, perm)).toDF("doc_id", "text"), "doc_id", "text")
+            .as[(Long, Double)].collect().head._2
+          assert(hp == hd, s"entropy must be token-order invariant")
+        }
+      }
+    }
+  }
+
+  test("property: containment ratios in (0,1], superset direction reaches 1") {
+    forAll(corpusCase) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Dedup.containmentNearDup(df, "doc_id", "text", threshold = 0.0)
+        .as[(Long, Long, Double, Double)].collect()
+      out.foreach { case (a, b, cab, cba) =>
+        assert(a < b)
+        assert(cab > 0 && cab <= 1.0 + 1e-12, s"cont($a in $b)=$cab out of range")
+        assert(cba > 0 && cba <= 1.0 + 1e-12, s"cont($b in $a)=$cba out of range")
+      }
+    }
+  }
+
+  test("property: cross dedup == side-filtered full dedup on random corpora") {
+    forAll(corpusCase, n = 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val newDf = df.filter(col("doc_id") % 3 === 0)
+      val oldDf = df.filter(col("doc_id") % 3 =!= 0)
+      val cross = Dedup.crossJaccardNearDup(newDf, oldDf, "doc_id", "text",
+          threshold = 0.2)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+      val full = Dedup.jaccardNearDup(df, "doc_id", "text", threshold = 0.2)
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }.toSet
+      assert(cross == full)
+    }
+  }
 }

@@ -48,8 +48,11 @@ object Sampling {
     * straddle the boundary.
     */
   def hashSplit(df: DataFrame, keyCol: String,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val u = hashUniform(col(keyCol))
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    df.withColumn("split", splitLabel(hashUniform(col(keyCol)), splits))
+
+  /** The label of the cumulative-fraction interval `u` falls in. */
+  private def splitLabel(u: Column, splits: Seq[(String, Double)]): Column = {
     // decimal accumulation: 0.8 + 0.1 must be the boundary 0.9, not the
     // double 0.9000000000000001 — replaying engines write exact literals
     val cum = splits.scanLeft(BigDecimal(0)) { (acc, s) =>
@@ -58,7 +61,34 @@ object Sampling {
     val labeled = splits.init.zip(cum.init).foldLeft(lit(null).cast("string")) {
       case (acc, ((label, _), bound)) => when(acc.isNull && u < bound, label).otherwise(acc)
     }
-    df.withColumn("split", coalesce(labeled, lit(splits.last._1)))
+    coalesce(labeled, lit(splits.last._1))
+  }
+
+  /** LEAKAGE-SAFE-BY-CONSTRUCTION split: near-duplicate CLUSTERS move
+    * as one unit. [[hashSplit]] keyed on the document id guarantees
+    * stability but not isolation — a near-dup pair can straddle the
+    * train/test boundary (exactly what the q107 audit counts). Here
+    * every document hashes on its CLUSTER REPRESENTATIVE (the
+    * component-minimum id from [[Dedup.duplicateClusters]] over
+    * `pairs`; documents in no pair represent themselves), so by
+    * construction no pair — in fact no connected component — ever
+    * straddles a split. The audit over this split is all-diagonal.
+    *
+    * Scale shape: the cluster relation is one row per document that
+    * appears in a near-dup pair (≪ corpus for a deduped-ish corpus) —
+    * the left join against it is the only addition over [[hashSplit]],
+    * and the split decision itself stays a pure content-hash function
+    * of the representative (stable when unrelated data arrives; a
+    * cluster only moves splits if ITS membership changes, which is the
+    * price of isolation).
+    */
+  def clusterSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs).toDF(keyCol, "__rep")
+    df.join(clusters, Seq(keyCol), "left")
+      .withColumn("split",
+        splitLabel(hashUniform(coalesce(col("__rep"), col(keyCol))), splits))
+      .drop("__rep")
   }
 
   /** Per-stratum Bernoulli sample at the given keep fractions: rows of

@@ -268,12 +268,31 @@ object CorpusQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Leakage-safe-BY-CONSTRUCTION split ([[Sampling.clusterSafeSplit]]):
+    * the remediation for what q107 audits — documents hash on their
+    * near-dup-cluster representative, so no connected component ever
+    * straddles a split. Row-level judged (every document's split is
+    * pinned); the oracle re-derives the cluster minima with a
+    * recursive-CTE closure over the same q92 pair relation and replays
+    * the same md5-24-bit split decision on the representative.
+    */
+  private val q110: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
+        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+      .select(col("id_a"), col("id_b"))
+    Sampling.clusterSafeSplit(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
     "q106_ngram_containment" -> q106,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
+    "q110_cluster_safe_split" -> q110,
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
     "q94_cms_topk" -> q94,
@@ -423,6 +442,41 @@ object CorpusQueries {
          |JOIN sizes nb ON nb.doc_id = corpus_id
          |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "q110_cluster_safe_split" ->
+      s"""WITH RECURSIVE ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |u AS (SELECT doc_id,
+         |             CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT)
+         |               / 16777216.0 AS u
+         |      FROM lab)
+         |SELECT doc_id,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "q92_ngram_jaccard" ->
       s"""WITH ${ExtQueries.tokensCte},

@@ -170,6 +170,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- cluster-safe split
+
+  test("clusterSafeSplit: components never straddle; non-dup docs keep hashSplit") {
+    val corpus = (1L to 300L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    // components {1,2,3} (chain) and {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.clusterSafeSplit(corpus, "id", pairs)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 300)
+    // isolation by construction
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(10L) == out(11L))
+    // clustered docs take the REPRESENTATIVE's hash label
+    val rep = Sampling.hashSplit(Seq((1L, 0), (10L, 0)).toDF("id", "x"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out(3L) == rep(1L) && out(11L) == rep(10L))
+    // documents in no pair are labeled exactly as plain hashSplit
+    val plain = Sampling.hashSplit(corpus, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (1L to 300L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(out(i) == plain(i), s"singleton $i must keep its hashSplit label")
+    }
+  }
+
   // ----------------------------------------------------- empty-input guards
 
   test("mixtureResample/temperatureResample: clear error on empty input") {

@@ -240,6 +240,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Keep-BEST dedup resolution: one keeper per near-dup connected
+    * component by an explicit score (descending, id-ascending
+    * tiebreak), instead of the keep-first convention of
+    * [[exactDupGroups]]. A pipeline usually wants the most complete
+    * version of duplicated content (longest text, highest quality
+    * score), not the lowest id. Documents in no pair form singleton
+    * clusters and keep themselves. Output: the input columns plus
+    * `cluster_id` (component minimum; singletons: own id) and
+    * `is_keeper`.
+    *
+    * Scale shape: the cluster relation is one row per document that
+    * appears in a pair (≪ corpus when dup rate is sane) joined back
+    * onto the data; the keeper choice is a window WITHIN clusters —
+    * state bounded by the largest cluster, never the corpus (a
+    * pathological mega-cluster is a data-quality signal upstream dedup
+    * should have collapsed).
+    */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val clusters = duplicateClusters(pairs).toDF(idCol, "cluster_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
   /** CROSS-CORPUS exact Jaccard near-dup — the incremental-dedup shape
     * a production pipeline actually runs: a new crawl/batch is checked
     * against the already-indexed corpus, never against itself. Returns

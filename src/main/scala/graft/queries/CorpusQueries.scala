@@ -286,8 +286,26 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-best dedup resolution ([[Dedup.keepBest]]): one keeper per
+    * q92 near-dup component, chosen by n_chars (keep the most complete
+    * version) with doc_id tiebreak. Row-level judged — every
+    * document's cluster assignment AND keep decision is pinned; the
+    * oracle re-derives components with a recursive-CTE closure and
+    * replays the same window.
+    */
+  private val q111: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardNearDup(docs, "doc_id", "text",
+        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(docs, "doc_id", pairs, "n_chars")
+      .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
+    "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
@@ -442,6 +460,36 @@ object CorpusQueries {
          |JOIN sizes nb ON nb.doc_id = corpus_id
          |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "q111_keep_best" ->
+      s"""WITH RECURSIVE ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |lab AS (SELECT d.doc_id, d.n_chars, coalesce(cl.rep, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q110_cluster_safe_split" ->
       s"""WITH RECURSIVE ${ExtQueries.tokensCte},

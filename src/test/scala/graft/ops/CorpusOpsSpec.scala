@@ -136,6 +136,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains(4L) && out.size == 3)
   }
 
+  test("keepBest: argmax-score keeper per component, singletons keep themselves") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L), // component {1,2,3} -> keeper 2
+      (10L, 7L), (11L, 7L),            // component {10,11}, tied score -> keeper 10
+      (20L, 1L),                        // singleton
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, "id", pairs, "score")
+      .select("id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true)))
+  }
+
   // ----------------------------------------------- approx-percentile bound
 
   test("approxPercentileContract: GK rank bound holds; broken bound detected") {

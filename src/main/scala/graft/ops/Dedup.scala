@@ -189,11 +189,15 @@ object Dedup {
     * appearing in 10⁶ docs alone yields 10¹² candidate rows. The
     * `maxShingleDf` cap drops postings longer than the cap BEFORE the
     * self-join, bounding candidates by maxDf · |postings| (linear in
-    * the corpus). The cap is the documented recall trade: a true pair
-    * is lost only if EVERY shared shingle is capped — and a shingle
-    * shared by millions of docs carries no near-dup signal. Set sizes
-    * (the Jaccard denominator) always come from the UNCAPPED relation,
-    * so reported similarities for surviving pairs stay exact.
+    * the corpus). The cap is the documented trade: a true pair is lost
+    * only if EVERY shared shingle is capped — and a shingle shared by
+    * millions of docs carries no near-dup signal. Set sizes (the
+    * Jaccard denominator) always come from the UNCAPPED relation, and
+    * with the cap active the reported similarity is a LOWER BOUND on
+    * the true value (the intersection count is restricted to uncapped
+    * shingles while the union stays full); it is exact for any pair
+    * sharing no capped shingle. The judged oracles replay the identical
+    * capped computation, so cross-engine hashes stay consistent.
     */
   def jaccardNearDup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleK: Int = 3,
@@ -279,9 +283,11 @@ object Dedup {
     * the CORPUS side's posting lists (the Zipf tail lives there); the
     * batch side joins uncapped — a capped corpus shingle simply
     * contributes no candidates. Set sizes (the Jaccard denominator)
-    * come from each side's own uncapped shingle relation, so surviving
-    * pairs stay exact. Same un-persist-on-completion contract as
-    * [[jaccardNearDup]].
+    * come from each side's own uncapped shingle relation; as in
+    * [[jaccardNearDup]], the reported similarity is a lower bound when
+    * a surviving pair shares a capped shingle (exact otherwise), and
+    * the oracle replays the identical capped computation. Same
+    * un-persist-on-completion contract as [[jaccardNearDup]].
     */
   def crossJaccardNearDup(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
@@ -335,8 +341,9 @@ object Dedup {
     *
     * Scale shape and the `maxShingleDf` stop-shingle cap are exactly
     * [[jaccardNearDup]]'s — pair space per posting list, sizes from
-    * the uncapped relation, cost Σ df². Same un-persist-on-completion
-    * contract.
+    * the uncapped relation (so capped-shingle-sharing pairs report a
+    * lower bound, exact otherwise), cost Σ df². Same
+    * un-persist-on-completion contract.
     */
   def containmentNearDup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleK: Int = 3,

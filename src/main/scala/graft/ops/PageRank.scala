@@ -48,10 +48,21 @@ object PageRank {
     * 1/N over the nodes incident to `pairs`: (id, rank). Every node of
     * an undirected pair graph has degree ≥ 1, so no dangling-mass term
     * is needed.
+    *
+    * `broadcastRanksMax` bounds the broadcast regime: each iteration
+    * rebuilds and broadcasts the |V|-row rank relation (it is derived
+    * anew every round, so nothing is reused), costing driver memory and
+    * a broadcast build per iteration. The 100k default keeps that
+    * per-iteration relation in single-digit MB — near-dup graphs (the
+    * intended regime: |E| ≫ |V|) sit far below it; graphs above the
+    * threshold take the shuffle regime, whose per-iteration cost is one
+    * keyed exchange of ranks against the cached edge partitioning.
+    * `OpsSpec` pins that both regimes produce byte-identical ranks by
+    * forcing `broadcastRanksMax = 0` on the same graph.
     */
   def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       iters: Int = 3, damping: Double = 0.85,
-      broadcastRanksMax: Long = 1000000L): DataFrame = {
+      broadcastRanksMax: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.DataFrame
@@ -11,15 +12,19 @@ import org.apache.spark.sql.DataFrame
   * engine documents).
   *
   * Scale shape: ONE tokenization pass over the corpus feeds everything.
-  * A single grouped aggregate computes, per document, the length `dl`
-  * AND one conditional term-frequency counter per query term (map-side
-  * combined), so the corpus is scanned and shuffled exactly once; the
-  * |docs|-row per-doc statistics relation is pinned (not the many-×
-  * larger token relation) and feeds the global (N, avgdl) aggregate,
-  * the per-term document frequencies, and the scoring join. df and the
-  * global stats broadcast back. Top-k is a rank-and-limit on the scored
-  * relation. The pin is released on completion
-  * ([[CacheLifecycle.resolveAndRelease]]).
+  * A single grouped aggregate keys every token on (doc, matched query
+  * term — NULL for non-query tokens), map-side combined, so the corpus
+  * is scanned and shuffled exactly once and the per-doc statistics stay
+  * RELATION-shaped: O(matched terms + 1) narrow rows per document, never
+  * one counter column per term — a 500-term eval-set query costs the
+  * same plan as a 3-term one (the round-7 audit flagged the per-term-
+  * column form as the generalization gap). The |docs|-proportional
+  * grouped relation is pinned (not the many-× larger token relation) and
+  * feeds the global (N, avgdl) aggregate, the per-term document
+  * frequencies, and the scoring join; document length rides a window
+  * within each doc's ≤ |terms|+1 rows. df and the global stats broadcast
+  * back. Top-k is a rank-and-limit on the scored relation. The pin is
+  * released on completion ([[CacheLifecycle.resolveAndRelease]]).
   *
   * Cross-engine determinism: each term's contribution is computed in
   * doubles on identical operands, rounded to 9 decimals, and summed as
@@ -29,7 +34,10 @@ import org.apache.spark.sql.DataFrame
 object Retrieval {
 
   /** Top-`k` documents by BM25 for `query` terms:
-    * (doc id, score). k1/b are the standard defaults.
+    * (doc id, score). k1/b are the standard defaults. Duplicate query
+    * terms are deduplicated (scoring a term twice would double its
+    * contribution — a query is a term SET here, matching the oracle's
+    * IN-list semantics).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int = 20,
@@ -37,38 +45,42 @@ object Retrieval {
     val perDoc = perDocStats(docs, idCol, textCol, query)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheLifecycle.resolveAndRelease(
-      rankFromStats(perDoc, idCol, query, k, k1, b), perDoc)
+      rankFromStats(perDoc, idCol, k, k1, b), perDoc)
   }
 
-  /** One row per document: `dl` (token count) plus one conditional
-    * term-frequency column `__tf{i}` per query term — the single corpus
-    * scan + single shuffle everything downstream derives from.
+  /** The single corpus scan + single shuffle everything downstream
+    * derives from: one row per (doc, matched query term) with the
+    * token count, plus one term-NULL row per doc carrying the count of
+    * its non-query tokens (so document length is recoverable and every
+    * document is represented). Row width is constant regardless of
+    * |query|; the term match is an `isin` set probe inside the scan's
+    * codegen span.
     */
   private[graft] def perDocStats(docs: DataFrame, idCol: String,
-      textCol: String, query: Seq[String]): DataFrame =
+      textCol: String, query: Seq[String]): DataFrame = {
+    val terms = query.distinct
     TextAnalysis.tokenTable(docs, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("dl"),
-        query.zipWithIndex.map { case (t, i) =>
-          count(when(col("tok") === t, 1)).as(s"__tf$i")
-        }: _*)
+      .groupBy(col(idCol),
+        when(col("tok").isin(terms.map(x => x: Any): _*), col("tok")).as("term"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   /** The lazy scoring plan over an already-built per-doc stats relation
     * — exposed so the plan-guard spec can pin the one-scan shape the
-    * checkpointed public result hides.
+    * checkpointed public result hides. Everything here runs over the
+    * |docs|-proportional grouped relation, never the corpus.
     */
   private[graft] def rankFromStats(perDoc: DataFrame, idCol: String,
-      query: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
-    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // unpivot the per-term counters back to (id, dl, tok, tf > 0) rows —
-    // |query terms| map entries per doc, filtered before any join
-    val tf = perDoc
-      .select(col(idCol), col("dl"),
-        explode(map(query.zipWithIndex.flatMap { case (t, i) =>
-          Seq(lit(t), col(s"__tf$i"))
-        }: _*)).as(Seq("tok", "tf")))
-      .filter(col("tf") > 0)
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      k: Int, k1: Double, b: Double): DataFrame = {
+    // dl = total tokens of the doc (query-term rows + the NULL row);
+    // a window within the doc's ≤ |terms|+1 stats rows, not a join
+    val withDl = perDoc.withColumn("dl",
+      sum(col("cnt")).over(Window.partitionBy(col(idCol))))
+    val tf = withDl.filter(col("term").isNotNull)
+      .select(col(idCol), col("term"), col("cnt").as("tf"), col("dl"))
+    val dl = perDoc.groupBy(col(idCol)).agg(sum(col("cnt")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
@@ -77,7 +89,7 @@ object Retrieval {
     val contrib = (idf * (tfd * lit(k1 + 1.0))) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     val scored = tf
-      .join(broadcast(dfreq), "tok")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         round(contrib, 9).cast(DecimalType(28, 10)).as("c"))

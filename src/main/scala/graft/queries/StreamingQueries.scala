@@ -108,28 +108,39 @@ object StreamingQueries {
     val ckRoot =
       if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_$name"
       else s"${System.getProperty("java.io.tmpdir")}/graft_ck_$name"
-    val q =
-      try df.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckRoot)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
-    q.awaitTermination()
-    // ephemeral by contract (see above) — remove eagerly, not at exit
     def rmCk(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmCk)
       f.delete(); ()
     }
+    // A stale checkpoint from a failed/interrupted earlier run of the
+    // same query name would make this run RESUME from committed offsets
+    // against a fresh (empty) memory sink — silently partial results.
+    // The name is per-process unique (runSeq) but not cross-process, so
+    // clear the path before start, and clean up in finally so a failed
+    // run can't poison the next one either.
     rmCk(new java.io.File(ckRoot))
-    // Detach the result from the memory sink's session-global temp view
-    // before dropping it (localCheckpoint materializes the rows), so a
-    // long-lived session does not accumulate one full result copy per
-    // invocation.
-    val out = df.sparkSession.table(name).localCheckpoint()
-    df.sparkSession.catalog.dropTempView(name)
-    out
+    try {
+      val q =
+        try df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckRoot)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+      q.awaitTermination()
+      // Detach the result from the memory sink's session-global temp view
+      // before dropping it (localCheckpoint materializes the rows), so a
+      // long-lived session does not accumulate one full result copy per
+      // invocation.
+      val out = df.sparkSession.table(name).localCheckpoint()
+      df.sparkSession.catalog.dropTempView(name)
+      out
+    } finally {
+      // ephemeral by contract (see above) — remove eagerly, even on
+      // failure, not at exit
+      rmCk(new java.io.File(ckRoot))
+    }
   }
 
   /** Exact, order-independent sum of a 2-decimal double column. */

@@ -270,6 +270,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!score.contains(4L) && out.length == 3)
   }
 
+  test("bm25TopK: duplicate query terms count once (term-set semantics)") {
+    val docs = Seq(
+      (1L, "spark spark spark spark filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+    ).toDF("doc_id", "text")
+    val once = Retrieval.bm25TopK(docs, "doc_id", "text",
+      query = Seq("spark"), k = 10).as[(Long, Double)].collect().toMap
+    val dup = Retrieval.bm25TopK(docs, "doc_id", "text",
+      query = Seq("spark", "spark", "spark"), k = 10).as[(Long, Double)].collect().toMap
+    assert(dup == once, s"duplicated term must not double-score: $dup vs $once")
+  }
+
+  test("bm25: 100-term query — same plan shape, same answer as the 3-term subset") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = Seq("vector", "stream", "window")
+    // 97 synthetic terms absent from the corpus: they produce no tf rows,
+    // so the top-k must be IDENTICAL to the 3-term query
+    val wide = base ++ (1 to 97).map(i => s"zzz_absent_term_$i")
+    val narrow = Retrieval.bm25TopK(docs, "doc_id", "text", base, k = 20)
+      .as[(Long, Double)].collect().toSeq
+    val wideOut = Retrieval.bm25TopK(docs, "doc_id", "text", wide, k = 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(wideOut == narrow, "absent terms must not perturb scores or order")
+    // plan parity: the per-doc stats stay relation-shaped — one corpus
+    // scan, no per-term counter columns regardless of |query|
+    val p = Retrieval.perDocStats(docs, "doc_id", "text", wide)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"perDocStats must tokenize the corpus exactly once:\n$p")
+    assert(!p.contains("__tf"),
+      s"no per-term counter columns — the aggregate must stay narrow:\n$p")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty &&
+      aggLines.forall(l => "count\\(".r.findAllIn(l).length <= 1),
+      s"one count aggregate total, not one per term:\n${aggLines.mkString("\n")}")
+  }
+
   // --------------------------------------------------------- robust outliers
 
   test("robustOutliers flags the injected spike and nothing else") {
@@ -320,5 +358,19 @@ class CorpusOpsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
     val out = PageRank.pageRank(pairs, iters = 3).as[(Long, Double)].collect().toMap
     out.values.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
+  }
+
+  test("pageRank: shuffle regime (broadcastRanksMax=0) is byte-identical to broadcast") {
+    // irregular graph so ranks are non-trivial: a hub plus a tail chain
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val broadcastRegime = PageRank.pageRank(pairs, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val shuffleRegime = PageRank.pageRank(pairs, iters = 3, broadcastRanksMax = 0L)
+      .as[(Long, Double)].collect().toMap
+    // the DECIMAL-sum + round(12) discipline makes equality EXACT, not
+    // approximate — any drift between regimes is a bug
+    assert(shuffleRegime == broadcastRegime,
+      s"regimes diverged:\n  broadcast=$broadcastRegime\n  shuffle=$shuffleRegime")
   }
 }

@@ -147,8 +147,7 @@ class PlanGuardSpec extends SparkSpec {
       .persist()
     try {
       val p = graft.ops.Retrieval
-        .rankFromStats(perDoc, "doc_id", Seq("vector", "stream", "window"),
-          k = 20, k1 = 1.2, b = 0.75)
+        .rankFromStats(perDoc, "doc_id", k = 20, k1 = 1.2, b = 0.75)
         .queryExecution.executedPlan.toString
       // both the (N, avgdl) aggregate and the tf unpivot must read the
       // shared cached stats — the cache builds (and so tokenizes the

@@ -303,8 +303,25 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** ANN recall contract ([[Similarity.annRecallContract]]): mean
+    * recall@10 of the multi-table LSH index (4 tables × 4 md5
+    * hyperplanes) and the IVF index (probe 4 of 8 lowest-id-seeded
+    * cells) against the brute cosine top-10, over the fixed probe set
+    * vec_id ≡ 7 (mod 50) — the approximation-quality claim q27/q37
+    * leave unjudged. The comparison is exact integer arithmetic
+    * (Σ hits ≥ bound·k·|probes|), deterministic given the md5 plane
+    * family, so the oracle emits literal TRUE; measured means run
+    * 0.42–0.92 (LSH) and 0.68–0.97 (IVF) across sf0.001→sf1 against
+    * bounds 0.3/0.35, while a geometry-free bucketer collapses to
+    * ~0.06 (the spec proves the contract catches it).
+    */
+  private val q112: Q = (s, dir) =>
+    Similarity.annRecallContract(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("method")
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
+    "q112_ann_recall" -> q112,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
     "q107_split_leakage" -> q107,
@@ -370,6 +387,16 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // deterministic mean-recall bounds (exact integer comparison on the
+    // Spark side): the oracle recomputes the probe-set size and emits
+    // literal TRUE per method
+    "q112_ann_recall" ->
+      """WITH p AS (SELECT count(*) AS n_probes FROM embeddings WHERE vec_id % 50 = 7)
+        |SELECT method, n_probes, true AS recall_ok
+        |FROM (SELECT 'ivf' AS method FROM p
+        |      UNION ALL SELECT 'lsh_multitable' FROM p), p
+        |ORDER BY method""".stripMargin,
+
     // deterministic GK rank guarantee: the oracle recomputes n and
     // emits literal TRUE per contract column
     "q105_approx_percentile" ->

@@ -199,6 +199,37 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.35)
     }
   }
+
+  test("annRecallContract: judged bounds hold AND a broken bucketer is caught") {
+    val healthy = Similarity.annRecallContract(emb, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(healthy == Map("ivf" -> true, "lsh_multitable" -> true),
+      s"judged contract must hold on the shipped index: $healthy")
+    // geometry-free bucketer: buckets keyed on the id, not the vector —
+    // candidates become a uniform 1/16 slice of the corpus and mean
+    // recall collapses ~5x below the judged bound, so the SAME contract
+    // must flip the lsh row (ivf is untouched by the bucketer)
+    val brokenHits = Similarity.recallFromBucketer(emb, "vec_id", "embedding",
+      probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
+      (_, _) => array(concat(lit("0:"), (col("id") % 16).cast("string"))))
+    val broken = Similarity.contractFromHits(brokenHits, k = 10,
+        lshBound = 0.3, ivfBound = 0.35)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!broken("lsh_multitable"),
+      s"a geometry-free bucket assignment must fail the recall bound: $broken")
+    assert(broken("ivf"), "the ivf path is independent of the lsh bucketer")
+  }
+
+  test("annRecallContract: per-probe hits are bounded by k and nonneg") {
+    val raw = Similarity.recallFromBucketer(emb, "vec_id", "embedding",
+      probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
+      Similarity.multiTableBucketer(4, 4)).collect()
+    assert(raw.length == 10) // 500 ids, every 50th starting at 7
+    raw.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -112,11 +112,19 @@ object Bench {
     val qs = obj(results.map { case (n, mn, _, _) => n -> mn })
     val med = obj(results.map { case (n, _, md, _) => n -> md })
     val runs = objL(results.map { case (n, _, _, r) => n -> r.toLong })
-    val total = results.map(_._2).sum
-    val nOneRun = results.count(_._4 < 2)
+    // A failed query records -1.0 per entry (machine-visible sentinel)
+    // but is EXCLUDED from the headline total — the round-8 artifact
+    // summed 21 sentinels into `value` and understated runtime by 21 s.
+    // Failures are first-class fields: `failed` (names) + `n_failed`.
+    val failedNames = results.filter(_._4 == 0).map(_._1)
+    val total = results.filter(_._4 > 0).map(_._2).sum
+    val nFailed = failedNames.size
+    val failedArr = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // 1-run = degraded-but-ran (budget overrun); failures count separately
+    val nOneRun = results.count(_._4 == 1)
     val nWideGap = results.count { case (_, mn, md, r) => r >= 2 && md > 1.3 * mn }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_failed":$nFailed,"failed":$failedArr,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
     // Full-detail artifact: the driver snapshots only the LAST 2000 chars
     // of stdout, which amputated the full per-query JSON in rounds 1-4
     // (BENCH_r0N.json "parsed": null). The complete JSON goes to a repo
@@ -130,7 +138,7 @@ object Bench {
     // line lands after it inside the captured tail.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val shortQs = obj(results.map { case (n, mn, _, _) => n.takeWhile(_ != '_') -> r3(mn) })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_failed":$nFailed,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -261,12 +261,28 @@ object Dedup {
     * pathological mega-cluster is a data-quality signal upstream dedup
     * should have collapsed).
     */
+  /** Dual-regime broadcast (the [[PageRank]] pattern): hint broadcast
+    * when the relation's measured row count is under `maxRows`, let the
+    * planner (and AQE) choose above it. The iterative operators return
+    * checkpointed RDD-backed frames whose size statistics are opaque to
+    * Catalyst — without the measured hint, a 14-row cluster relation
+    * sort-merge-joins against the corpus. The count is one job over
+    * already-materialized checkpoint blocks (callers only pass
+    * materialized relations), and the 100k default bounds the broadcast
+    * at a few MB of ids — far under the 8GB broadcast ceiling, far over
+    * any sane dup-cluster relation short of a pathological corpus.
+    */
+  private[ops] def broadcastIfSmall(df: DataFrame,
+      maxRows: Long = 100000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
     val clusters = duplicateClusters(pairs).toDF(idCol, "cluster_id")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.join(clusters, Seq(idCol), "left")
+    // clusters is ckptReset'd (materialized) — the regime count is cheap
+    df.join(broadcastIfSmall(clusters), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("is_keeper", row_number().over(w) === 1)
   }
@@ -327,6 +343,108 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** A MAINTAINED inverted shingle index — the state the incremental
+    * cross-corpus dedup loop ([[crossJaccardNearDup]]) was missing a
+    * write-back for: after a batch is deduped against the index, the
+    * SURVIVING documents must fold in so the NEXT batch sees them.
+    * Three relations, each the in-memory stand-in for a stored table:
+    *
+    *  - `postings` (id, sh) — the inverted index itself;
+    *  - `docSizes` (id, n) — per-doc shingle counts (the Jaccard
+    *    denominator), maintained so queries never re-aggregate the
+    *    corpus-sized postings;
+    *  - `dfs` (sh, df) — per-shingle document frequency, maintained so
+    *    the stop-shingle cap ([[jaccardNearDup]]'s `maxShingleDf`) is a
+    *    broadcast filter over a summary, never a fresh corpus groupBy
+    *    per batch.
+    *
+    * All three are materialized (`localCheckpoint`) at build/fold time —
+    * the write-back IS the point; a production deployment writes
+    * parquet/Delta tables instead (postings and docSizes append a
+    * partition per batch, dfs merge-compacts), which is exactly the
+    * append-shaped lazy-union this representation plans.
+    */
+  case class ShingleIndex(postings: DataFrame, docSizes: DataFrame,
+      dfs: DataFrame)
+
+  /** Build a [[ShingleIndex]] from scratch: one shingle scan of the
+    * corpus (materialized), then the two summaries aggregate the
+    * CHECKPOINTED postings — the text is tokenized exactly once.
+    */
+  def buildShingleIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): ShingleIndex = {
+    val postings = shingleTable(df, idCol, textCol, shingleK).localCheckpoint()
+    ShingleIndex(postings,
+      postings.groupBy(col(idCol)).agg(count(lit(1)).as("n")).localCheckpoint(),
+      postings.groupBy(col("sh")).agg(count(lit(1)).as("df")).localCheckpoint())
+  }
+
+  /** Dedup a batch's shingle relation against the index — semantically
+    * [[crossFromShingles]] with the corpus side read FROM the maintained
+    * index: the stop-shingle hot set comes from `dfs` (a broadcast
+    * filter on the summary, not a corpus aggregate) and the corpus-side
+    * sizes from `docSizes`. Returns directional
+    * (new_id, corpus_id, jaccard ≥ threshold) pairs; the batch side is
+    * uncapped, as in [[crossJaccardNearDup]] (lower-bound semantics
+    * when a surviving pair shares a capped shingle, exact otherwise).
+    * `OpsPropertySpec` pins the equivalence law
+    * `dedupAgainstIndex(b, foldIn(ix, sh(a), survivors)) ≡
+    *  crossFromShingles(b, corpus ∪ survivors-of-a)`.
+    */
+  def dedupAgainstIndex(batchShingles: DataFrame, index: ShingleIndex,
+      idCol: String, threshold: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
+    val posting =
+      if (maxShingleDf <= 0) index.postings
+      else {
+        val hot = index.dfs.filter(col("df") > maxShingleDf).select("sh")
+        index.postings.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sizesNew = batchShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_a"))
+    val inter = batchShingles.select(col(idCol).as("new_id"), col("sh"))
+      .join(posting.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizesNew.toDF("new_id", "n_a"), "new_id")
+      .join(index.docSizes.toDF("corpus_id", "n_b"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The write-back: fold a batch's SURVIVING documents (`keepIds` —
+    * the caller's policy, typically batch ids minus
+    * [[dedupAgainstIndex]]'s new_id set) into the index.
+    *
+    * Scale shape — everything is batch-proportional: the kept shingle
+    * delta is materialized once, `postings`/`docSizes` grow by a LAZY
+    * union with the delta (production: append a partition — the
+    * existing index relations are never rewritten), and only `dfs` is
+    * merge-compacted (a |vocab ∪ batch-vocab|-row full-outer sum —
+    * the summary a production loop rewrites or Delta-MERGEs per batch;
+    * vocabulary-sized, not corpus-sized). After the fold,
+    * `dedupAgainstIndex(next, folded) ≡` dedup against the
+    * recomputed-from-scratch corpus ∪ survivors index, exactly.
+    */
+  def foldIn(index: ShingleIndex, batchShingles: DataFrame,
+      keepIds: DataFrame, idCol: String): ShingleIndex = {
+    val keep = batchShingles
+      .join(keepIds.select(col(idCol)), Seq(idCol), "leftsemi")
+      .localCheckpoint()
+    val keepDf = keep.groupBy(col("sh")).agg(count(lit(1)).as("df_b"))
+    val mergedDfs = index.dfs.join(keepDf, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+      .localCheckpoint()
+    ShingleIndex(
+      index.postings.unionByName(keep),
+      index.docSizes.unionByName(
+        keep.groupBy(col(idCol)).agg(count(lit(1)).as("n")).localCheckpoint()),
+      mergedDfs)
   }
 
   /** Directional n-gram CONTAINMENT near-duplicates over the same

@@ -85,10 +85,46 @@ object Sampling {
   def clusterSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val clusters = Dedup.duplicateClusters(pairs).toDF(keyCol, "__rep")
-    df.join(clusters, Seq(keyCol), "left")
+    // the cluster relation is RDD-backed (stats-opaque) but materialized
+    // and ≪ corpus at any sane dup rate: measured-broadcast it so the
+    // corpus is scanned in place, never shuffled ([[Dedup.broadcastIfSmall]])
+    df.join(Dedup.broadcastIfSmall(clusters), Seq(keyCol), "left")
       .withColumn("split",
         splitLabel(hashUniform(coalesce(col("__rep"), col(keyCol))), splits))
       .drop("__rep")
+  }
+
+  /** Split-leakage audit: near-dup pairs crossed with each document's
+    * split label, counted per unordered split pair — the eval-integrity
+    * check a training pipeline runs before shipping a split
+    * (off-diagonal rows ARE leakage: a test document with a train-side
+    * near-dup is a contaminated eval). `splits` is any (id, label)
+    * relation — [[hashSplit]]'s output, [[clusterSafeSplit]]'s (which
+    * makes this audit all-diagonal by construction), or an external
+    * assignment.
+    *
+    * Scale shape: pure composition — two label joins against the
+    * (materialized, candidate-proportional) pair relation, which is
+    * measured-broadcast below the [[Dedup.broadcastIfSmall]] bound so
+    * the corpus-sized split relation is scanned in place, never
+    * shuffled; the closing aggregate is over the |pairs|-sized join
+    * output. Callers pass a materialized pair relation (every near-dup
+    * op here returns one), so the regime count re-runs nothing.
+    */
+  def splitLeakageAudit(splits: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame): DataFrame = {
+    val pr = pairs.select(col("id_a"), col("id_b"))
+    // ONE regime decision covers both joins: the first join's output is
+    // exactly |pairs| rows (id_a is a key into splits), so if the pair
+    // relation is broadcastable, so is the half-labeled intermediate
+    val small = pr.count() <= 100000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val lab = splits.select(col(idCol), col(splitCol))
+    hint(hint(pr).join(lab.toDF("id_a", "split_a"), "id_a"))
+      .join(lab.toDF("id_b", "split_b"), "id_b")
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Per-stratum Bernoulli sample at the given keep fractions: rows of

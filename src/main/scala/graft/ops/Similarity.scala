@@ -304,6 +304,16 @@ object Similarity {
     }: _*)
   }
 
+  /** The lazy per-path plans behind [[recallFromBucketer]]: the
+    * persisted shared corpus relation plus the three top-k candidate
+    * frames (brute ground truth, LSH, IVF). Exposed so the plan-guard
+    * spec can pin that ONLY the brute path is a corpus×probes product —
+    * the judged path materializes via [[recallFromBucketer]], which is
+    * the only caller that releases the corpus pin.
+    */
+  private[graft] case class AnnRecallPaths(corpus: DataFrame,
+      bruteK: DataFrame, lshK: DataFrame, ivfK: DataFrame)
+
   /** [[annRecallContract]]'s raw per-probe brute-top-k hit counts with
     * a pluggable bucketer (vector, dim) → ARRAY of per-table bucket
     * keys — the hook that lets the spec prove a geometry-free bucket
@@ -315,6 +325,21 @@ object Similarity {
       vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
       numCentroids: Int, nprobe: Int,
       bucketer: (Column, Int) => Column): DataFrame = {
+    val p = annRecallPaths(embeddings, idCol, vecCol, probeEvery,
+      probeOffset, k, numCentroids, nprobe, bucketer)
+    def hitsOf(approxK: DataFrame, outCol: String): DataFrame =
+      p.bruteK.join(approxK.withColumn("hit", lit(1)), Seq("probe_id", "id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as(outCol))
+    val out = hitsOf(p.lshK, "lsh_hits")
+      .join(hitsOf(p.ivfK, "ivf_hits"), Seq("probe_id"))
+    CacheLifecycle.resolveAndRelease(out, p.corpus)
+  }
+
+  private[graft] def annRecallPaths(embeddings: DataFrame, idCol: String,
+      vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
+      numCentroids: Int, nprobe: Int,
+      bucketer: (Column, Int) => Column): AnnRecallPaths = {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val base = embeddings.select(col(idCol).as("id"),
@@ -365,13 +390,7 @@ object Similarity {
       .join(broadcast(probes), Seq("probe_id"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"), sim(col("v"), col("nrm")).as("sim")))
-    def hitsOf(approxK: DataFrame, outCol: String): DataFrame =
-      bruteK.join(approxK.withColumn("hit", lit(1)), Seq("probe_id", "id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(sum(coalesce(col("hit"), lit(0))).as(outCol))
-    val out = hitsOf(lshK, "lsh_hits")
-      .join(hitsOf(ivfK, "ivf_hits"), Seq("probe_id"))
-    CacheLifecycle.resolveAndRelease(out, corpus)
+    AnnRecallPaths(corpus, bruteK, lshK, ivfK)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space

@@ -234,12 +234,7 @@ object CorpusQueries {
       threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
     val splits = Sampling.hashSplit(docs, "doc_id")
       .select(col("doc_id"), col("split"))
-    pairs
-      .join(splits.toDF("id_a", "split_a"), "id_a")
-      .join(splits.toDF("id_b", "split_b"), "id_b")
-      .select(least(col("split_a"), col("split_b")).as("split_lo"),
-        greatest(col("split_a"), col("split_b")).as("split_hi"))
-      .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
+    Sampling.splitLeakageAudit(splits, "doc_id", "split", pairs)
       .orderBy("split_lo", "split_hi")
   }
 
@@ -319,6 +314,36 @@ object CorpusQueries {
     Similarity.annRecallContract(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("method")
 
+  /** Incremental index write-back ([[Dedup.ShingleIndex]] /
+    * [[Dedup.foldIn]]): the full production dedup loop q109 stops short
+    * of — corpus index built once, batch 1 (doc_id ≡ 1 mod 4) deduped
+    * against it, batch 1's SURVIVORS folded back in (postings/sizes
+    * appended, dfs merge-compacted), then batch 2 (doc_id ≡ 2 mod 4)
+    * deduped against the UPDATED index. Judged output: batch 2's pairs —
+    * which include pairs against batch-1 survivors, so a broken
+    * write-back (survivors missing, df drift, size drift) changes the
+    * relation. The oracle recomputes everything from scratch
+    * (corpus ∪ survivors), pinning the incremental ≡ from-scratch
+    * equivalence externally; `OpsPropertySpec` pins it in-JVM as a law.
+    */
+  private val q113: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 4 =!= 2)
+    val batch1 = docs.filter(col("doc_id") % 4 === 1)
+    val batch2 = docs.filter(col("doc_id") % 4 === 2)
+    val ix0 = Dedup.buildShingleIndex(corpus, "doc_id", "text", shingleK = 3)
+    val sh1 = Dedup.shingleTable(batch1, "doc_id", "text", 3).localCheckpoint()
+    val pairs1 = Dedup.dedupAgainstIndex(sh1, ix0, "doc_id",
+      threshold = 0.5, maxShingleDf = 1000)
+    val survivors1 = batch1.select(col("doc_id"))
+      .join(pairs1.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val ix1 = Dedup.foldIn(ix0, sh1, survivors1, "doc_id")
+    val sh2 = Dedup.shingleTable(batch2, "doc_id", "text", 3)
+    Dedup.dedupAgainstIndex(sh2, ix1, "doc_id",
+        threshold = 0.5, maxShingleDf = 1000)
+      .orderBy("new_id", "corpus_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
     "q112_ann_recall" -> q112,
@@ -327,6 +352,7 @@ object CorpusQueries {
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
+    "q113_incremental_index" -> q113,
     "q110_cluster_safe_split" -> q110,
     "q92_ngram_jaccard" -> q92,
     "q93_bloom_join" -> q93,
@@ -483,6 +509,43 @@ object CorpusQueries {
          |SELECT new_id, corpus_id,
          |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
          |FROM inter
+         |JOIN sizes na ON na.doc_id = new_id
+         |JOIN sizes nb ON nb.doc_id = corpus_id
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // from-scratch replay of the incremental loop: batch-1 pairs →
+    // survivors → corpus ∪ survivors → batch-2 pairs (the Spark side
+    // computes batch 2 against the FOLDED index; equality of the two IS
+    // the write-back contract)
+    "q113_incremental_index" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |c0 AS (SELECT * FROM sh WHERE doc_id % 4 <> 1 AND doc_id % 4 <> 2),
+         |b1 AS (SELECT * FROM sh WHERE doc_id % 4 = 1),
+         |b2 AS (SELECT * FROM sh WHERE doc_id % 4 = 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot0 AS (SELECT sh FROM c0 GROUP BY sh HAVING count(*) > 1000),
+         |post0 AS (SELECT * FROM c0 ANTI JOIN hot0 USING (sh)),
+         |i1 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |       FROM b1 a JOIN post0 b ON a.sh = b.sh GROUP BY 1, 2),
+         |p1 AS (SELECT new_id FROM i1
+         |       JOIN sizes na ON na.doc_id = new_id
+         |       JOIN sizes nb ON nb.doc_id = corpus_id
+         |       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |surv AS (SELECT doc_id FROM documents
+         |         WHERE doc_id % 4 = 1 AND doc_id NOT IN (SELECT new_id FROM p1)),
+         |c1 AS (SELECT * FROM c0
+         |       UNION ALL SELECT * FROM b1 SEMI JOIN surv USING (doc_id)),
+         |hot1 AS (SELECT sh FROM c1 GROUP BY sh HAVING count(*) > 1000),
+         |post1 AS (SELECT * FROM c1 ANTI JOIN hot1 USING (sh)),
+         |i2 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |       FROM b2 a JOIN post1 b ON a.sh = b.sh GROUP BY 1, 2)
+         |SELECT new_id, corpus_id,
+         |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+         |FROM i2
          |JOIN sizes na ON na.doc_id = new_id
          |JOIN sizes nb ON nb.doc_id = corpus_id
          |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5

@@ -22,14 +22,28 @@ object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in every session builder of this project) it arrives as a long
-    * of nanoseconds — convert to a microsecond TimestampType here. The
-    * test data is microsecond-grained, so the floor division is lossless.
+  /** `events.ts` has shipped in two physical generations of the driver
+    * testdata: TIMESTAMP(NANOS) — which Spark's parquet reader only
+    * accepts under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * every session builder of this project), arriving as a long of
+    * nanoseconds — and TIMESTAMP_MICROS without timezone metadata, which
+    * arrives as TIMESTAMP_NTZ. Branch on the READ dtype so both (and a
+    * possible future instant-adjusted TimestampType) normalize to the
+    * same session-local TimestampType instants: under the project's
+    * pinned UTC session timezone the NTZ→LTZ cast is identity on the
+    * instant, so oracle hashes are unchanged across generations.
     */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private[queries] def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(t(s, dir, "events"))
 
   /** Exact, order-independent sum of a 2-decimal double column. */
   private def decSum(c: Column): Column =

@@ -42,9 +42,10 @@ object StreamingQueries {
 
   /** events.parquet as an unbounded file-source stream. The file source
     * requires the schema up front (no inference on streams) — one batch
-    * metadata read supplies it. ts arrives as long nanoseconds (see
-    * [[RefQueries.events]]); converted to a microsecond timestamp before
-    * any event-time op.
+    * metadata read supplies it. ts is normalized to session-local
+    * TimestampType (see [[RefQueries.normalizeEventTs]] — the physical
+    * parquet type has varied across testdata generations) before any
+    * event-time op.
     */
   // one footer-read job per path per session lifetime, not per query —
   // the schema of a static test table never changes mid-run
@@ -62,7 +63,7 @@ object StreamingQueries {
     val base =
       if (new java.io.File(path).isDirectory) s.readStream.schema(schema).parquet(path)
       else s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir)
-    base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    RefQueries.normalizeEventTs(base)
   }
 
   // unique sink names: the memory sink registers a session-global temp

@@ -48,13 +48,18 @@ class CacheLifecycleSpec extends SparkSpec {
     displace()
     val deadline = System.currentTimeMillis() + 25000
     var leaked = persistedIds -- before
+    var stable = 0
     var i = 0
-    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+    // exit early once the set is empty OR stops shrinking for ~2s — a
+    // nonzero-retention query must not burn the whole deadline
+    while (leaked.nonEmpty && stable < 8 && System.currentTimeMillis() < deadline) {
       System.gc()
       Thread.sleep(250)
       i += 1
       if (i % 8 == 0) displace()
-      leaked = persistedIds -- before
+      val next = persistedIds -- before
+      stable = if (next.size < leaked.size) 0 else stable + 1
+      leaked = next
     }
     leaked
   }
@@ -65,20 +70,32 @@ class CacheLifecycleSpec extends SparkSpec {
     test(s"$q: pins released, no block accumulation across runs") {
       spark.catalog.clearCache() // known-clean CacheManager baseline
       val before = persistedIds
-      (1 to 3).foreach { _ =>
+      def runOnce(): Unit = {
         var out = SparkEntry.queries(q)(spark, sfDir)
         out.write.format("noop").mode("overwrite").save()
         out = null // drop the only result reference so its blocks can drain
       }
+      // Measure ONE execution's transient retention first (Spark keeps
+      // the most recent execution's plan reachable, e.g. via the
+      // broadcast-exchange pool's thread state; how many checkpoint
+      // RDDs that pins is query- and data-dependent — an iterative
+      // query checkpoints once per convergence round, so the corpus
+      // shape moves the number). The accumulation bound is RELATIVE to
+      // that measurement, not a fixed constant: a round-8 testdata
+      // regen pushed q57's per-execution retention past the old
+      // hardcoded bound and flaked the suite.
+      runOnce()
+      val afterOne = displaceAndDrain(before)
+      (1 to 2).foreach(_ => runOnce())
       assert(GraftCacheProbe.cacheManagerIsEmpty(spark),
         s"$q left a Dataset.persist pin in the CacheManager")
-      // one execution's transient retention is a handful of RDDs (which
-      // pool thread holds the last reference is nondeterministic);
-      // ACCUMULATION over the 3 runs would be 12+ — the bound separates
-      // the two cleanly without flaking on a single surviving slot
+      // ACCUMULATION over 3 runs would be ~3× one execution's worth;
+      // bounded displacement stays at ~1× (+slack for GC raggedness)
       val leaked = displaceAndDrain(before)
-      assert(leaked.size <= 6,
-        s"3 runs of $q left ${leaked.size} persistent RDDs — accumulation, " +
+      val bound = math.max(afterOne.size + 2, 6)
+      assert(leaked.size <= bound,
+        s"3 runs of $q left ${leaked.size} persistent RDDs (one-run " +
+          s"retention was ${afterOne.size}, bound $bound) — accumulation, " +
           s"not Spark's bounded most-recent-execution retention: $leaked")
     }
   }

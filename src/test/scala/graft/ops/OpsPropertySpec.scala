@@ -317,4 +317,35 @@ class OpsPropertySpec extends SparkSpec {
       assert(cross == full)
     }
   }
+
+  test("law: dedup against folded index == dedup against recomputed corpus ∪ survivors") {
+    forAll(corpusCase, n = 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 3 === 0)
+      val batch1 = df.filter(col("doc_id") % 3 === 1)
+      val batch2 = df.filter(col("doc_id") % 3 === 2)
+      val thr = 0.2
+      // incremental path: build → dedup b1 → fold survivors → dedup b2
+      val ix0 = Dedup.buildShingleIndex(corpus, "doc_id", "text")
+      val sh1 = Dedup.shingleTable(batch1, "doc_id", "text", 3).localCheckpoint()
+      val pairs1 = Dedup.dedupAgainstIndex(sh1, ix0, "doc_id", thr, maxShingleDf = 2)
+      val survivors1 = batch1.select(col("doc_id"))
+        .join(pairs1.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      val ix1 = Dedup.foldIn(ix0, sh1, survivors1, "doc_id")
+      val got = Dedup.dedupAgainstIndex(
+          Dedup.shingleTable(batch2, "doc_id", "text", 3), ix1, "doc_id",
+          thr, maxShingleDf = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      // from-scratch path: the same dedup against corpus ∪ survivors,
+      // recomputed with no maintained state (maxShingleDf deliberately
+      // tiny so the df-merge arithmetic is actually exercised)
+      val scratch = corpus.unionByName(
+        batch1.join(survivors1, Seq("doc_id"), "leftsemi"))
+      val want = Dedup.crossJaccardNearDup(batch2, scratch, "doc_id", "text",
+          threshold = thr, shingleK = 3, maxShingleDf = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want,
+        s"incremental != from-scratch: extra=${got -- want} missing=${want -- got}")
+    }
+  }
 }

@@ -141,6 +141,106 @@ class PlanGuardSpec extends SparkSpec {
       s"the corpus side must never shuffle:\n$p")
   }
 
+  // ------------------------------------------- cluster-family scale guards
+  // SCALE.md's claims for the q107/q110/q111 composition family and
+  // q112's index paths, pinned as executed plans (round-7/8 gap). The
+  // real pair/cluster inputs are checkpointed (RDD-backed → stats-opaque
+  // to Catalyst), so the operators make the broadcast decision from a
+  // MEASURED row count ([[Dedup.broadcastIfSmall]]) — which makes the
+  // initial plan deterministic and guardable, no AQE reliance.
+
+  private def litPairs = {
+    import org.apache.spark.sql.functions.col
+    docs.filter(col("doc_id") < 8).select(col("doc_id").as("id_a"))
+      .crossJoin(docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+        .select(col("doc_id").as("id_b")))
+      .localCheckpoint() // RDD-backed, like the real jaccardNearDup output
+  }
+
+  test("q107 leakage audit: label joins are |pairs|-sized (pairs broadcast, corpus text never read)") {
+    import org.apache.spark.sql.functions.col
+    val splits = graft.ops.Sampling.hashSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    val p = graft.ops.Sampling.splitLeakageAudit(splits, "doc_id", "split", litPairs)
+      .queryExecution.executedPlan.toString
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 2, s"both label joins must broadcast the pair side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-sized split relation must never sort-merge:\n$p")
+    // column pruning must reach THROUGH the hash-split projection: the
+    // audit needs only doc_id, never the document text
+    p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("documents"))
+      .foreach(l => assert(!l.contains("text"),
+        s"the audit must not read document text:\n$l"))
+  }
+
+  test("q110 cluster-safe split: cluster relation broadcast, split adds no corpus shuffle") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Sampling.clusterSafeSplit(docs, "doc_id", litPairs)
+      .select(col("doc_id"), col("split"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (≪ corpus) cluster relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for the representative join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange SinglePartition"),
+      s"the split decision is a pure per-row hash — zero exchanges beyond the broadcast:\n$p")
+  }
+
+  test("q111 keep-best: cluster join broadcast, keeper window partitioned (never global)") {
+    val p = graft.ops.Dedup.keepBest(docs, "doc_id", litPairs, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cluster relation must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the cluster join:\n$p")
+    val wi = p.linesIterator.find(_.contains("Window"))
+    assert(wi.isDefined, s"no window node:\n$p")
+    assert(wi.get.contains("cluster_id"),
+      s"the keeper window must partition by cluster_id:\n${wi.get}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"state must be bounded by the largest cluster, never global:\n$p")
+  }
+
+  test("q112 ann recall: only the brute ground-truth path is a corpus×probes product") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val paths = graft.ops.Similarity.annRecallPaths(emb, "vec_id", "embedding",
+      probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
+      graft.ops.Similarity.multiTableBucketer(4, 4))
+    // The shared corpus relation is persisted, and the plan string
+    // embeds its BUILD plan under each InMemoryRelation occurrence —
+    // which legitimately contains one BroadcastNestedLoopJoin (the
+    // |centroids|-bounded cell assignment). A product is out of
+    // contract only OUTSIDE cached builds: count(BNLJ) must not exceed
+    // count(InMemoryRelation) for the index paths, and exceed it by
+    // exactly the probe product for the brute path.
+    def bnlj(p: String): Int = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    def imr(p: String): Int = "InMemoryRelation".r.findAllIn(p).length
+    try {
+      val pLsh = paths.lshK.queryExecution.executedPlan.toString
+      val pIvf = paths.ivfK.queryExecution.executedPlan.toString
+      // the IVF path owns ONE more bounded product of its own: the
+      // |centroids|×|probes| cell-scoring join (never corpus-sized)
+      for ((nm, extra, p) <- Seq(("lsh", 0, pLsh), ("ivf", 1, pIvf))) {
+        assert(!p.contains("CartesianProduct"),
+          s"the $nm index path must never be cartesian:\n$p")
+        assert(bnlj(p) <= imr(p) + extra,
+          s"the $nm index path must add no corpus-sized product beyond " +
+            s"the cached cell assignment (+$extra bounded own):\n$p")
+        assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+          s"the $nm path's probe side must broadcast:\n$p")
+      }
+      // the deliberate brute path: ONE product of its own, but
+      // probe-side broadcast — corpus×probes through a broadcast,
+      // never a corpus shuffle
+      val pBrute = paths.bruteK.queryExecution.executedPlan.toString
+      assert(bnlj(pBrute) == imr(pBrute) + 1,
+        s"ground truth is exactly one (bounded) broadcast product:\n$pBrute")
+      assert(!pBrute.contains("CartesianProduct"),
+        s"the brute product must broadcast probes, not cartesian:\n$pBrute")
+    } finally { paths.corpus.unpersist(blocking = false); () }
+  }
+
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {
     val perDoc = graft.ops.Retrieval
       .perDocStats(docs, "doc_id", "text", Seq("vector", "stream", "window"))

@@ -19,8 +19,7 @@ class StreamingQueriesSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sfDir)
 
   private def batchEvents: DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    RefQueries.normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
 
   private def assertSame(streaming: DataFrame, batch: DataFrame): Unit = {
     val s = streaming.collect().map(_.toString)

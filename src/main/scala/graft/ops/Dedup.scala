@@ -277,8 +277,19 @@ object Dedup {
     if (df.count() <= maxRows) broadcast(df) else df
 
   def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
-      scoreCol: String): DataFrame = {
-    val clusters = duplicateClusters(pairs).toDF(idCol, "cluster_id")
+      scoreCol: String): DataFrame =
+    keepBestWithClusters(df, idCol,
+      duplicateClusters(pairs).toDF(idCol, "cluster_id"), scoreCol)
+
+  /** [[keepBest]] over an ALREADY-COMPUTED (id, cluster_id) relation —
+    * the composition hook that lets a pipeline derive the cluster
+    * relation once and share it across resolution, splitting, and
+    * auditing stages instead of re-running connected components per
+    * stage (q114's one-pass shape). `clusters` must be materialized
+    * ([[duplicateClusters]] output is) — the broadcast regime counts it.
+    */
+  def keepBestWithClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame, scoreCol: String): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     // clusters is ckptReset'd (materialized) — the regime count is cheap

@@ -51,6 +51,16 @@ object Sampling {
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
     df.withColumn("split", splitLabel(hashUniform(col(keyCol)), splits))
 
+  /** The split label of `key` itself — the composition hook when the
+    * caller already HAS the decision key materialized as a column (a
+    * cluster-representative id, a site/author grouping): one pure
+    * codegen'd expression, no join. [[hashSplit]] and
+    * [[clusterSafeSplit]] are this over their respective keys.
+    */
+  def splitOn(key: Column,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): Column =
+    splitLabel(hashUniform(key), splits)
+
   /** The label of the cumulative-fraction interval `u` falls in. */
   private def splitLabel(u: Column, splits: Seq[(String, Double)]): Column = {
     // decimal accumulation: 0.8 + 0.1 must be the boundary 0.9, not the

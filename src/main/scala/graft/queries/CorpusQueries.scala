@@ -344,8 +344,39 @@ object CorpusQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** End-to-end curation pipeline in ONE judged pass — the 100 TB
+    * demonstration the per-stage queries build toward: q84's gate
+    * (language/quality/repetition/exact-dup/decontamination) feeds ONE
+    * near-dup pair relation (q92's exact Jaccard over the gated
+    * corpus), from which ONE connected-components relation drives BOTH
+    * the keep-best resolution (q111's window) AND the leakage-safe
+    * split (q110's representative hash — here a pure column expression
+    * over the already-materialized cluster_id, zero extra joins).
+    * Output: one row per gated document — (doc_id, cluster_id,
+    * is_keeper, split, quality) — the exact relation a training
+    * pipeline writes. Oracle: the composition of the per-stage oracles
+    * (the gate CTE block is literally q84's, the closure is q110/q111's
+    * recursive CTE restricted to the gated corpus).
+    */
+  private val q114: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val gate = ExtQueries.curationGate(docs)
+    val gated = docs.join(gate.select("doc_id"), Seq("doc_id"), "leftsemi")
+    val pairs = Dedup.jaccardNearDup(gated, "doc_id", "text",
+        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.duplicateClusters(pairs).toDF("doc_id", "cluster_id")
+    Dedup.keepBestWithClusters(
+        gated.select(col("doc_id"), col("n_chars")), "doc_id", clusters, "n_chars")
+      .join(gate.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("is_keeper"),
+        Sampling.splitOn(col("cluster_id")).as("split"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
+    "q114_curation_pipeline" -> q114,
     "q112_ann_recall" -> q112,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
@@ -550,6 +581,51 @@ object CorpusQueries {
          |JOIN sizes nb ON nb.doc_id = corpus_id
          |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // per-stage oracle composition: q84's gate CTEs verbatim → shingles
+    // restricted to the gated corpus → q92's pair CTE → q110/q111's
+    // recursive closure → keeper window + representative-hash split
+    "q114_curation_pipeline" ->
+      s"""WITH RECURSIVE ${ExtQueries.curationGateCtes},
+         |sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |        FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |        WHERE len(w) >= 3),
+         |shg AS (SELECT * FROM sh3 SEMI JOIN gate USING (doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+         |hot AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM shg ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |lab AS (SELECT g.doc_id, d.n_chars, g.quality,
+         |               coalesce(cl.rep, g.doc_id) AS cluster_id
+         |        FROM gate g
+         |        JOIN documents d ON d.doc_id = g.doc_id
+         |        LEFT JOIN cl ON cl.id = g.doc_id),
+         |u AS (SELECT *,
+         |             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         |               / 16777216.0 AS uu
+         |      FROM lab)
+         |SELECT doc_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper,
+         |       CASE WHEN uu < 0.8 THEN 'train'
+         |            WHEN uu < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       quality
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "q111_keep_best" ->
       s"""WITH RECURSIVE ${ExtQueries.tokensCte},

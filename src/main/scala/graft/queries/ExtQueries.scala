@@ -349,9 +349,16 @@ object ExtQueries {
     * Each predicate is an operator judged on its own elsewhere; this
     * query judges their composition.
     */
-  private val q84: Q = (s, dir) => {
+  private val q84: Q = (s, dir) => curationGate(t(s, dir, "documents"))
+
+  /** The q84 gate as a reusable stage (also the head of q114's
+    * end-to-end pipeline): (doc_id, quality, dup_token_frac) for every
+    * document that survives the language/quality/repetition/exact-dup/
+    * decontamination gate, ordered by doc_id, checkpointed with pins
+    * released.
+    */
+  private[queries] def curationGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
     // SHARED-RELATION composition (the 100 TB shape): ONE corpus scan
     // builds a base relation carrying the exact-dup hash and the token
     // array; the positional token relation derived from it feeds
@@ -826,50 +833,60 @@ object ExtQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q84_curation_gate" ->
-      s"""WITH $tokensCte,
-         |sig AS (
-         |  SELECT d.doc_id,
-         |         (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE)
-         |            / CAST(len(w.w) AS DOUBLE)) * 0.5
-         |           + least(CAST(len(w.w) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality,
-         |         len(list_filter(w.w, x -> x IN ('der','die','und'))) AS c_de,
-         |         len(list_filter(w.w, x -> x IN ('the','and','of'))) AS c_en,
-         |         len(list_filter(w.w, x -> x IN ('el','la','los'))) AS c_es,
-         |         len(list_filter(w.w, x -> x IN ('le','la','et'))) AS c_fr
-         |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
-         |lang AS (
-         |  SELECT doc_id,
-         |         CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-         |              WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
-         |              WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
-         |              WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
-         |              ELSE 'fr' END AS lang_pred, quality
-         |  FROM sig),
-         |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
-         |rep AS (SELECT doc_id,
-         |               CAST(count(*) - count(DISTINCT t) AS DOUBLE)
-         |                 / CAST(count(*) AS DOUBLE) AS dup_token_frac
-         |        FROM tok GROUP BY 1),
-         |sh5 AS (SELECT DISTINCT doc_id,
-         |               w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
-         |        FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
-         |        WHERE len(w) >= 5),
-         |cont AS (
-         |  SELECT DISTINCT c.doc_id
-         |  FROM (SELECT * FROM sh5 WHERE doc_id % 20 <> 7) c
-         |  JOIN (SELECT * FROM sh5 WHERE doc_id % 20 = 7) b ON c.sh = b.sh
-         |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         |SELECT l.doc_id, round(l.quality, 6) AS quality,
-         |       round(r.dup_token_frac, 6) AS dup_token_frac
-         |FROM lang l
-         |JOIN rep r ON r.doc_id = l.doc_id
-         |WHERE l.doc_id % 20 <> 7
-         |  AND l.doc_id IN (SELECT doc_id FROM keep)
-         |  AND l.doc_id NOT IN (SELECT doc_id FROM cont)
-         |  AND l.lang_pred = 'en'
-         |  AND l.quality >= 0.3
-         |  AND r.dup_token_frac <= 0.6
-         |ORDER BY l.doc_id""".stripMargin,
+      s"""WITH $curationGateCtes
+         |SELECT doc_id, quality, dup_token_frac
+         |FROM gate ORDER BY doc_id""".stripMargin,
   )
+
+  /** The q84 gate as a CTE block ending in
+    * `gate(doc_id, quality, dup_token_frac)` — reused verbatim by the
+    * q114 end-to-end pipeline oracle so the gate stage of both oracles
+    * is literally the same SQL.
+    */
+  private[queries] lazy val curationGateCtes: String =
+    s"""$tokensCte,
+       |sig AS (
+       |  SELECT d.doc_id,
+       |         (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE)
+       |            / CAST(len(w.w) AS DOUBLE)) * 0.5
+       |           + least(CAST(len(w.w) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality,
+       |         len(list_filter(w.w, x -> x IN ('der','die','und'))) AS c_de,
+       |         len(list_filter(w.w, x -> x IN ('the','and','of'))) AS c_en,
+       |         len(list_filter(w.w, x -> x IN ('el','la','los'))) AS c_es,
+       |         len(list_filter(w.w, x -> x IN ('le','la','et'))) AS c_fr
+       |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+       |lang AS (
+       |  SELECT doc_id,
+       |         CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+       |              WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+       |              WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+       |              WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+       |              ELSE 'fr' END AS lang_pred, quality
+       |  FROM sig),
+       |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
+       |rep AS (SELECT doc_id,
+       |               CAST(count(*) - count(DISTINCT t) AS DOUBLE)
+       |                 / CAST(count(*) AS DOUBLE) AS dup_token_frac
+       |        FROM tok GROUP BY 1),
+       |sh5 AS (SELECT DISTINCT doc_id,
+       |               w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
+       |        FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
+       |        WHERE len(w) >= 5),
+       |cont AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT * FROM sh5 WHERE doc_id % 20 <> 7) c
+       |  JOIN (SELECT * FROM sh5 WHERE doc_id % 20 = 7) b ON c.sh = b.sh
+       |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |gate AS (
+       |  SELECT l.doc_id, round(l.quality, 6) AS quality,
+       |         round(r.dup_token_frac, 6) AS dup_token_frac
+       |  FROM lang l
+       |  JOIN rep r ON r.doc_id = l.doc_id
+       |  WHERE l.doc_id % 20 <> 7
+       |    AND l.doc_id IN (SELECT doc_id FROM keep)
+       |    AND l.doc_id NOT IN (SELECT doc_id FROM cont)
+       |    AND l.lang_pred = 'en'
+       |    AND l.quality >= 0.3
+       |    AND r.dup_token_frac <= 0.6)""".stripMargin
 }

@@ -66,7 +66,8 @@ class CacheLifecycleSpec extends SparkSpec {
 
   for (q <- Seq("q21_minhash_neardup", "q57_dup_clusters", "q67_share_of_total",
       "q82_kmeans", "q84_curation_gate", "q92_ngram_jaccard", "q95_bm25",
-      "q97_pagerank", "q106_ngram_containment", "q109_cross_dedup")) {
+      "q97_pagerank", "q106_ngram_containment", "q109_cross_dedup",
+      "q113_incremental_index", "q114_curation_pipeline")) {
     test(s"$q: pins released, no block accumulation across runs") {
       spark.catalog.clearCache() // known-clean CacheManager baseline
       val before = persistedIds
@@ -89,14 +90,23 @@ class CacheLifecycleSpec extends SparkSpec {
       (1 to 2).foreach(_ => runOnce())
       assert(GraftCacheProbe.cacheManagerIsEmpty(spark),
         s"$q left a Dataset.persist pin in the CacheManager")
-      // ACCUMULATION over 3 runs would be ~3× one execution's worth;
-      // bounded displacement stays at ~1× (+slack for GC raggedness)
+      // ACCUMULATION over 3 runs would be ~3× one execution's worth
+      // and keeps growing with more runs; transient retention plateaus.
+      // The bound is 2× + slack, NOT 1×: under a shared full-suite
+      // session the retained references are spread across
+      // broadcast-exchange POOL THREADS (up to 128), and a query that
+      // executes many broadcast exchanges per run touches different
+      // threads on different runs — the surviving set then exceeds one
+      // run's measurement without accumulating (ProfileRetention shows
+      // q114 plateauing at 2 RDDs over 7 runs in a fresh session while
+      // this suite context measured 6→12). 2× separates cleanly: a
+      // true per-run leak reaches 3× by the third run and keeps going.
       val leaked = displaceAndDrain(before)
-      val bound = math.max(afterOne.size + 2, 6)
+      val bound = math.max(2 * afterOne.size + 2, 6)
       assert(leaked.size <= bound,
         s"3 runs of $q left ${leaked.size} persistent RDDs (one-run " +
           s"retention was ${afterOne.size}, bound $bound) — accumulation, " +
-          s"not Spark's bounded most-recent-execution retention: $leaked")
+          s"not Spark's bounded transient retention: $leaked")
     }
   }
 }

@@ -241,6 +241,48 @@ class PlanGuardSpec extends SparkSpec {
     } finally { paths.corpus.unpersist(blocking = false); () }
   }
 
+  test("q113 index dedup: hot set from the dfs SUMMARY (broadcast anti join), no fresh corpus aggregate") {
+    import org.apache.spark.sql.functions.col
+    val ix = graft.ops.Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    val batchSh = graft.ops.Dedup.shingleTable(
+      docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", 3)
+    val p = graft.ops.Dedup
+      .dedupAgainstIndex(batchSh, ix, "doc_id", threshold = 0.5, maxShingleDf = 1000)
+      .queryExecution.executedPlan.toString
+    val anti = p.linesIterator.find(_.contains("LeftAnti"))
+    assert(anti.isDefined, s"the stop-shingle cap must plan as an anti join:\n$p")
+    assert(anti.get.contains("Broadcast"),
+      s"the hot set must broadcast (it reads the maintained dfs summary):\n${anti.get}")
+    assert(!p.contains("CartesianProduct"), s"no products anywhere:\n$p")
+    // the hot set must come from the maintained dfs relation (an RDD
+    // scan), NOT a fresh aggregate over the corpus-sized postings: the
+    // only aggregates in the plan are the batch-proportional ones
+    // (batch sizes + pair intersection counts), so at most 2 distinct
+    // hashpartitioning exchange groups appear
+    val aggExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 4, // 2 aggregates × (partial/final boundary prints once each) + 2 join exchanges
+      s"unexpected exchange count — a corpus-side df aggregate crept in:\n$p")
+  }
+
+  test("q114 pipeline tail: one window exchange by cluster_id; split adds zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.Dedup.keepBestWithClusters(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id",
+        litPairs.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"))
+          .localCheckpoint(),
+        "n_chars")
+      .withColumn("split", graft.ops.Sampling.splitOn(col("cluster_id")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cluster relation must broadcast:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges.size == 1 && exchanges.head.contains("cluster_id"),
+      s"exactly ONE exchange (the keeper window's, by cluster_id) — the " +
+        s"split must be a pure expression over the materialized cluster_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"never a global window:\n$p")
+  }
+
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {
     val perDoc = graft.ops.Retrieval
       .perDocStats(docs, "doc_id", "text", Seq("vector", "stream", "window"))

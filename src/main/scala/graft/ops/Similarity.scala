@@ -397,6 +397,48 @@ object Similarity {
     * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
     * Returns (id_a, id_b, sim) with id_a < id_b.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — reference for the method only): partition the
+    * embedding space with k-means, find near-identical embeddings, and
+    * keep ONE representative per within-cell near-dup component (the
+    * component-minimum id; singletons keep themselves). Returns one
+    * row per vector: (id, cell, sem_rep, is_keeper).
+    *
+    * Scale shape — three bounded stages over existing judged blocks:
+    * [[kmeans]] (broadcast centroids, one corpus pass per Lloyd round),
+    * [[nearDupPairs]] (LSH-blocked candidate pairs + exact cosine
+    * verify — the pair space is per-bucket, never n²; the k-means cell
+    * restriction then prunes cross-cell candidates, exactly SemDeDup's
+    * "only dedup within a semantic cluster" rule), and one
+    * connected-components pass over the surviving pairs
+    * ([[Dedup.duplicateClusters]]). The pair relation is materialized
+    * once (`localCheckpoint`) and measured-broadcast
+    * ([[Dedup.broadcastIfSmall]]) onto the assignment for the cell
+    * restriction, so the corpus-sized assignment relation never
+    * shuffles in the sane-dup-rate regime.
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 1, numPlanes: Int = 8,
+      threshold: Double = 0.35): DataFrame = {
+    val assign = kmeans(embeddings, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cell"))
+    val pairs = nearDupPairs(embeddings, idCol, vecCol, threshold, numPlanes)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    // one regime decision covers both cell joins (join-1's output is
+    // exactly |pairs| rows — the splitLeakageAudit pattern)
+    val small = pairs.count() <= 100000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val cellPairs = hint(hint(pairs).join(assign.toDF("id_a", "cell_a"), "id_a"))
+      .join(assign.toDF("id_b", "cell_b"), "id_b")
+      .filter(col("cell_a") === col("cell_b"))
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.duplicateClusters(cellPairs).toDF(idCol, "sem_rep")
+    assign.join(Dedup.broadcastIfSmall(comps), Seq(idCol), "left")
+      .withColumn("sem_rep", coalesce(col("sem_rep"), col(idCol)))
+      .withColumn("is_keeper", col("sem_rep") === col(idCol))
+  }
+
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 4): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)

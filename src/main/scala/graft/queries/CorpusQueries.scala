@@ -374,9 +374,26 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup ([[Similarity.semDedup]]): k-means semantic partition
+    * (q82's exact one-round Lloyd) ∧ LSH-blocked exact-cosine near-dup
+    * pairs (q28's 8-plane blocking, cosine ≥ 0.35) → within-cell
+    * connected components → keep the component-minimum vector. The
+    * embedding-space counterpart of the text-side q111: q28 finds
+    * near-identical pairs, q82 names the semantic neighborhoods, this
+    * keeps one representative per within-neighborhood duplicate group.
+    * Row-level judged (every vector's cell, component, and keep
+    * decision); oracle = q82's k-means CTEs + q28's pair CTE + the
+    * recursive closure, composed.
+    */
+  private val q115: Q = (s, dir) =>
+    Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1, numPlanes = 8, threshold = 0.35)
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
     "q114_curation_pipeline" -> q114,
+    "q115_semdedup" -> q115,
     "q112_ann_recall" -> q112,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
@@ -581,6 +598,35 @@ object CorpusQueries {
          |JOIN sizes nb ON nb.doc_id = corpus_id
          |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // per-stage oracle composition: q82's k-means CTEs verbatim (→ a2)
+    // + q28's 8-plane LSH pair CTE + the recursive closure over
+    // within-cell pairs + the component-minimum keep rule
+    "q115_semdedup" ->
+      s"""WITH RECURSIVE ${ExtQueries.kmeansCtes},
+         |bk AS (SELECT vec_id, v, ${ExtQueries.duckBucket(ExtQueries.planes8)} AS bucket,
+         |              sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM bk a JOIN bk bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |  WHERE round(list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35),
+         |cellpairs AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN a2 xa ON xa.vec_id = p.id_a
+         |  JOIN a2 xb ON xb.vec_id = p.id_b
+         |  WHERE xa.cell = xb.cell),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cellpairs
+         |          UNION SELECT id_b, id_a FROM cellpairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, r.reach FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id)
+         |SELECT a2.vec_id, a2.cell,
+         |       coalesce(cl.rep, a2.vec_id) AS sem_rep,
+         |       (coalesce(cl.rep, a2.vec_id) = a2.vec_id) AS is_keeper
+         |FROM a2 LEFT JOIN cl ON cl.id = a2.vec_id
+         |ORDER BY vec_id""".stripMargin,
 
     // per-stage oracle composition: q84's gate CTEs verbatim → shingles
     // restricted to the gated corpus → q92's pair CTE → q110/q111's

@@ -784,37 +784,7 @@ object ExtQueries {
     },
 
     "q82_kmeans" ->
-      s"""WITH $embCte,
-         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
-         |a1 AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT en.vec_id, c0.cid,
-         |           row_number() OVER (PARTITION BY en.vec_id
-         |             ORDER BY round(list_dot_product(en.v, c0.cv) / (en.nrm * c0.cnrm), 6) DESC,
-         |                      c0.cid) AS rn
-         |    FROM en, c0)
-         |  WHERE rn = 1),
-         |d1 AS (
-         |  SELECT a1.cell, g.i - 1 AS dim, en.v[g.i] AS val
-         |  FROM en JOIN a1 USING (vec_id),
-         |       UNNEST(generate_series(1, len(en.v))) AS g(i)),
-         |m1 AS (
-         |  SELECT cell, dim,
-         |         round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
-         |  FROM d1 GROUP BY 1, 2),
-         |c1 AS (
-         |  SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
-         |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
-         |a2 AS (
-         |  SELECT vec_id, cid AS cell, sim FROM (
-         |    SELECT en.vec_id, c1n.cid,
-         |           round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) AS sim,
-         |           row_number() OVER (PARTITION BY en.vec_id
-         |             ORDER BY round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) DESC,
-         |                      c1n.cid) AS rn
-         |    FROM en, c1n)
-         |  WHERE rn = 1)
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cell, sim FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q83_seq_packing" ->
@@ -837,6 +807,44 @@ object ExtQueries {
          |SELECT doc_id, quality, dup_token_frac
          |FROM gate ORDER BY doc_id""".stripMargin,
   )
+
+  /** q82's one-Lloyd-round k-means as a CTE block ending in
+    * `a2(vec_id, cell, sim)` — reused verbatim by the q115 SemDeDup
+    * oracle so the clustering stage of both oracles is literally the
+    * same SQL.
+    */
+  private[queries] lazy val kmeansCtes: String =
+    s"""$embCte,
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT en.vec_id, c0.cid,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY round(list_dot_product(en.v, c0.cv) / (en.nrm * c0.cnrm), 6) DESC,
+       |                      c0.cid) AS rn
+       |    FROM en, c0)
+       |  WHERE rn = 1),
+       |d1 AS (
+       |  SELECT a1.cell, g.i - 1 AS dim, en.v[g.i] AS val
+       |  FROM en JOIN a1 USING (vec_id),
+       |       UNNEST(generate_series(1, len(en.v))) AS g(i)),
+       |m1 AS (
+       |  SELECT cell, dim,
+       |         round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM d1 GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+       |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+       |a2 AS (
+       |  SELECT vec_id, cid AS cell, sim FROM (
+       |    SELECT en.vec_id, c1n.cid,
+       |           round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) AS sim,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY round(list_dot_product(en.v, c1n.cv) / (en.nrm * c1n.cnrm), 6) DESC,
+       |                      c1n.cid) AS rn
+       |    FROM en, c1n)
+       |  WHERE rn = 1)""".stripMargin
 
   /** The q84 gate as a CTE block ending in
     * `gate(doc_id, quality, dup_token_frac)` — reused verbatim by the

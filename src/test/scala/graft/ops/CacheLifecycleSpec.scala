@@ -103,10 +103,20 @@ class CacheLifecycleSpec extends SparkSpec {
       // true per-run leak reaches 3× by the third run and keeps going.
       val leaked = displaceAndDrain(before)
       val bound = math.max(2 * afterOne.size + 2, 6)
-      assert(leaked.size <= bound,
-        s"3 runs of $q left ${leaked.size} persistent RDDs (one-run " +
-          s"retention was ${afterOne.size}, bound $bound) — accumulation, " +
-          s"not Spark's bounded transient retention: $leaked")
+      if (leaked.size > bound) {
+        // Borderline — the one-run measurement can undershoot (a lucky
+        // GC cycle drains it to 0, collapsing the bound to the floor
+        // while one TRUE execution retains more). Escalate to a direct
+        // growth probe: two more runs. A real per-run leak adds ~2 more
+        // executions' worth; transient retention stays put.
+        (1 to 2).foreach(_ => runOnce())
+        val leaked5 = displaceAndDrain(before)
+        assert(leaked5.size <= leaked.size + 2,
+          s"5 runs of $q grew the surviving persistent-RDD set " +
+            s"${leaked.size} → ${leaked5.size} (one-run retention " +
+            s"${afterOne.size}) — accumulation, not Spark's bounded " +
+            s"transient retention: $leaked5")
+      }
     }
   }
 }

@@ -348,4 +348,28 @@ class OpsPropertySpec extends SparkSpec {
         s"incremental != from-scratch: extra=${got -- want} missing=${want -- got}")
     }
   }
+
+  test("property: semDedup components == union-find over cell-restricted pairs; one keeper each") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // independent reference: the same (cell ∧ cosine-pair) edge set via
+    // the operator's own building blocks, closed by driver union-find
+    val cells = out.map { case (id, cell, _, _) => id -> cell }.toMap
+    val pairs = Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35, numPlanes = 8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      .filter { case (a, b) => cells(a) == cells(b) }
+    val rep = unionFind(pairs.toSeq)
+    out.foreach { case (id, _, semRep, isKeeper) =>
+      val want = rep.getOrElse(id, id)
+      assert(semRep == want, s"vec $id: sem_rep $semRep != union-find $want")
+      assert(isKeeper == (semRep == id), s"vec $id: keeper flag inconsistent")
+    }
+    // exactly one keeper per component, and every component has one
+    val byRep = out.groupBy(_._3)
+    byRep.foreach { case (r, members) =>
+      assert(members.count(_._4) == 1, s"component $r keeper count != 1")
+    }
+  }
 }

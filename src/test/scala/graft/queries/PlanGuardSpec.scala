@@ -283,6 +283,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"never a global window:\n$p")
   }
 
+  test("q115 semdedup: pair-side broadcasts onto the assignment, never a corpus shuffle or product") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.ops.Similarity.semDedup(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the measured-broadcast regime must put the pair/component side " +
+        s"on the build side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-sized assignment must never sort-merge in the " +
+        s"sane-dup-rate regime:\n$p")
+  }
+
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {
     val perDoc = graft.ops.Retrieval
       .perDocStats(docs, "doc_id", "text", Seq("vector", "stream", "window"))

@@ -263,20 +263,23 @@ object Similarity {
   def annRecallContract(embeddings: DataFrame, idCol: String, vecCol: String,
       probeEvery: Long = 50, probeOffset: Long = 7, k: Int = 10,
       numTables: Int = 4, numPlanes: Int = 4, numCentroids: Int = 8,
-      nprobe: Int = 4, lshBound: Double = 0.3, ivfBound: Double = 0.35): DataFrame =
+      nprobe: Int = 4, lshBound: Double = 0.3, ivfBound: Double = 0.35,
+      mpBound: Double = 0.7): DataFrame =
     contractFromHits(
       recallFromBucketer(embeddings, idCol, vecCol, probeEvery, probeOffset,
-        k, numCentroids, nprobe, multiTableBucketer(numTables, numPlanes)),
-      k, lshBound, ivfBound)
+        k, numCentroids, nprobe, multiTableBucketer(numTables, numPlanes),
+        mpFlipBits = numPlanes),
+      k, lshBound, ivfBound, mpBound)
 
   /** Fold per-probe hit counts into the judged per-method rows (split
     * out so the spec can run the identical contract over a broken
     * bucketer's hits).
     */
   private[graft] def contractFromHits(hits: DataFrame, k: Int,
-      lshBound: Double, ivfBound: Double): DataFrame = {
+      lshBound: Double, ivfBound: Double, mpBound: Double): DataFrame = {
     val agg = hits.agg(count(lit(1)).as("n_probes"),
-      sum(col("lsh_hits")).as("lh"), sum(col("ivf_hits")).as("ih"))
+      sum(col("lsh_hits")).as("lh"), sum(col("ivf_hits")).as("ih"),
+      sum(col("mp_hits")).as("mh"))
     def methodRow(m: String, h: Column, bound: Double) =
       agg.select(lit(m).as("method"), col("n_probes"),
         (h.cast("double") >=
@@ -284,6 +287,7 @@ object Similarity {
           .as("recall_ok"))
     methodRow("ivf", col("ih"), ivfBound)
       .unionByName(methodRow("lsh_multitable", col("lh"), lshBound))
+      .unionByName(methodRow("lsh_multiprobe", col("mh"), mpBound))
   }
 
   /** Multi-table (OR-construction) LSH bucket keys: `numTables`
@@ -312,7 +316,7 @@ object Similarity {
     * the only caller that releases the corpus pin.
     */
   private[graft] case class AnnRecallPaths(corpus: DataFrame,
-      bruteK: DataFrame, lshK: DataFrame, ivfK: DataFrame)
+      bruteK: DataFrame, lshK: DataFrame, ivfK: DataFrame, mpK: DataFrame)
 
   /** [[annRecallContract]]'s raw per-probe brute-top-k hit counts with
     * a pluggable bucketer (vector, dim) → ARRAY of per-table bucket
@@ -324,22 +328,23 @@ object Similarity {
   private[graft] def recallFromBucketer(embeddings: DataFrame, idCol: String,
       vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
       numCentroids: Int, nprobe: Int,
-      bucketer: (Column, Int) => Column): DataFrame = {
+      bucketer: (Column, Int) => Column, mpFlipBits: Int): DataFrame = {
     val p = annRecallPaths(embeddings, idCol, vecCol, probeEvery,
-      probeOffset, k, numCentroids, nprobe, bucketer)
+      probeOffset, k, numCentroids, nprobe, bucketer, mpFlipBits)
     def hitsOf(approxK: DataFrame, outCol: String): DataFrame =
       p.bruteK.join(approxK.withColumn("hit", lit(1)), Seq("probe_id", "id"), "left")
         .groupBy(col("probe_id"))
         .agg(sum(coalesce(col("hit"), lit(0))).as(outCol))
     val out = hitsOf(p.lshK, "lsh_hits")
       .join(hitsOf(p.ivfK, "ivf_hits"), Seq("probe_id"))
+      .join(hitsOf(p.mpK, "mp_hits"), Seq("probe_id"))
     CacheLifecycle.resolveAndRelease(out, p.corpus)
   }
 
   private[graft] def annRecallPaths(embeddings: DataFrame, idCol: String,
       vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
       numCentroids: Int, nprobe: Int,
-      bucketer: (Column, Int) => Column): AnnRecallPaths = {
+      bucketer: (Column, Int) => Column, mpFlipBits: Int): AnnRecallPaths = {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val base = embeddings.select(col(idCol).as("id"),
@@ -379,6 +384,32 @@ object Similarity {
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"), sim(col("v"), col("nrm")).as("sim"))
       .dropDuplicates("probe_id", "id"))
+    // MULTI-PROBE (Lv et al., VLDB'07): the PROBE side additionally
+    // queries every key at Hamming distance 1 (flip one bit per table
+    // key) — the standard trade of L extra lookups of the SAME index
+    // for the recall that would otherwise cost L extra tables. The
+    // corpus index is untouched (one key per table per vector); only
+    // the |probes|-sized broadcast side fans out ×(1+bits), so the
+    // at-scale cost is per-probe lookups, never index size. Candidates
+    // are a SUPERSET of the multi-table path's by construction (the
+    // unflipped key is included), so multiprobe recall dominates —
+    // OpsSpec pins that invariant per probe.
+    def flipBit(bk: Column, j: Int): Column =
+      concat(substring(bk, 1, j + 1),
+        when(substring(bk, j + 2, 1) === "0", lit("1")).otherwise(lit("0")),
+        substring(bk, j + 3, mpFlipBits))
+    val mpProbeKeys = probes
+      .select(col("probe_id"), col("pv"), col("pnrm"),
+        explode(col("pbuckets")).as("bk0"))
+      .select(col("probe_id"), col("pv"), col("pnrm"),
+        explode(array(col("bk0") +:
+          (1 to mpFlipBits).map(j => flipBit(col("bk0"), j)): _*)).as("bk"))
+    val mpK = topK(corpus
+      .select(col("id"), col("v"), col("nrm"), explode(col("buckets")).as("bk"))
+      .join(broadcast(mpProbeKeys), Seq("bk"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), sim(col("v"), col("nrm")).as("sim"))
+      .dropDuplicates("probe_id", "id"))
     // per-probe nprobe nearest cells, then candidates from those cells
     val probeCells = cents.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("cid"),
@@ -390,7 +421,7 @@ object Similarity {
       .join(broadcast(probes), Seq("probe_id"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"), sim(col("v"), col("nrm")).as("sim")))
-    AnnRecallPaths(corpus, bruteK, lshK, ivfK)
+    AnnRecallPaths(corpus, bruteK, lshK, ivfK, mpK)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space

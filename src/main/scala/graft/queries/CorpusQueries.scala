@@ -300,15 +300,18 @@ object CorpusQueries {
 
   /** ANN recall contract ([[Similarity.annRecallContract]]): mean
     * recall@10 of the multi-table LSH index (4 tables × 4 md5
-    * hyperplanes) and the IVF index (probe 4 of 8 lowest-id-seeded
-    * cells) against the brute cosine top-10, over the fixed probe set
-    * vec_id ≡ 7 (mod 50) — the approximation-quality claim q27/q37
-    * leave unjudged. The comparison is exact integer arithmetic
+    * hyperplanes), its MULTI-PROBE variant (each probe additionally
+    * queries every per-table key at Hamming distance 1 — candidates a
+    * strict superset, so its bound sits above the multi-table one), and
+    * the IVF index (probe 4 of 8 lowest-id-seeded cells) against the
+    * brute cosine top-10, over the fixed probe set vec_id ≡ 7 (mod 50)
+    * — the approximation-quality claim q27/q37 leave unjudged. The comparison is exact integer arithmetic
     * (Σ hits ≥ bound·k·|probes|), deterministic given the md5 plane
     * family, so the oracle emits literal TRUE; measured means run
-    * 0.42–0.92 (LSH) and 0.68–0.97 (IVF) across sf0.001→sf1 against
-    * bounds 0.3/0.35, while a geometry-free bucketer collapses to
-    * ~0.06 (the spec proves the contract catches it).
+    * 0.42–0.92 (LSH), 0.68–0.97 (IVF), and 0.92–0.99 (multiprobe)
+    * across sf0.001→sf1 against bounds 0.3/0.35/0.7, while a
+    * geometry-free bucketer collapses all LSH rows to ~0.06 (the spec
+    * proves the contract catches it).
     */
   private val q112: Q = (s, dir) =>
     Similarity.annRecallContract(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -468,7 +471,8 @@ object CorpusQueries {
       """WITH p AS (SELECT count(*) AS n_probes FROM embeddings WHERE vec_id % 50 = 7)
         |SELECT method, n_probes, true AS recall_ok
         |FROM (SELECT 'ivf' AS method FROM p
-        |      UNION ALL SELECT 'lsh_multitable' FROM p), p
+        |      UNION ALL SELECT 'lsh_multitable' FROM p
+        |      UNION ALL SELECT 'lsh_multiprobe' FROM p), p
         |ORDER BY method""".stripMargin,
 
     // deterministic GK rank guarantee: the oracle recomputes n and

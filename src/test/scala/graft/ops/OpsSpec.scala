@@ -203,31 +203,43 @@ class SimilaritySpec extends SparkSpec {
   test("annRecallContract: judged bounds hold AND a broken bucketer is caught") {
     val healthy = Similarity.annRecallContract(emb, "vec_id", "embedding")
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
-    assert(healthy == Map("ivf" -> true, "lsh_multitable" -> true),
+    assert(healthy == Map("ivf" -> true, "lsh_multitable" -> true,
+      "lsh_multiprobe" -> true),
       s"judged contract must hold on the shipped index: $healthy")
     // geometry-free bucketer: buckets keyed on the id, not the vector —
     // candidates become a uniform 1/16 slice of the corpus and mean
     // recall collapses ~5x below the judged bound, so the SAME contract
-    // must flip the lsh row (ivf is untouched by the bucketer)
+    // must flip the lsh rows (ivf is untouched by the bucketer). The
+    // multiprobe path perturbs the broken keys too — still geometry-free,
+    // still caught.
     val brokenHits = Similarity.recallFromBucketer(emb, "vec_id", "embedding",
       probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
-      (_, _) => array(concat(lit("0:"), (col("id") % 16).cast("string"))))
+      (_, _) => array(concat(lit("0:"), (col("id") % 16).cast("string"))),
+      mpFlipBits = 4)
     val broken = Similarity.contractFromHits(brokenHits, k = 10,
-        lshBound = 0.3, ivfBound = 0.35)
+        lshBound = 0.3, ivfBound = 0.35, mpBound = 0.7)
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(!broken("lsh_multitable"),
       s"a geometry-free bucket assignment must fail the recall bound: $broken")
+    assert(!broken("lsh_multiprobe"),
+      s"multiprobe over geometry-free buckets must fail too: $broken")
     assert(broken("ivf"), "the ivf path is independent of the lsh bucketer")
   }
 
-  test("annRecallContract: per-probe hits are bounded by k and nonneg") {
+  test("annRecallContract: per-probe hits bounded by k; multiprobe dominates multitable") {
     val raw = Similarity.recallFromBucketer(emb, "vec_id", "embedding",
       probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
-      Similarity.multiTableBucketer(4, 4)).collect()
+      Similarity.multiTableBucketer(4, 4), mpFlipBits = 4).collect()
     assert(raw.length == 10) // 500 ids, every 50th starting at 7
     raw.foreach { r =>
       assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 10)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10)
+      // multiprobe candidates are a superset (the unflipped key is
+      // probed too), so its hit count dominates per probe — exact, not
+      // statistical
+      assert(r.getLong(3) >= r.getLong(1),
+        s"multiprobe hits ${r.getLong(3)} < multitable hits ${r.getLong(1)}")
     }
   }
 }

@@ -206,7 +206,7 @@ class PlanGuardSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val paths = graft.ops.Similarity.annRecallPaths(emb, "vec_id", "embedding",
       probeEvery = 50, probeOffset = 7, k = 10, numCentroids = 8, nprobe = 4,
-      graft.ops.Similarity.multiTableBucketer(4, 4))
+      graft.ops.Similarity.multiTableBucketer(4, 4), mpFlipBits = 4)
     // The shared corpus relation is persisted, and the plan string
     // embeds its BUILD plan under each InMemoryRelation occurrence —
     // which legitimately contains one BroadcastNestedLoopJoin (the
@@ -219,9 +219,11 @@ class PlanGuardSpec extends SparkSpec {
     try {
       val pLsh = paths.lshK.queryExecution.executedPlan.toString
       val pIvf = paths.ivfK.queryExecution.executedPlan.toString
+      val pMp = paths.mpK.queryExecution.executedPlan.toString
       // the IVF path owns ONE more bounded product of its own: the
       // |centroids|×|probes| cell-scoring join (never corpus-sized)
-      for ((nm, extra, p) <- Seq(("lsh", 0, pLsh), ("ivf", 1, pIvf))) {
+      for ((nm, extra, p) <- Seq(("lsh", 0, pLsh), ("ivf", 1, pIvf),
+          ("multiprobe", 0, pMp))) {
         assert(!p.contains("CartesianProduct"),
           s"the $nm index path must never be cartesian:\n$p")
         assert(bnlj(p) <= imr(p) + extra,

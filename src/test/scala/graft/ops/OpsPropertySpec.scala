@@ -349,6 +349,24 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("law: foldIn with zero survivors is identity for subsequent dedup") {
+    forAll(corpusCase, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 3 === 0)
+      val batch1 = df.filter(col("doc_id") % 3 === 1)
+      val batch2 = df.filter(col("doc_id") % 3 === 2)
+      val ix0 = Dedup.buildShingleIndex(corpus, "doc_id", "text")
+      val sh1 = Dedup.shingleTable(batch1, "doc_id", "text", 3).localCheckpoint()
+      val ix1 = Dedup.foldIn(ix0, sh1, batch1.select(col("doc_id")).limit(0), "doc_id")
+      val sh2 = Dedup.shingleTable(batch2, "doc_id", "text", 3).localCheckpoint()
+      def run(ix: Dedup.ShingleIndex) =
+        Dedup.dedupAgainstIndex(sh2, ix, "doc_id", threshold = 0.2, maxShingleDf = 2)
+          .as[(Long, Long, Double)].collect().toSet
+      assert(run(ix1) == run(ix0),
+        "an all-duplicate batch (nothing folded) must leave the index's behavior unchanged")
+    }
+  }
+
   test("property: semDedup components == union-find over cell-restricted pairs; one keeper each") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.semDedup(emb, "vec_id", "embedding")

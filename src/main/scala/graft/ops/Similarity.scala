@@ -95,11 +95,9 @@ object Similarity {
     * probe prunes to one bucket's partitions instead of the full corpus.
     */
   def annQuery(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int = 5, numPlanes: Int = 8): DataFrame = {
+      queryId: Long, k: Int = 5, numPlanes: Int = 8, dim: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val dim = embeddings.filter(col(idCol) === queryId)
-      .select(size(col(vecCol))).head().getInt(0)
-    val planes = lshPlanes(numPlanes, dim)
+    val planes = lshPlanes(numPlanes, vecDim(embeddings, vecCol, dim))
     val withBucket = embeddings.select(col(idCol),
         toDoubleVec(col(vecCol)).as("v"),
         lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
@@ -264,11 +262,11 @@ object Similarity {
       probeEvery: Long = 50, probeOffset: Long = 7, k: Int = 10,
       numTables: Int = 4, numPlanes: Int = 4, numCentroids: Int = 8,
       nprobe: Int = 4, lshBound: Double = 0.3, ivfBound: Double = 0.35,
-      mpBound: Double = 0.7): DataFrame =
+      mpBound: Double = 0.7, dim: Int = 0): DataFrame =
     contractFromHits(
       recallFromBucketer(embeddings, idCol, vecCol, probeEvery, probeOffset,
         k, numCentroids, nprobe, multiTableBucketer(numTables, numPlanes),
-        mpFlipBits = numPlanes),
+        mpFlipBits = numPlanes, dim = dim),
       k, lshBound, ivfBound, mpBound)
 
   /** Fold per-probe hit counts into the judged per-method rows (split
@@ -328,9 +326,10 @@ object Similarity {
   private[graft] def recallFromBucketer(embeddings: DataFrame, idCol: String,
       vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
       numCentroids: Int, nprobe: Int,
-      bucketer: (Column, Int) => Column, mpFlipBits: Int): DataFrame = {
+      bucketer: (Column, Int) => Column, mpFlipBits: Int,
+      dim: Int = 0): DataFrame = {
     val p = annRecallPaths(embeddings, idCol, vecCol, probeEvery,
-      probeOffset, k, numCentroids, nprobe, bucketer, mpFlipBits)
+      probeOffset, k, numCentroids, nprobe, bucketer, mpFlipBits, dim)
     def hitsOf(approxK: DataFrame, outCol: String): DataFrame =
       p.bruteK.join(approxK.withColumn("hit", lit(1)), Seq("probe_id", "id"), "left")
         .groupBy(col("probe_id"))
@@ -344,13 +343,13 @@ object Similarity {
   private[graft] def annRecallPaths(embeddings: DataFrame, idCol: String,
       vecCol: String, probeEvery: Long, probeOffset: Long, k: Int,
       numCentroids: Int, nprobe: Int,
-      bucketer: (Column, Int) => Column, mpFlipBits: Int): AnnRecallPaths = {
+      bucketer: (Column, Int) => Column, mpFlipBits: Int,
+      dim: Int = 0): AnnRecallPaths = {
     GraftFunctions.register(embeddings.sparkSession)
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val base = embeddings.select(col(idCol).as("id"),
         toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-      .withColumn("buckets", bucketer(col("v"), dim))
+      .withColumn("buckets", bucketer(col("v"), vecDim(embeddings, vecCol, dim)))
     val cents = base.orderBy(col("id")).limit(numCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     // one corpus pass assigns the IVF cell (same argmax convention as
@@ -394,10 +393,16 @@ object Similarity {
     // are a SUPERSET of the multi-table path's by construction (the
     // unflipped key is included), so multiprobe recall dominates —
     // OpsSpec pins that invariant per probe.
-    def flipBit(bk: Column, j: Int): Column =
-      concat(substring(bk, 1, j + 1),
-        when(substring(bk, j + 2, 1) === "0", lit("1")).otherwise(lit("0")),
-        substring(bk, j + 3, mpFlipBits))
+    // bit j lives at position prefixLen + j, where the table-index
+    // prefix ends at the ':' — derived per key (instr), not hardcoded,
+    // so a 2-digit table index (numTables >= 11) flips real plane bits
+    // instead of silently mangling its own prefix
+    def flipBit(bk: Column, j: Int): Column = {
+      val pre = instr(bk, ":")
+      concat(bk.substr(lit(1), pre + lit(j - 1)),
+        when(bk.substr(pre + lit(j), lit(1)) === "0", lit("1")).otherwise(lit("0")),
+        bk.substr(pre + lit(j + 1), lit(mpFlipBits)))
+    }
     val mpProbeKeys = probes
       .select(col("probe_id"), col("pv"), col("pnrm"),
         explode(col("pbuckets")).as("bk0"))
@@ -424,10 +429,6 @@ object Similarity {
     AnnRecallPaths(corpus, bruteK, lshK, ivfK, mpK)
   }
 
-  /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space
-    * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
-    * Returns (id_a, id_b, sim) with id_a < id_b.
-    */
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — reference for the method only): partition the
     * embedding space with k-means, find near-identical embeddings, and
@@ -450,10 +451,10 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 1, numPlanes: Int = 8,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35, dim: Int = 0): DataFrame = {
     val assign = kmeans(embeddings, idCol, vecCol, k, iters)
       .select(col(idCol), col("cell"))
-    val pairs = nearDupPairs(embeddings, idCol, vecCol, threshold, numPlanes)
+    val pairs = nearDupPairs(embeddings, idCol, vecCol, threshold, numPlanes, dim)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     // one regime decision covers both cell joins (join-1's output is
@@ -470,26 +471,61 @@ object Similarity {
       .withColumn("is_keeper", col("sem_rep") === col(idCol))
   }
 
+  /** Embedding near-duplicate pairs: LSH-bucket blocking (the pair space
+    * shrinks ~2^numPlanes-fold) + exact cosine verify at `threshold`.
+    * Returns (id_a, id_b, sim) with id_a < id_b.
+    *
+    * Dual-regime pair join (the [[Dedup.broadcastIfSmall]] /
+    * [[semDedup]] pattern): the corpus row count is MEASURED once, and
+    *  - at or under `maxBroadcastRows` the build side broadcasts and the
+    *    probe side is first spread round-robin — a small corpus often
+    *    arrives as one file = one partition, and a broadcast join
+    *    preserves upstream partitioning, so without the spread the whole
+    *    O(pairs) similarity work lands on a single core;
+    *  - above it, BOTH sides hash-partition on the bucket key and meet
+    *    in a plain shuffle equi-join — a 100 TB corpus can never transit
+    *    the driver as a broadcast. Bucket cardinality scales with the
+    *    documented planes ∝ log₂(n / target-bucket-size) rule (q28's
+    *    plane-count discipline), so the shuffle key stays at least as
+    *    wide as the cluster's parallelism; residual oversized buckets
+    *    are AQE skew-join territory.
+    *
+    * `dim` is the embedding dimensionality — a model constant in any
+    * real pipeline; pass it to avoid the one-row fallback probe job.
+    */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 4): DataFrame = {
+      threshold: Double, numPlanes: Int = 4, dim: Int = 0,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-    val planes = lshPlanes(numPlanes, dim)
+    val planes = lshPlanes(numPlanes, vecDim(embeddings, vecCol, dim))
     val withBucket = embeddings.select(col(idCol).as("id"),
         toDoubleVec(col(vecCol)).as("v"),
         lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    // The probe side is spread round-robin before the pair join: the
-    // corpus often arrives as one file = one partition, and a broadcast
-    // join preserves upstream partitioning — without this the whole
-    // O(pairs) similarity work lands on a single core.
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val a = withBucket.toDF("id_a", "v_a", "bucket", "nrm_a").repartition(par)
+    val a = withBucket.toDF("id_a", "v_a", "bucket", "nrm_a")
     val b = withBucket.toDF("id_b", "v_b", "bucket", "nrm_b")
-    a.join(broadcast(b), Seq("bucket"))
+    // measured regime decision: on a parquet-backed corpus the count is
+    // a metadata-only job; the few-seconds price buys a plan that can
+    // never die at the driver on a large corpus
+    val joined =
+      if (embeddings.count() <= maxBroadcastRows) {
+        val par = embeddings.sparkSession.sparkContext.defaultParallelism
+        a.repartition(par).join(broadcast(b), Seq("bucket"))
+      } else {
+        a.join(b, Seq("bucket"))
+      }
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(ndot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Embedding dimensionality: the caller-supplied model constant when
+    * positive, else a one-row fallback probe (one tiny job — fine
+    * interactively, avoidable in pipelines by passing `dim`).
+    */
+  private def vecDim(embeddings: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else embeddings.select(size(col(vecCol))).head().getInt(0)
 }

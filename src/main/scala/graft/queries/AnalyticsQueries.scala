@@ -243,7 +243,7 @@ object AnalyticsQueries {
   private val q57: Q = (s, dir) => {
     val pairs = graft.ops.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 8)
+      threshold = 0.35, numPlanes = 8, dim = ExtQueries.embDim)
     Dedup.duplicateClusters(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
@@ -258,7 +258,7 @@ object AnalyticsQueries {
   private val q77: Q = (s, dir) => {
     val pairs = graft.ops.Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 8)
+      threshold = 0.35, numPlanes = 8, dim = ExtQueries.embDim)
     Dedup.duplicateClustersStar(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")

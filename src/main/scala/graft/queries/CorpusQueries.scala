@@ -112,7 +112,7 @@ object CorpusQueries {
   private val q97: Q = (s, dir) => {
     val pairs = Similarity.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 8)
+      threshold = 0.35, numPlanes = 8, dim = ExtQueries.embDim)
     PageRank.pageRank(pairs, iters = 3, damping = 0.85)
       .select(col("id").as("vec_id"), col("rank"))
       .orderBy("vec_id")
@@ -314,7 +314,8 @@ object CorpusQueries {
     * proves the contract catches it).
     */
   private val q112: Q = (s, dir) =>
-    Similarity.annRecallContract(t(s, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.annRecallContract(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = ExtQueries.embDim)
       .orderBy("method")
 
   /** Incremental index write-back ([[Dedup.ShingleIndex]] /
@@ -390,7 +391,7 @@ object CorpusQueries {
     */
   private val q115: Q = (s, dir) =>
     Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 1, numPlanes = 8, threshold = 0.35)
+        k = 8, iters = 1, numPlanes = 8, threshold = 0.35, dim = ExtQueries.embDim)
       .orderBy("vec_id")
 
   val all: Map[String, Q] = Map(

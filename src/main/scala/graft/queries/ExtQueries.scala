@@ -116,7 +116,7 @@ object ExtQueries {
   /** LSH-bucketed ANN top-5 around vec_id 0 (8 planes) — the scale path. */
   private val q27: Q = (s, dir) =>
     Similarity.annQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryId = 0L, k = 5, numPlanes = 8)
+      queryId = 0L, k = 5, numPlanes = 8, dim = embDim)
 
   /** IVF-cell ANN top-5 around vec_id 0 (8 deterministic centroids,
     * nprobe 2) — the coarse-quantizer scale path next to q27's LSH.
@@ -134,7 +134,7 @@ object ExtQueries {
     */
   private val q28: Q = (s, dir) =>
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 8)
+        threshold = 0.35, numPlanes = 8, dim = embDim)
       .orderBy("id_a", "id_b")
 
   /** Multimodal metadata: text payload treated as an opaque binary blob —
@@ -260,7 +260,7 @@ object ExtQueries {
     */
   private val q44: Q = (s, dir) => {
     val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 8)
+      threshold = 0.35, numPlanes = 8, dim = embDim)
     val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     pairs
       .join(meta.toDF("id_a", "lang_a"), "id_a")
@@ -491,7 +491,14 @@ object ExtQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
-  private[queries] val planes8 = Similarity.lshPlanes(8, 64)
+  /** Embedding dimensionality of the testdata `embeddings` table — the
+    * model constant every similarity query passes so the operators skip
+    * their one-row dim-probe job (the oracle hardcodes the same 64 in
+    * [[planes8]]).
+    */
+  private[queries] val embDim = 64
+
+  private[queries] val planes8 = Similarity.lshPlanes(8, embDim)
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 

@@ -299,6 +299,42 @@ class PlanGuardSpec extends SparkSpec {
         s"sane-dup-rate regime:\n$p")
   }
 
+  test("q28 nearDupPairs: above the broadcast threshold the corpus is NEVER broadcast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Force the large regime (maxBroadcastRows = 0) and disable
+    // size-estimation auto-broadcast (the test corpus is tiny): the
+    // guard pins that the OPERATOR no longer hints a corpus broadcast —
+    // the round-9 verdict's one 100 TB scale-killer. Both sides must
+    // meet in a shuffle equi-join on the bucket key instead.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = graft.ops.Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35,
+          numPlanes = 8, dim = 64, maxBroadcastRows = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"above the threshold nothing corpus-sized may broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"the pair join must be a shuffle equi-join on the bucket key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"never a product:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q28 nearDupPairs: under the threshold the measured regime broadcasts the build side") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.ops.Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35,
+        numPlanes = 8, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the small-corpus regime must broadcast the build side:\n$p")
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+      s"the probe side must be spread before the broadcast join (the " +
+        s"single-file-corpus parallelism fix):\n$p")
+  }
+
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {
     val perDoc = graft.ops.Retrieval
       .perDocStats(docs, "doc_id", "text", Seq("vector", "stream", "window"))

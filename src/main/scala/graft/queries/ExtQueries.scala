@@ -125,6 +125,36 @@ object ExtQueries {
     Similarity.ivfQuery(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 5, numCentroids = 8, nprobe = 2)
 
+  /** The at-rest ANN index ([[graft.ops.AnnIndex]]): the embedding
+    * corpus written ONCE as a bucket-PARTITIONED parquet table (one
+    * directory per 8-plane LSH bucket), then probed for q27's exact
+    * question — cosine top-5 around vec_id 0. The probe computes the
+    * query's bucket driver-side and filters on the partition column,
+    * so partition pruning cuts the scan to one bucket's files
+    * (`PlanGuardSpec` pins the PartitionFilters entry) — the serving
+    * path SCALE.md promised next to q27's per-query bucketing. Judged
+    * against q27's oracle VERBATIM: index layout cannot change
+    * results. The index is built once per (pid, source dir) and
+    * reused (q62's amortization pattern), so benched iterations
+    * measure the PROBE — which is the layout's point.
+    */
+  private val annIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q116: Q = (s, dir) => {
+    val path = annIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.write(t(s, dir, "embeddings"), "vec_id", "embedding",
+        p, numPlanes = 8, dim = embDim)
+      p
+    })
+    val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    graft.ops.AnnIndex.probe(s, path, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L))
+  }
+
   /** Embedding near-dup pairs: 8-plane LSH blocking + cosine ≥ 0.35.
     * Plane count follows the round-6 q97 rule — planes ∝
     * log₂(n/target-bucket), and 8 is the widest that keeps the
@@ -447,6 +477,7 @@ object ExtQueries {
     "q29_multimodal_meta" -> q29,
     "q37_ivf_ann" -> q37,
     "q44_semantic_dedup" -> q44,
+    "q116_ann_index_probe" -> q116,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -499,6 +530,18 @@ object ExtQueries {
   private[queries] val embDim = 64
 
   private[queries] val planes8 = Similarity.lshPlanes(8, embDim)
+
+  /** q27's oracle — shared verbatim by q116: the LSH top-5 answer is a
+    * property of the geometry, never of whether buckets are computed
+    * per query or read back from the partitioned index.
+    */
+  private lazy val annTop5Sql: String =
+    s"""WITH $embCte,
+       |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
+       |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -602,13 +645,11 @@ object ExtQueries {
          |FROM e, q WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q27_ann_lsh" ->
-      s"""WITH $embCte,
-         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
-         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
-         |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
-         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
-         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q27_ann_lsh" -> annTop5Sql,
+
+    // the at-rest index probe MUST return exactly what the per-query
+    // bucketing returns — one oracle string, two judged plans
+    "q116_ann_index_probe" -> annTop5Sql,
 
     "q28_embedding_neardup" ->
       s"""WITH $embCte,

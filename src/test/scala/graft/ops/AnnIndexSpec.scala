@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The at-rest ANN index's two contracts: (1) layout cannot change
+  * results — the probe's top-k equals [[Similarity.annQuery]]'s over
+  * the same corpus/planes; (2) the driver-side bucket computation is
+  * bit-identical to the in-plan codegen'd one for EVERY vector (same
+  * sequential double accumulation), so a stored row always lands in
+  * the directory a probe will look in.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val path = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec"
+    AnnIndex.write(emb, "vec_id", "embedding", p, numPlanes = 8, dim = 64)
+    p
+  }
+
+  test("probe == annQuery: index layout cannot change the top-k") {
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val fromIndex = AnnIndex
+      .probe(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val perQuery = Similarity
+      .annQuery(emb, "vec_id", "embedding", queryId = 0L, k = 5,
+        numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == perQuery)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("driver-side bucketOf matches the stored partition value for every vector") {
+    val planes = Similarity.lshPlanes(8, 64)
+    val stored = spark.read.parquet(path)
+      .select(col("vec_id"), col("bucket"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Double](2).toArray))
+      .toMap
+    assert(stored.nonEmpty)
+    stored.foreach { case (id, (bucket, v)) =>
+      assert(AnnIndex.bucketOf(v, 8) == bucket, s"vec $id bucket drift")
+    }
+    // and the in-plan expression agrees too
+    val inPlan = emb
+      .select(col("vec_id"),
+        concat(lit("b"), Similarity.lshBucket(
+          Similarity.toDoubleVec(col("embedding")), planes)).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    stored.foreach { case (id, (bucket, _)) =>
+      assert(inPlan(id) == bucket, s"vec $id in-plan bucket drift")
+    }
+  }
+
+  test("probe of a vector NOT in the corpus still resolves (no exclusion)") {
+    // a synthetic query vector: all ones — deterministic bucket, k rows
+    val qvec = Array.fill(64)(1.0)
+    val out = AnnIndex.probe(spark, path, "vec_id", qvec, k = 3,
+      numPlanes = 8)
+    assert(out.columns.toSeq == Seq("vec_id", "sim"))
+    assert(out.count() <= 3)
+  }
+}

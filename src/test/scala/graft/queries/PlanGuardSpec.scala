@@ -335,6 +335,34 @@ class PlanGuardSpec extends SparkSpec {
         s"single-file-corpus parallelism fix):\n$p")
   }
 
+  test("q116 ann index probe: the scan partition-prunes to the query bucket") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_index_guard"
+    graft.ops.AnnIndex.write(emb, "vec_id", "embedding", path,
+      numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val qb = graft.ops.AnnIndex.bucketOf(qvec, numPlanes = 8)
+    val p = graft.ops.AnnIndex
+      .probe(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the bucket equality must be a PARTITION filter on the scan — that
+    // is the entire point of the at-rest layout (read one directory's
+    // files, not the corpus)
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains(s"= $qb"),
+      s"the query-bucket equality must prune partitions:\n${scan.get}")
+    // and it must NOT degrade to a post-scan Filter NODE on bucket (the
+    // scan line itself legitimately mentions bucket in PartitionFilters)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter (") && l.contains("bucket")),
+      s"bucket must never be filtered AFTER the scan:\n$p")
+  }
+
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {
     val perDoc = graft.ops.Retrieval
       .perDocStats(docs, "doc_id", "text", Seq("vector", "stream", "window"))

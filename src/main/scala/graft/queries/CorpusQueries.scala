@@ -364,18 +364,38 @@ object CorpusQueries {
     */
   private val q114: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val gate = ExtQueries.curationGate(docs)
-    val gated = docs.join(gate.select("doc_id"), Seq("doc_id"), "leftsemi")
-    val pairs = Dedup.jaccardNearDup(gated, "doc_id", "text",
-        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
-      .select(col("id_a"), col("id_b"))
+    // ONE corpus tokenize for the whole pipeline: the shared signal
+    // base feeds the gate's language/quality/repetition aggregates,
+    // its 5-gram decontamination shingles, AND the 3-gram Jaccard
+    // dedup downstream — previously the dedup re-tokenized the gated
+    // corpus from text, a second full scan+split of the dominant
+    // column at 100 TB. The dedup's shingle relation is the shared
+    // 3-gram table restricted to gate survivors (identical to
+    // shingling the gated docs: per-doc shingle sets and the gated
+    // df cap are unchanged), persisted across the posting join's
+    // multiple consumers and released with the base at the end.
+    val sig = graft.ops.CurationSignals.build(docs, "doc_id", "text")
+    val gate = ExtQueries.curationGateFromSignals(sig).localCheckpoint()
+    val sh3 = sig.shingles(3)
+      .join(gate.select("doc_id"), Seq("doc_id"), "leftsemi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.ops.CacheLifecycle.resolveAndRelease(
+      Dedup.jaccardFromShingles(sh3, "doc_id",
+          threshold = 0.5, maxShingleDf = 1000)
+        .select(col("id_a"), col("id_b")),
+      sh3)
     val clusters = Dedup.duplicateClusters(pairs).toDF("doc_id", "cluster_id")
-    Dedup.keepBestWithClusters(
-        gated.select(col("doc_id"), col("n_chars")), "doc_id", clusters, "n_chars")
+    // n_chars rides a PRUNED re-read of the two narrow metadata
+    // columns (never the text bytes) — the token base stays the only
+    // text consumer
+    val gated = docs.select(col("doc_id"), col("n_chars"))
+      .join(gate.select("doc_id"), Seq("doc_id"), "leftsemi")
+    val out = Dedup.keepBestWithClusters(gated, "doc_id", clusters, "n_chars")
       .join(gate.select(col("doc_id"), col("quality")), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("is_keeper"),
         Sampling.splitOn(col("cluster_id")).as("split"), col("quality"))
       .orderBy("doc_id")
+    graft.ops.CacheLifecycle.resolveAndRelease(out, sig.base)
   }
 
   /** SemDeDup ([[Similarity.semDedup]]): k-means semantic partition

@@ -388,26 +388,31 @@ object ExtQueries {
     * released.
     */
   private[queries] def curationGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // SHARED-RELATION composition (the 100 TB shape): ONE corpus scan
-    // builds a base relation carrying the exact-dup hash and the token
-    // array; the positional token relation derived from it feeds
-    // quality, language-ID, repetition, AND the 5-gram contamination
-    // shingles. The naive composition (each operator called on `docs`)
-    // re-reads the corpus once per signal — 3+ redundant full scans at
-    // 100 TB. Signal semantics are unchanged: the per-doc aggregates
-    // below compute exactly [[TextAnalysis.qualityScore]]/[[TextAnalysis
-    // .langId]]/[[TextAnalysis.repetitionSignals]].dup_token_frac, and
-    // the shingle block is [[Dedup.shingleTable]](k=5) feeding
-    // [[Decontamination.overlapReport]]'s join (df cap 0), so the
-    // oracle is untouched.
-    val base = docs
-      .select(col("doc_id"), md5(col("text")).as("text_hash"),
-        split(lower(col("text")), " ").as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tok = base
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
+    val sig = graft.ops.CurationSignals.build(docs, "doc_id", "text")
+    sig.release(curationGateFromSignals(sig))
+  }
+
+  /** The gate over an ALREADY-BUILT [[graft.ops.CurationSignals]] —
+    * the composition hook q114 uses to share ONE corpus tokenize
+    * between the gate's signals and its downstream Jaccard dedup.
+    * SHARED-RELATION composition (the 100 TB shape): the persisted
+    * base relation carries the exact-dup hash and the token array; the
+    * positional token relation derived from it feeds quality,
+    * language-ID, repetition, AND the 5-gram contamination shingles.
+    * The naive composition (each operator called on `docs`) re-reads
+    * the corpus once per signal — 3+ redundant full scans at 100 TB.
+    * Signal semantics are unchanged: the per-doc aggregates below
+    * compute exactly [[TextAnalysis.qualityScore]]/[[TextAnalysis
+    * .langId]]/[[TextAnalysis.repetitionSignals]].dup_token_frac, and
+    * the shingle block is [[Dedup.shingleTable]](k=5) feeding
+    * [[Decontamination.overlapReport]]'s join (df cap 0), so the
+    * oracle is untouched. Returns the LAZY gate plan; the caller owns
+    * the base pin's release.
+    */
+  private[queries] def curationGateFromSignals(
+      sig: graft.ops.CurationSignals): org.apache.spark.sql.DataFrame = {
+    val base = sig.base
+    val tok = sig.tokens
     // every per-doc token aggregate in ONE grouped pass (map-side combined)
     def cntIn(words: Seq[String]) =
       count(when(col("tok").isin(words.map(x => x: Any): _*), 1))
@@ -429,14 +434,7 @@ object ExtQueries {
       ((col("n_tok") - col("n_tok_d")).cast("double") /
         col("n_tok").cast("double")).as("dup_token_frac"))
     // 5-gram contamination shingles from the SAME token relation
-    val w5 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until 5).map(o => lead(col("tok"), o).over(w5))
-    val sh5 = tok
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("sh"),
-        parts.last.isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("sh"))
-      .dropDuplicates("doc_id", "sh")
+    val sh5 = sig.shingles(5)
     val benchSh = sh5.filter(col("doc_id") % 20 === 7)
       .select(col("doc_id").as("bench_id"), col("sh"))
     val contaminated = sh5.filter(col("doc_id") % 20 =!= 7)
@@ -449,7 +447,7 @@ object ExtQueries {
     val keepers = base.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val gate = base.filter(col("doc_id") % 20 =!= 7).select(col("doc_id"))
+    base.filter(col("doc_id") % 20 =!= 7).select(col("doc_id"))
       .join(signals, "doc_id")
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -458,10 +456,6 @@ object ExtQueries {
       .select(col("doc_id"), round(col("quality"), 6).as("quality"),
         round(col("dup_token_frac"), 6).as("dup_token_frac"))
       .orderBy("doc_id")
-    // Materialize the gate's keep set (3 narrow columns — the relation
-    // the pipeline writes anyway) and release the token-array base pin:
-    // graft.ops.CacheLifecycle's un-persist-on-completion contract.
-    graft.ops.CacheLifecycle.resolveAndRelease(gate, base)
   }
 
   val all: Map[String, Q] = Map(

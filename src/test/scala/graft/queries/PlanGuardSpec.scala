@@ -335,6 +335,28 @@ class PlanGuardSpec extends SparkSpec {
         s"single-file-corpus parallelism fix):\n$p")
   }
 
+  test("q114 shared signals: gate and dedup shingles both read the token base (one corpus tokenize)") {
+    val sig = graft.ops.CurationSignals.build(docs, "doc_id", "text")
+    try {
+      val pGate = ExtQueries.curationGateFromSignals(sig)
+        .queryExecution.executedPlan.toString
+      val pSh = sig.shingles(3).queryExecution.executedPlan.toString
+      for ((nm, p) <- Seq(("gate", pGate), ("dedup shingles", pSh))) {
+        assert(p.contains("InMemoryTableScan"),
+          s"the $nm plan must read the shared token base cache:\n$p")
+        // any text-reading documents scan may appear ONLY inside the
+        // cached base's build plan (printed once under each
+        // InMemoryRelation occurrence) — a fresh tokenize would add one
+        val textScans = p.linesIterator.count(l =>
+          l.contains("FileScan") && l.contains("documents") && l.contains("text"))
+        val imr = "InMemoryRelation".r.findAllIn(p).length
+        assert(textScans <= imr,
+          s"the $nm plan re-reads document text outside the shared base " +
+            s"($textScans text scans vs $imr cached builds):\n$p")
+      }
+    } finally { sig.base.unpersist(blocking = false); () }
+  }
+
   test("q116 ann index probe: the scan partition-prunes to the query bucket") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

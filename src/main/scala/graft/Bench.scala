@@ -103,15 +103,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${failed.get}")
       val mn = if (times.isEmpty) -1.0 else times.head
       val med = if (times.isEmpty) -1.0 else times(times.size / 2)
-      (name, mn, med, times.size)
+      // flaky = threw during the convergence loop AFTER >=2 clean runs:
+      // timings are real but the failure must reach the artifact, not
+      // just stderr (it would otherwise read as fully healthy).
+      (name, mn, med, times.size, failed.isDefined && times.nonEmpty)
     }
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def objL(kv: Seq[(String, Long)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (n, mn, _, _) => n -> mn })
-    val med = obj(results.map { case (n, _, md, _) => n -> md })
-    val runs = objL(results.map { case (n, _, _, r) => n -> r.toLong })
+    val qs = obj(results.map { case (n, mn, _, _, _) => n -> mn })
+    val med = obj(results.map { case (n, _, md, _, _) => n -> md })
+    val runs = objL(results.map { case (n, _, _, r, _) => n -> r.toLong })
     // A failed query records -1.0 per entry (machine-visible sentinel)
     // but is EXCLUDED from the headline total — the round-8 artifact
     // summed 21 sentinels into `value` and understated runtime by 21 s.
@@ -120,11 +123,14 @@ object Bench {
     val total = results.filter(_._4 > 0).map(_._2).sum
     val nFailed = failedNames.size
     val failedArr = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flaky = ran >=1 clean time but threw later in the convergence loop
+    val flakyNames = results.filter(r => r._4 > 0 && r._5).map(_._1)
+    val flakyArr = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-run = degraded-but-ran (budget overrun); failures count separately
     val nOneRun = results.count(_._4 == 1)
-    val nWideGap = results.count { case (_, mn, md, r) => r >= 2 && md > 1.3 * mn }
+    val nWideGap = results.count { case (_, mn, md, r, _) => r >= 2 && md > 1.3 * mn }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_failed":$nFailed,"failed":$failedArr,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_failed":$nFailed,"failed":$failedArr,"n_flaky":${flakyNames.size},"flaky":$flakyArr,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
     // Full-detail artifact: the driver snapshots only the LAST 2000 chars
     // of stdout, which amputated the full per-query JSON in rounds 1-4
     // (BENCH_r0N.json "parsed": null). The complete JSON goes to a repo
@@ -137,8 +143,8 @@ object Bench {
     // build.sbt sets `Global / showSuccess := false` so no sbt "[success]"
     // line lands after it inside the captured tail.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val shortQs = obj(results.map { case (n, mn, _, _) => n.takeWhile(_ != '_') -> r3(mn) })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_failed":$nFailed,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
+    val shortQs = obj(results.map { case (n, mn, _, _, _) => n.takeWhile(_ != '_') -> r3(mn) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_failed":$nFailed,"n_flaky":${flakyNames.size},"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

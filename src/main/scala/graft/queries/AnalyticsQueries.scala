@@ -538,7 +538,8 @@ object AnalyticsQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"),
         col("value").as("purchase_value"))
-    graft.ops.AsOfJoin.asOfForward(signups, purchases, Seq("user_id"), "ts", "ts")
+    graft.ops.AsOfJoin.asOfForward(signups, purchases, Seq("user_id"), "ts", "ts",
+        bucketSeconds = Some(86400L))
       .select(col("signup_event_id"), col("user_id"),
         col("asof_purchase_event_id").as("purchase_event_id"),
         col("asof_purchase_value").as("purchase_value"))

@@ -356,7 +356,10 @@ object RefQueries {
 
   /** As-of join: each error event enriched with the user's latest click
     * at-or-before it ([[graft.ops.AsOfJoin]] — union-tag + running-last
-    * window, one shuffle). Oracle uses DuckDB's native ASOF JOIN:
+    * window, one shuffle). Runs the SKEW-BUCKETED path (1-day time
+    * buckets over the 30-day event range) so the judged query exercises
+    * the shape that survives a hot key at scale; `OpsPropertySpec` pins
+    * bucketed ≡ unbucketed. Oracle uses DuckDB's native ASOF JOIN:
     * identical semantics, independent implementation.
     */
   private val q33: Q = (s, dir) => {
@@ -366,7 +369,8 @@ object RefQueries {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"),
         col("value").as("click_value"))
-    graft.ops.AsOfJoin.asOf(errors, clicks, Seq("user_id"), "ts", "ts")
+    graft.ops.AsOfJoin.asOf(errors, clicks, Seq("user_id"), "ts", "ts",
+        bucketSeconds = Some(86400L))
       .select(col("error_event_id"), col("user_id"),
         col("asof_click_event_id").as("click_event_id"),
         col("asof_click_value").as("click_value"))

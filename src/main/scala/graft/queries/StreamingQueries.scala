@@ -266,12 +266,102 @@ object StreamingQueries {
     out.orderBy("event_type")
   }
 
+  /** Streaming incremental dedup — q113's maintained-index loop composed
+    * with a real file-source stream: the documents table is staged as
+    * four batch files (doc_id mod 4, mtime-ordered so the source replays
+    * them IN ORDER, one file per micro-batch), and `foreachBatch` runs
+    * the full production loop per batch — shingle the batch, dedup it
+    * against the MAINTAINED [[graft.ops.Dedup.ShingleIndex]]
+    * ([[graft.ops.Dedup.dedupAgainstIndex]]: hot-set from the df
+    * summary, sizes from the maintained relation), fold the survivors
+    * back in ([[graft.ops.Dedup.foldIn]]) so the NEXT micro-batch sees
+    * them. Batch 0 meets an EMPTY index (all kept). Judged row-level:
+    * (doc_id, kept) for every document; the oracle replays the four
+    * rounds from scratch in SQL (q113's from-scratch pattern ×3 rounds).
+    * At scale the same `foreachBatch` body runs against parquet/Delta
+    * index tables (postings/sizes append, dfs MERGEs — the shapes
+    * [[graft.ops.Dedup.foldIn]]'s scaladoc documents); the state here is
+    * per-session, exactly like q113's.
+    */
+  private val q117: Q = (s, dir) => {
+    import graft.ops.Dedup
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_q117_${runSeq.incrementAndGet()}_").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // Batch-sized work wants batch-sized shuffles: every per-batch job
+    // below (shingle checkpoint, pair join, fold-in compaction) is over
+    // a QUARTER of the corpus — 32 near-empty partitions per job made
+    // the replay task-launch-bound, same lesson as the state-partition
+    // knob in [[runToCompletion]]. Restored in the finally.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 0 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // the file source replays oldest-first: mtime IS the batch order
+      dst.setLastModified(base + k * 2000L)
+    }
+    // driver-side loop state, advanced once per micro-batch (foreachBatch
+    // bodies run sequentially on the driver): the maintained index and
+    // the accumulated keep decisions (4 batch-sized checkpointed frames).
+    // The initial index is EMPTY — built lazily (plain empty plans, no
+    // eager checkpoint jobs for zero rows).
+    val shEmpty = Dedup.shingleTable(docs.limit(0), "doc_id", "text", 3)
+    var ix = Dedup.ShingleIndex(shEmpty,
+      shEmpty.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+      shEmpty.groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    var results = List.empty[DataFrame]
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q117_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q117_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sh = Dedup.shingleTable(batch, "doc_id", "text", 3).localCheckpoint()
+          val pairs = Dedup.dedupAgainstIndex(sh, ix, "doc_id",
+            threshold = 0.5, maxShingleDf = 1000)
+          val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+          val decided = batch.select(col("doc_id"))
+            .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
+            .localCheckpoint()
+          ix = Dedup.foldIn(ix, sh, decided.filter(col("kept")), "doc_id")
+          results = decided :: results
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.reduce(_ unionByName _).orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
     "q74_stream_interval_join" -> q74,
     "q75_stream_windowed" -> q75,
     "q89_stream_archive" -> q89,
+    "q117_stream_incr_dedup" -> q117,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -328,5 +418,55 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // from-scratch replay of the streaming loop: batch k (doc_id mod 4)
+    // deduped against the survivors of batches < k, survivors folded
+    // forward — q113's from-scratch pattern, three rounds (batch 0 meets
+    // an empty index and is kept wholesale)
+    "q117_stream_incr_dedup" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |c1 AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+         |hot1 AS (SELECT sh FROM c1 GROUP BY sh HAVING count(*) > 1000),
+         |post1 AS (SELECT * FROM c1 ANTI JOIN hot1 USING (sh)),
+         |i1 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |       FROM (SELECT * FROM sh WHERE doc_id % 4 = 1) a
+         |       JOIN post1 b ON a.sh = b.sh GROUP BY 1, 2),
+         |d1 AS (SELECT DISTINCT new_id FROM i1
+         |       JOIN sizes na ON na.doc_id = new_id
+         |       JOIN sizes nb ON nb.doc_id = corpus_id
+         |       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |c2 AS (SELECT * FROM c1 UNION ALL
+         |       SELECT * FROM sh WHERE doc_id % 4 = 1
+         |        AND doc_id NOT IN (SELECT new_id FROM d1)),
+         |hot2 AS (SELECT sh FROM c2 GROUP BY sh HAVING count(*) > 1000),
+         |post2 AS (SELECT * FROM c2 ANTI JOIN hot2 USING (sh)),
+         |i2 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |       FROM (SELECT * FROM sh WHERE doc_id % 4 = 2) a
+         |       JOIN post2 b ON a.sh = b.sh GROUP BY 1, 2),
+         |d2 AS (SELECT DISTINCT new_id FROM i2
+         |       JOIN sizes na ON na.doc_id = new_id
+         |       JOIN sizes nb ON nb.doc_id = corpus_id
+         |       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |c3 AS (SELECT * FROM c2 UNION ALL
+         |       SELECT * FROM sh WHERE doc_id % 4 = 2
+         |        AND doc_id NOT IN (SELECT new_id FROM d2)),
+         |hot3 AS (SELECT sh FROM c3 GROUP BY sh HAVING count(*) > 1000),
+         |post3 AS (SELECT * FROM c3 ANTI JOIN hot3 USING (sh)),
+         |i3 AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |       FROM (SELECT * FROM sh WHERE doc_id % 4 = 3) a
+         |       JOIN post3 b ON a.sh = b.sh GROUP BY 1, 2),
+         |d3 AS (SELECT DISTINCT new_id FROM i3
+         |       JOIN sizes na ON na.doc_id = new_id
+         |       JOIN sizes nb ON nb.doc_id = corpus_id
+         |       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5)
+         |SELECT d.doc_id,
+         |       NOT (d.doc_id IN (SELECT new_id FROM d1)
+         |         OR d.doc_id IN (SELECT new_id FROM d2)
+         |         OR d.doc_id IN (SELECT new_id FROM d3)) AS kept
+         |FROM documents d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -29,10 +29,15 @@ object ProfileRetention {
       var leaked = Set.empty[Int]
       var stable = 0
       val deadline = System.currentTimeMillis() + 20000
+      // still-shrinking sets reset the counter; an EMPTY survivor set is
+      // terminal (nothing left to drain), so exit instead of burning the
+      // full 20 s deadline on every clean run
       while (stable < 8 && System.currentTimeMillis() < deadline) {
         System.gc(); Thread.sleep(250)
         val next = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-        stable = if (next.size < leaked.size || leaked.isEmpty) 0 else stable + 1
+        stable = if (next.isEmpty) 8
+                 else if (next.size < leaked.size) 0
+                 else stable + 1
         leaked = next
       }
       println(s"after run $i: ${leaked.size} surviving persistent RDDs")

@@ -107,9 +107,12 @@ class CacheLifecycleSpec extends SparkSpec {
         // Borderline — the one-run measurement can undershoot (a lucky
         // GC cycle drains it to 0, collapsing the bound to the floor
         // while one TRUE execution retains more). Escalate to a direct
-        // growth probe: two more runs. A real per-run leak adds ~2 more
+        // growth probe: three more runs. A real per-run leak adds ~3 more
         // executions' worth; transient retention stays put.
-        (1 to 2).foreach(_ => runOnce())
+        // 3 extra runs, not 2: a true 1-RDD-per-run leak grows by +3
+        // and must exceed the +2 allowance (with 2 runs it would grow
+        // by exactly the allowance and slip through).
+        (1 to 3).foreach(_ => runOnce())
         val leaked5 = displaceAndDrain(before)
         assert(leaked5.size <= leaked.size + 2,
           s"5 runs of $q grew the surviving persistent-RDD set " +

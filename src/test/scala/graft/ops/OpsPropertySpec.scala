@@ -135,6 +135,28 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: time-bucketed asOf/asOfForward == unbucketed (skew path)") {
+    // width 7 over times 0..20 → 3 buckets, so carry-ins across bucket
+    // boundaries are exercised constantly; width 1000 → single bucket
+    // (bucketing must degrade to a no-op); ties included via asofCase
+    forAll(asofCase, n = 8) { case (left, right) =>
+      val (l, r) = (left.toDF("k", "t", "lid"), right.toDF("k", "rt", "v"))
+      for (w <- Seq(7L, 1000L)) {
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select("lid", "asof_rt", "asof_v").collect()
+            .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSet
+        assert(rows(AsOfJoin.asOf(l, r, Seq("k"), "t", "rt",
+            bucketSeconds = Some(w))) ==
+          rows(AsOfJoin.asOf(l, r, Seq("k"), "t", "rt")),
+          s"backward bucketed(w=$w) != unbucketed")
+        assert(rows(AsOfJoin.asOfForward(l, r, Seq("k"), "t", "rt",
+            bucketSeconds = Some(w))) ==
+          rows(AsOfJoin.asOfForward(l, r, Seq("k"), "t", "rt")),
+          s"forward bucketed(w=$w) != unbucketed")
+      }
+    }
+  }
+
   // ------------------------------------------------------------------ SCD-2
 
   private val attrStream: Gen[List[(Long, String)]] =

@@ -638,6 +638,28 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** [[ckptReset]] plus a release handle on the PERSISTED checkpoint
+    * RDD (the `LogicalRDD` leaf the eager checkpoint created). Iterative
+    * operators use it to unpersist each round's blocks the moment the
+    * next round is materialized: without an explicit release the blocks
+    * wait for the ContextCleaner (GC-driven, so a back-to-back workload
+    * accumulates every round of every run until a collection happens —
+    * measured as multi-second run-to-run noise on q110/q111's composed
+    * pipelines). The released RDD is never referenced again by
+    * construction — successors are materialized checkpoints, not
+    * lineage over the predecessor.
+    */
+  private def ckptResetH(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val ck = df.localCheckpoint()
+    val h = ck.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), h)
+  }
+
+  private def releaseCkpt(h: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+    h.foreach(_.unpersist(blocking = false))
+
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
     // Iterative plans MUST truncate lineage per round: building round
@@ -652,13 +674,17 @@ object Dedup {
     // pairs — dedup here would be a wasted O(E) shuffle of the
     // largest relation in the job. Heavily-duplicated input costs
     // proportional scan time, never correctness.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edgesCk = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
+    val edgesPin = edgesCk.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    val edges: DataFrame = edgesCk
     // From identity labels, round 1 is just min(id, neighbor ids) — fuse
     // it into initialization: one aggregate, no join, and one fewer
     // convergence-check job.
-    var labels = ckptReset(edges.groupBy(col("src").as("id"))
+    var (labels, labelsPin) = ckptResetH(edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label")))
     // DELTA propagation: a node's label can only improve when a
     // neighbor's label improved last round, so each round joins the
@@ -669,7 +695,7 @@ object Dedup {
     // per-round cost drops from O(E) shuffles to a scan of E joined
     // against a shrinking delta. After init, the changed set is
     // exactly the non-minimum nodes (label != id).
-    var delta = ckptReset(labels.filter(col("label") =!= col("id")))
+    var (delta, deltaPin) = ckptResetH(labels.filter(col("label") =!= col("id")))
     var nDelta = delta.count()
     var round = 1
     while (nDelta > 0 && round < maxRounds) {
@@ -681,7 +707,7 @@ object Dedup {
       val cand = edges
         .join(dJoin.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("cand"))
-      val improved = ckptReset(cand
+      val (improved, improvedPin) = ckptResetH(cand
         .join(labels, "id")
         .filter(col("cand") < col("label"))
         .select(col("id"), col("cand").as("label")))
@@ -691,13 +717,20 @@ object Dedup {
         // is scanned in place, not shuffled, for the update join.
         val im = (if (nDelta <= 1000000) broadcast(improved) else improved)
           .withColumnRenamed("label", "better")
-        labels = ckptReset(labels.as("l")
+        val (nl, nlPin) = ckptResetH(labels.as("l")
           .join(im.as("im"), Seq("id"), "left")
           .select(col("id"), coalesce(col("better"), col("l.label")).as("label")))
-        delta = improved
+        // predecessors are materialized out of the new round's lineage —
+        // release their blocks now, not at the next GC
+        releaseCkpt(labelsPin); labels = nl; labelsPin = nlPin
+        releaseCkpt(deltaPin); delta = improved; deltaPin = improvedPin
+      } else {
+        releaseCkpt(improvedPin)
       }
       round += 1
     }
+    releaseCkpt(edgesPin)
+    releaseCkpt(deltaPin)
     val converged = nDelta == 0
     // A silent non-converged return would split one true component into
     // several cluster ids — downstream dedup would then KEEP duplicates.
@@ -774,16 +807,20 @@ object Dedup {
     // ckptReset, not bare localCheckpoint: each star round self-joins
     // the previous round's relation, so inherited stats estimates would
     // double in bit-length per round — see ckptReset.
-    var edges = ckptReset(canon(pairs.select(col(idA).as("lo"), col(idB).as("hi"))))
+    var (edges, edgesPin) =
+      ckptResetH(canon(pairs.select(col(idA).as("lo"), col(idB).as("hi"))))
     var cur = signature(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = ckptReset(smallStar(largeStar(edges)))
+      val (next, nextPin) = ckptResetH(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == cur
       cur = nextSig
-      edges = next
+      // the superseded round is materialized out of `next`'s lineage —
+      // release its blocks now rather than at the next GC
+      releaseCkpt(edgesPin)
+      edges = next; edgesPin = nextPin
       round += 1
     }
     if (!converged)

@@ -21,11 +21,16 @@ object ProfileRepeat {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "3").toInt
+    // SPARK_GRAFT_PROFILE_GC=1: force GC + drain between runs — isolates
+    // "inherent cost" from "accumulated not-yet-collected block pressure"
+    // (the ContextCleaner releases checkpoint blocks only after a GC).
+    val gcBetween = sys.env.get("SPARK_GRAFT_PROFILE_GC").contains("1")
     for (name <- names; i <- 1 to reps) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (gcBetween) { (1 to 4).foreach { _ => System.gc(); Thread.sleep(250) } }
     }
     spark.stop()
   }

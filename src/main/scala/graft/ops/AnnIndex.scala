@@ -50,7 +50,26 @@ object AnnIndex {
     * precomputed norm (so a probe never re-derives per-row norms).
     */
   def write(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, numPlanes: Int = 8, dim: Int = 0): Unit = {
+      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+    store(embeddings, idCol, vecCol, path, numPlanes, dim,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold a batch of new vectors INTO an existing index: the bucket
+    * layout makes ingest a pure partition APPEND (each batch adds files
+    * under the bucket directories it hashes into; existing files are
+    * never rewritten) — the maintenance path that keeps the at-rest
+    * index current as a corpus grows, streaming or batch. Probes are
+    * layout-agnostic, so append-built ≡ write-built, exactly
+    * (`AnnIndexSpec` pins it; q118 judges the streaming loop).
+    */
+  def append(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+    store(embeddings, idCol, vecCol, path, numPlanes, dim,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def store(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int, dim: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val d =
       if (dim > 0) dim
@@ -61,7 +80,7 @@ object AnnIndex {
       .select(col(idCol), v.as("v"),
         concat(lit("b"), Similarity.lshBucket(v, planes)).as("bucket"))
       .withColumn("nrm", sqrt(GraftFunctions.dotNative(col("v"), col("v"))))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode(mode).partitionBy("bucket").parquet(path)
   }
 
   /** Probe the at-rest index for the cosine top-k around `queryVec`.

@@ -529,7 +529,7 @@ object ExtQueries {
     * property of the geometry, never of whether buckets are computed
     * per query or read back from the partitioned index.
     */
-  private lazy val annTop5Sql: String =
+  private[queries] lazy val annTop5Sql: String =
     s"""WITH $embCte,
        |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
        |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)

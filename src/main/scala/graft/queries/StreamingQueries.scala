@@ -355,6 +355,67 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming ANN-index ingest — q117's embedding-side mirror: the
+    * embeddings table staged as four mtime-ordered batch files, each
+    * micro-batch APPENDED into the at-rest bucket-partitioned index
+    * ([[graft.ops.AnnIndex.append]] — a pure partition append; existing
+    * files never rewritten), then the incrementally-built index answers
+    * q116's exact probe. Judged against q27's oracle VERBATIM: neither
+    * the layout nor the ingest path can change results. This is the
+    * production serving loop — a growing corpus folds into the index
+    * batch by batch and probes stay partition-pruned throughout.
+    */
+  private val q118: Q = (s, dir) => {
+    import graft.ops.{AnnIndex, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_q118_${runSeq.incrementAndGet()}_").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val indexPath = new java.io.File(root, "index").toString
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 0 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      emb.filter(col("vec_id") % 4 === k).coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 2000L)
+    }
+    val stream = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q118_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q118_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          AnnIndex.append(batch, "vec_id", "embedding", indexPath,
+            numPlanes = 8, dim = ExtQueries.embDim)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val qvec = emb.filter(col("vec_id") === 0L)
+        .select(Similarity.toDoubleVec(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      // detach the result from the staged files before the finally removes
+      // them — the probe is one pruned bucket, tiny
+      AnnIndex.probe(s, indexPath, "vec_id", qvec, k = 5,
+        numPlanes = 8, excludeId = Some(0L)).localCheckpoint()
+    } finally {
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
@@ -362,6 +423,7 @@ object StreamingQueries {
     "q75_stream_windowed" -> q75,
     "q89_stream_archive" -> q89,
     "q117_stream_incr_dedup" -> q117,
+    "q118_stream_ann_ingest" -> q118,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -468,5 +530,9 @@ object StreamingQueries {
          |         OR d.doc_id IN (SELECT new_id FROM d2)
          |         OR d.doc_id IN (SELECT new_id FROM d3)) AS kept
          |FROM documents d ORDER BY doc_id""".stripMargin,
+
+    // q27's oracle verbatim (via q116): neither the partitioned layout
+    // nor the batch-append ingest path can change the top-5 answer
+    "q118_stream_ann_ingest" -> ExtQueries.annTop5Sql,
   )
 }

@@ -58,6 +58,31 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("append-built index == write-built index: ingest path cannot change the top-k") {
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_append"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(p2))
+    // three uneven batches, appended in sequence — partition dirs gain
+    // files per batch, nothing is rewritten
+    for (k <- 0 to 2)
+      AnnIndex.append(emb.filter(col("vec_id") % 3 === k), "vec_id",
+        "embedding", p2, numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def top(p: String) = AnnIndex
+      .probe(spark, p, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(p2) == top(path))
+    // and the appended index holds the full corpus, partitioned
+    assert(spark.read.parquet(p2).count() == emb.count())
+    rm(new java.io.File(p2))
+  }
+
   test("probe of a vector NOT in the corpus still resolves (no exclusion)") {
     // a synthetic query vector: all ones — deterministic bucket, k rows
     val qvec = Array.fill(64)(1.0)

@@ -403,4 +403,19 @@ class PlanGuardSpec extends SparkSpec {
         s"both stats consumers must read the shared per-doc cache:\n$p")
     } finally { perDoc.unpersist(blocking = false); () }
   }
+
+  test("q33/q71 bucketed as-of: the main window partitions by (key, time bucket)") {
+    // the skew claim — a hot key's timeline splits across range/w tasks —
+    // is only true if the BIG window's partition spec actually includes
+    // the bucket column; a regression to key-only partitioning would
+    // stay oracle-green (bucketing is semantics-preserving) and silently
+    // re-serialize the hot key
+    for (q <- Seq("q33_asof_join", "q71_asof_forward")) {
+      val p = planOf(q)
+      val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windowLines.nonEmpty, s"$q must contain window nodes:\n$p")
+      assert(windowLines.exists(l => l.contains("user_id") && l.contains("__b")),
+        s"$q's main window must partition by (user_id, __b):\n${windowLines.mkString("\n")}")
+    }
+  }
 }

@@ -283,10 +283,26 @@ object StreamingQueries {
     * [[graft.ops.Dedup.foldIn]]'s scaladoc documents); the state here is
     * per-session, exactly like q113's.
     */
+  /** Ephemeral per-run scratch (staged batch files, the q118 index):
+    * tmpfs when the host has one — the contents are written and read
+    * back within one query invocation and deleted in its finally, so
+    * disk persistence buys nothing and the partitioned-index fan-out
+    * (hundreds of small files per append) is metadata-op-bound. A
+    * durable deployment writes the index to real storage — layout, not
+    * location, is the operator contract.
+    */
+  private def scratchDir(tag: String): java.io.File = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) new java.io.File("/dev/shm")
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files
+      .createTempDirectory(base.toPath, s"graft_${tag}_${runSeq.incrementAndGet()}_")
+      .toFile
+  }
+
   private val q117: Q = (s, dir) => {
     import graft.ops.Dedup
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_q117_${runSeq.incrementAndGet()}_").toFile
+    val root = scratchDir("q117")
     val in = new java.io.File(root, "in"); in.mkdirs()
     val docs = s.read.parquet(s"$dir/documents.parquet")
     // Batch-sized work wants batch-sized shuffles: every per-batch job
@@ -367,8 +383,7 @@ object StreamingQueries {
     */
   private val q118: Q = (s, dir) => {
     import graft.ops.{AnnIndex, Similarity}
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_q118_${runSeq.incrementAndGet()}_").toFile
+    val root = scratchDir("q118")
     val in = new java.io.File(root, "in"); in.mkdirs()
     val indexPath = new java.io.File(root, "index").toString
     val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -92,6 +92,26 @@ object AnnIndex {
       .write.mode(mode).partitionBy("bucket").parquet(path)
   }
 
+  /** Compact an append-fragmented index into ONE file per bucket.
+    * Streaming ingest ([[append]], q118) adds a file per bucket per
+    * micro-batch; after B batches every probe opens B files where one
+    * would do, and at 100 TB the file-listing + footer reads dominate
+    * probe latency long before the data does — the classic streaming
+    * small-file problem. Compaction is the maintenance half of the
+    * at-rest layout: read back, shuffle by the partition column so one
+    * task owns whole buckets (the [[store]] write shape), rewrite.
+    * Layout-only by construction — probes are layout-agnostic, so
+    * compacted ≡ fragmented, exactly (`AnnIndexSpec` pins it; q120 is
+    * judged against q27's oracle verbatim). At real scale this runs as
+    * a background job on buckets whose file count crossed a threshold
+    * (per-partition OPTIMIZE), not the whole index at once.
+    */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(dstPath)
+
   /** Probe the at-rest index for the cosine top-k around `queryVec`.
     * The bucket filter is a PARTITION filter — the scan prunes to the
     * query bucket's files; everything after is the same 6-decimal

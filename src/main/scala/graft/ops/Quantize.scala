@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** int8 scalar quantization for embedding columns — the storage/IO half
+  * of similarity search at 100 TB.
+  *
+  * A 64-dim float embedding is 256 bytes per row; its int8 form is 64
+  * bytes plus one float scale. At corpus scale that is a 4× cut in the
+  * dominant column's bytes (8× against the double form the exact
+  * operators compute in), which is the difference between an ANN sweep
+  * that is IO-bound on 100 TB of vectors and one that reads 25 TB. The
+  * quantized column is what candidate generation should scan; the
+  * original float column is only touched by an optional exact re-rank of
+  * the (tiny) candidate set — the standard two-tier layout (coarse
+  * int8 scan → exact re-rank), same shape as IVF-PQ serving stacks.
+  *
+  * Scheme: symmetric per-vector max-abs. `q_i = round(x_i · 127 / m)`
+  * with `m = max_i |x_i|`, stored as `array<tinyint>` plus
+  * `scale = m / 127` (float). Properties the spec pins:
+  *  - range: every q_i ∈ [-127, 127] (−128 never produced);
+  *  - reconstruction: |q_i · scale − x_i| ≤ scale / 2;
+  *  - scale invariance: quantize(c·v) = quantize(v) for c = 2^k > 0, so
+  *    quantized COSINE needs no dequantization at all — the per-vector
+  *    scales cancel in the normalization;
+  *  - the all-zero vector quantizes to all zeros (m = 0 guard).
+  *
+  * Everything is built-in column algebra (`transform`/`array_max` +
+  * the codegen'd `graft_dot`): no UDFs, one narrow projection, no
+  * shuffle. Cross-engine determinism: the quantized values are exact
+  * small integers, so dot products over them are EXACT in double — the
+  * DuckDB oracle reproduces the top-k bit-for-bit (only the final
+  * normalization divides, rounded to 6 decimals as everywhere else).
+  */
+object Quantize {
+
+  /** Quantize `vecCol` to `qv: array<tinyint>` + `scale: float`.
+    * Pure column algebra — at rest this is written next to (or instead
+    * of) the float column; partition/bucket layout is unchanged.
+    */
+  def quantize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .select(col(idCol),
+        transform(col("v"), x =>
+          when(col("maxabs") === 0.0, lit(0.0))
+            .otherwise(round(x * lit(127.0) / col("maxabs"), 0))
+            .cast("tinyint")).as("qv"),
+        (col("maxabs") / 127.0).cast("float").as("scale"))
+
+  /** Cosine top-k around `queryId` computed ENTIRELY on the int8 form —
+    * what a 100 TB candidate scan runs. Same shape as
+    * [[Similarity.knnBrute]]: per-row norms once, query row broadcast,
+    * corpus never shuffled; the int8→double widening is exact, so the
+    * quantized similarity is engine-independent to the 6-decimal round.
+    */
+  def topKQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val ndot = GraftFunctions.dotNative _
+    val e = quantize(embeddings, idCol, vecCol)
+      .select(col(idCol), transform(col("qv"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv2"), col("nrm").as("qnrm"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(ndot(col("v"), col("qv2")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Two-tier top-k — the layout [[quantize]] exists for, composed:
+    * tier 1 scans ONLY the int8 form for the quantized top-(k·overfetch)
+    * candidate set; tier 2 fetches those candidates' float vectors (a
+    * broadcast semi-lookup — |candidates| rows against the corpus, the
+    * only time the wide column is touched) and re-ranks them by EXACT
+    * cosine. At 100 TB tier 1 reads a quarter of the bytes a float scan
+    * would, and tier 2 reads k·overfetch rows, not a corpus. The
+    * composition is deterministic tier by tier ((sim desc, id) total
+    * order at both cuts), so the oracle reproduces it exactly — the
+    * candidate cut is PART of the judged semantics, not a fuzzy recall
+    * claim (q112 carries the recall contracts).
+    */
+  def topKTwoTier(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 10, overfetch: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val ndot = GraftFunctions.dotNative _
+    val cand = topKQuantized(embeddings, idCol, vecCol, queryId, k * overfetch)
+      .select(col(idCol))
+    val e = embeddings
+      .select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv2"), col("nrm").as("qnrm"))
+    e.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(ndot(col("v"), col("qv2")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -83,6 +83,46 @@ class AnnIndexSpec extends SparkSpec {
     rm(new java.io.File(p2))
   }
 
+  test("compact: one file per bucket, byte-identical probe, full corpus kept") {
+    val frag = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_frag"
+    val comp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_comp"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(frag))
+    for (k <- 0 to 3)
+      AnnIndex.append(emb.filter(col("vec_id") % 4 === k), "vec_id",
+        "embedding", frag, numPlanes = 8, dim = 64)
+    def filesPerBucket(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // precondition — the streaming-append outcome compaction exists for:
+    // at least one bucket directory is fragmented into multiple files
+    val before = filesPerBucket(frag)
+    assert(before.values.exists(_ > 1),
+      s"append never fragmented a bucket — the test premise is gone: $before")
+    AnnIndex.compact(spark, frag, comp)
+    val after = filesPerBucket(comp)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction must leave exactly one file per bucket: $after")
+    assert(after.keySet == before.keySet, "compaction dropped/added buckets")
+    // layout-only: same corpus, same probe answer
+    assert(spark.read.parquet(comp).count() == emb.count())
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def top(p: String) = AnnIndex
+      .probe(spark, p, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(comp) == top(frag))
+    rm(new java.io.File(frag))
+    rm(new java.io.File(comp))
+  }
+
   test("probe of a vector NOT in the corpus still resolves (no exclusion)") {
     // a synthetic query vector: all ones — deterministic bucket, k rows
     val qvec = Array.fill(64)(1.0)

@@ -60,6 +60,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
   }
 
+  test("q119 quantized knn: same shape as q26 — query broadcast, no product, no shuffle") {
+    val p = planOf("q119_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    // quantization is a narrow per-row projection — it must not
+    // introduce an exchange before the top-k (the corpus scan flows
+    // straight into the broadcast join; only the final global sort of
+    // k rows may exchange)
+    val joinLine = p.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    val preJoin = p.linesIterator.toSeq.drop(joinLine + 1)
+      .filterNot(_.contains("Broadcast"))
+    assert(!preJoin.exists(_.contains("Exchange hashpartitioning")),
+      s"quantize must stay a narrow projection (no corpus shuffle):\n$p")
+  }
+
   // ------------------------------------------- corpus/sampling scale guards
   // The round-6 audit pinned plans only for the round-1 flagships; these
   // pin the 100 TB claims SCALE.md makes for the corpus surface. The
@@ -383,6 +399,46 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("Filter (") && l.contains("bucket")),
       s"bucket must never be filtered AFTER the scan:\n$p")
+  }
+
+  test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
+    val p = planOf("q121_two_tier_rerank")
+    // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the
+    // corpus is scanned, never shuffled, and nothing is cartesian
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate fetch must be a broadcast semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"neither tier may shuffle the corpus (both cuts are TakeOrdered):\n$p")
+  }
+
+  test("q120 compacted index probe: partition pruning survives compaction") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val frag = s"${sys.props("java.io.tmpdir")}/graft_ann_frag_guard"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_compact_guard"
+    // append is not idempotent across suite re-runs on the same host
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(frag))
+    for (k <- 0 until 2)
+      graft.ops.AnnIndex.append(emb.filter(col("vec_id") % 2 === k),
+        "vec_id", "embedding", frag, numPlanes = 8, dim = 64)
+    graft.ops.AnnIndex.compact(spark, frag, path)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val qb = graft.ops.AnnIndex.bucketOf(qvec, numPlanes = 8)
+    val p = graft.ops.AnnIndex
+      .probe(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains(s"= $qb"),
+      s"the query-bucket equality must prune partitions:\n${scan.get}")
   }
 
   test("q95 bm25: per-doc stats built once and shared (single corpus tokenize)") {

@@ -92,6 +92,64 @@ object AnnIndex {
       .write.mode(mode).partitionBy("bucket").parquet(path)
   }
 
+  /** The assembled 100 TB serving layout: bucket-PARTITIONED and int8
+    * QUANTIZED at once — a probe partition-prunes to one bucket's files
+    * ([[write]]'s pruning) and then scans only the 4×-smaller
+    * `array<tinyint>` form ([[Quantize]]'s IO cut). The float vectors
+    * are not stored here at all: this is the candidate tier; an exact
+    * re-rank ([[Quantize.topKTwoTier]]'s tier 2) fetches floats from
+    * the primary table by id. Buckets are assigned on the ORIGINAL
+    * float vector (the same md5 planes as [[write]]), so the layout's
+    * recall is exactly [[write]]'s — quantization changes similarity
+    * values, never candidate membership.
+    */
+  def writeQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int = 8, dim: Int = 0): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val d =
+      if (dim > 0) dim
+      else embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.lshPlanes(numPlanes, d)
+    val v = Similarity.toDoubleVec(col(vecCol))
+    Quantize.quantize(embeddings, idCol, vecCol)
+      .join(embeddings.select(col(idCol),
+        concat(lit("b"), Similarity.lshBucket(v, planes)).as("bucket")), idCol)
+      .withColumn("qd", transform(col("qv"), x => x.cast("double")))
+      .withColumn("qnrm", sqrt(GraftFunctions.dotNative(col("qd"), col("qd"))))
+      .drop("qd")
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe the quantized index: partition-prune to the query's bucket
+    * (bucket of the FLOAT query vector), then rank by quantized cosine —
+    * the query vector is quantized driver-side with the same max-abs
+    * scheme, so the similarity is an exact integer dot product in any
+    * engine. Same 6-decimal round + (sim desc, id) tie-break as every
+    * top-k here.
+    */
+  def probeQuantized(spark: SparkSession, path: String, idCol: String,
+      queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val m = queryVec.map(math.abs).foldLeft(0.0)(math.max)
+    val qq = queryVec.map(x =>
+      if (m == 0.0) 0.0 else BigDecimal(x * 127.0 / m)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val qv = typedlit(qq.toSeq)
+    val base = spark.read.parquet(path)
+      .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))
+    val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    probed
+      .withColumn("qd", transform(col("qv"), x => x.cast("double")))
+      .select(col(idCol),
+        round(GraftFunctions.dotNative(col("qd"), qv) /
+          (col("qnrm") * sqrt(GraftFunctions.dotNative(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Compact an append-fragmented index into ONE file per bucket.
     * Streaming ingest ([[append]], q118) adds a file per bucket per
     * micro-batch; after B batches every probe opens B files where one

@@ -180,6 +180,31 @@ object ExtQueries {
     graft.ops.Quantize.topKTwoTier(t(s, dir, "embeddings"), "vec_id",
       "embedding", queryId = 0L, k = 10, overfetch = 4)
 
+  /** The assembled serving layout ([[graft.ops.AnnIndex.writeQuantized]]):
+    * bucket-partitioned AND int8-quantized at rest — q116's partition
+    * pruning × q119's 4×-smaller scan, floats not stored at all. The
+    * probe prunes to the float-assigned bucket, ranks by quantized
+    * cosine (exact integer dot products cross-engine). Built once per
+    * (pid, dir) like q116; benched iterations measure the pruned int8
+    * probe — the cheapest per-query read any layout here offers.
+    */
+  private val quantIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q122: Q = (s, dir) => {
+    val path = quantIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ann_quant_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.writeQuantized(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numPlanes = 8, dim = embDim)
+      p
+    })
+    val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    graft.ops.AnnIndex.probeQuantized(s, path, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L))
+  }
+
   /** Compacted-index probe ([[graft.ops.AnnIndex.compact]]): the index
     * is built the way q118's streaming loop leaves it — four partition
     * APPENDS, so every bucket directory holds up to four small batch
@@ -536,6 +561,7 @@ object ExtQueries {
     "q119_quantized_ann" -> q119,
     "q120_compacted_probe" -> q120,
     "q121_two_tier_rerank" -> q121,
+    "q122_quant_index_probe" -> q122,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -736,6 +762,19 @@ object ExtQueries {
          |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
          |FROM s, q WHERE s.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the assembled layout: bucket membership from the FLOAT vector
+    // (q27's geometry), ranking from the int8 form (q119's scheme) —
+    // both halves already pinned separately, composed here
+    "q122_quant_index_probe" ->
+      s"""WITH $quantCtes,
+         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
+         |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0)
+         |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
+         |FROM s JOIN b USING (vec_id), q
+         |WHERE b.bucket = q.qbucket AND s.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     // the two-tier composition, tier by tier: quantized top-40 cut,
     // then exact cosine over ONLY those candidates — both cuts totally

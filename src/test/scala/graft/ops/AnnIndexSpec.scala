@@ -123,6 +123,47 @@ class AnnIndexSpec extends SparkSpec {
     rm(new java.io.File(comp))
   }
 
+  test("quantized index probe == in-plan quantized ranking within the float bucket") {
+    val qp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_quant"
+    AnnIndex.writeQuantized(emb, "vec_id", "embedding", qp,
+      numPlanes = 8, dim = 64)
+    // floats are NOT stored — the candidate tier is int8-only
+    val sch = spark.read.parquet(qp).schema
+    assert(!sch.fieldNames.contains("v"))
+    assert(sch("qv").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.typeName == "byte")
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val got = AnnIndex
+      .probeQuantized(spark, qp, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reference semantics, assembled in-plan from the two judged halves:
+    // bucket membership from the FLOAT vector, ranking from the int8 form
+    val planes = Similarity.lshPlanes(8, 64)
+    val qb = AnnIndex.bucketOf(qvec, 8)
+    val qz = Quantize.quantize(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("qv"), x => x.cast("double")).as("qd"))
+    val qv0 = qz.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+    val expected = qz
+      .join(emb.select(col("vec_id"),
+        concat(lit("b"), Similarity.lshBucket(
+          Similarity.toDoubleVec(col("embedding")), planes)).as("bucket")),
+        "vec_id")
+      .filter(col("bucket") === qb && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(Similarity.dot(col("qd"), typedlit(qv0)) /
+          (sqrt(Similarity.dot(col("qd"), col("qd"))) *
+            math.sqrt(qv0.map(x => x * x).sum)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("probe of a vector NOT in the corpus still resolves (no exclusion)") {
     // a synthetic query vector: all ones — deterministic bucket, k rows
     val qvec = Array.fill(64)(1.0)

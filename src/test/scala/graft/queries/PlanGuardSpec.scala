@@ -412,6 +412,34 @@ class PlanGuardSpec extends SparkSpec {
       s"neither tier may shuffle the corpus (both cuts are TakeOrdered):\n$p")
   }
 
+  test("q122 quantized index probe: pruned AND narrow — the scan reads int8, no floats exist") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_quant_guard"
+    graft.ops.AnnIndex.writeQuantized(emb, "vec_id", "embedding", path,
+      numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val qb = graft.ops.AnnIndex.bucketOf(qvec, numPlanes = 8)
+    val p = graft.ops.AnnIndex
+      .probeQuantized(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains(s"= $qb"),
+      s"the query-bucket equality must prune partitions:\n${scan.get}")
+    // the probe's bytes are the int8 column — the scan schema must be
+    // the tinyint array (+ norm/id), never a float/double vector column
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(rs.isDefined, s"no ReadSchema in the probe scan:\n$p")
+    assert(rs.get.contains("qv") && rs.get.contains("tinyint"),
+      s"the probe must scan the int8 form:\n${rs.get}")
+    assert(!rs.get.contains("array<float>") && !rs.get.contains("array<double>"),
+      s"no wide vector column may be read (none is even stored):\n${rs.get}")
+  }
+
   test("q120 compacted index probe: partition pruning survives compaction") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

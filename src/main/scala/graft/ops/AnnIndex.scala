@@ -50,9 +50,10 @@ object AnnIndex {
     * precomputed norm (so a probe never re-derives per-row norms).
     */
   def write(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+      path: String, numPlanes: Int = 8, dim: Int = 0,
+      saltBuckets: Int = 1): Unit =
     store(embeddings, idCol, vecCol, path, numPlanes, dim,
-      org.apache.spark.sql.SaveMode.Overwrite)
+      org.apache.spark.sql.SaveMode.Overwrite, saltBuckets)
 
   /** Fold a batch of new vectors INTO an existing index: the bucket
     * layout makes ingest a pure partition APPEND (each batch adds files
@@ -63,33 +64,43 @@ object AnnIndex {
     * (`AnnIndexSpec` pins it; q118 judges the streaming loop).
     */
   def append(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+      path: String, numPlanes: Int = 8, dim: Int = 0,
+      saltBuckets: Int = 1): Unit =
     store(embeddings, idCol, vecCol, path, numPlanes, dim,
-      org.apache.spark.sql.SaveMode.Append)
+      org.apache.spark.sql.SaveMode.Append, saltBuckets)
 
   private def store(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, numPlanes: Int, dim: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode, saltBuckets: Int = 1): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val d =
       if (dim > 0) dim
       else embeddings.select(size(col(vecCol))).head().getInt(0)
     val planes = Similarity.lshPlanes(numPlanes, d)
     val v = Similarity.toDoubleVec(col(vecCol))
-    embeddings
+    val rows = embeddings
       .select(col(idCol), v.as("v"),
         concat(lit("b"), Similarity.lshBucket(v, planes)).as("bucket"))
       .withColumn("nrm", sqrt(GraftFunctions.dotNative(col("v"), col("v"))))
-      // shuffle by the partition column before the partitioned write:
-      // each task then owns whole buckets (ONE file per bucket dir per
-      // store) instead of every task writing into up to 2^numPlanes
-      // dirs — the standard dynamic-partition write shape. At test
-      // scale the store cost is writer/commit fixed overhead (~10 ms ×
-      // 2^numPlanes files, measured invariant to committer version and
-      // this shuffle); at real scale, where bucket files are large,
-      // the bounded-writers-per-task shape is what matters
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path)
+    // shuffle by the partition column before the partitioned write:
+    // each task then owns whole buckets (ONE file per bucket dir per
+    // store) instead of every task writing into up to 2^numPlanes
+    // dirs — the standard dynamic-partition write shape. At test
+    // scale the store cost is writer/commit fixed overhead (~10 ms ×
+    // 2^numPlanes files, measured invariant to committer version and
+    // this shuffle); at real scale, where bucket files are large,
+    // the bounded-writers-per-task shape is what matters.
+    // saltBuckets > 1 splits each bucket across up to that many writer
+    // tasks (keyed on a stable hash of the id): with repartition(bucket)
+    // alone a HOT bucket serializes on one task at ingest scale; the
+    // salt trades that for ≤saltBuckets files per bucket dir — exactly
+    // the fragmentation [[compactBuckets]] exists to clean up. Probes
+    // are layout-agnostic, so salted ≡ unsalted (AnnIndexSpec pins it).
+    val parted =
+      if (saltBuckets <= 1) rows.repartition(col("bucket"))
+      else rows.repartition(col("bucket"),
+        pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)))
+    parted.write.mode(mode).partitionBy("bucket").parquet(path)
   }
 
   /** The assembled 100 TB serving layout: bucket-PARTITIONED and int8
@@ -142,6 +153,9 @@ object AnnIndex {
       .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
+      // zero-norm rows never rank (cross-engine 0/0 divergence guard —
+      // see [[Quantize.topKQuantized]]); the oracle filters identically
+      .filter(col("qnrm") > 0)
       .withColumn("qd", transform(col("qv"), x => x.cast("double")))
       .select(col(idCol),
         round(GraftFunctions.dotNative(col("qd"), qv) /
@@ -170,6 +184,47 @@ object AnnIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(dstPath)
 
+  /** Threshold-triggered per-bucket OPTIMIZE — the incremental form of
+    * [[compact]] that a background maintenance job actually runs: only
+    * buckets whose part-file count EXCEEDS `maxFilesPerBucket` are
+    * rewritten (in place, to one file); every other bucket's files are
+    * left byte-identical, so steady-state maintenance cost scales with
+    * the ingest-hot buckets, never the index size. Layout-only by the
+    * same argument as [[compact]] — probes are layout-agnostic
+    * (`AnnIndexSpec` pins probe equality and the untouched-bucket file
+    * lists). The in-place swap is write-tmp → delete-old → move-in; a
+    * concurrent probe may transiently see a bucket twice or partially,
+    * so at real scale this runs under the table's maintenance lock
+    * (exactly like OPTIMIZE in table formats with a commit protocol).
+    * Returns the compacted bucket values, sorted.
+    */
+  def compactBuckets(spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 4): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: Path) = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val over = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+      .map(_.getPath)
+      .filter(d => partFiles(d).length > maxFilesPerBucket)
+      .sortBy(_.getName)
+    over.foreach { dir =>
+      // the leaf dir reads WITHOUT the partition column (it lives in the
+      // dir name, exactly like the dynamic-partition writer lays files
+      // out), so the rewritten file drops straight back into place
+      val tmp = new Path(root, s".compact_tmp_${dir.getName}")
+      spark.read.parquet(dir.toString).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      partFiles(dir).foreach(f => fs.delete(f.getPath, false))
+      partFiles(tmp).foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+      fs.delete(tmp, true)
+    }
+    over.map(_.getName.stripPrefix("bucket=")).toSeq
+  }
+
   /** Probe the at-rest index for the cosine top-k around `queryVec`.
     * The bucket filter is a PARTITION filter — the scan prunes to the
     * query bucket's files; everything after is the same 6-decimal
@@ -185,6 +240,9 @@ object AnnIndex {
       .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
+      // zero-norm exclusion: same cross-engine 0/0 guard as every
+      // ranked cosine here (oracle carries the matching WHERE)
+      .filter(col("nrm") > 0)
       .select(col(idCol),
         round(GraftFunctions.dotNative(col("v"), qv) /
           (col("nrm") * sqrt(GraftFunctions.dotNative(qv, qv))), 6).as("sim"))

@@ -66,7 +66,11 @@ object Quantize {
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = e.filter(col(idCol) === queryId)
       .select(col("v").as("qv2"), col("nrm").as("qnrm"))
-    e.filter(col(idCol) =!= queryId)
+    // zero-norm (all-zero) vectors are excluded from the ranked set —
+    // Spark's non-ANSI 0/0 is NULL (sorts last) but DuckDB's IEEE 0/0
+    // is NaN (sorts first), so an unguarded division is a latent
+    // cross-engine top-k flip; the oracle carries the matching WHERE
+    e.filter(col(idCol) =!= queryId && col("nrm") > 0)
       .crossJoin(broadcast(q))
       .select(col(idCol),
         round(ndot(col("v"), col("qv2")) / (col("nrm") * col("qnrm")), 6).as("sim"))

@@ -61,7 +61,12 @@ object Similarity {
     val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"), col("nrm").as("qnrm"))
-    e.filter(col(idCol) =!= queryId)
+    // zero-norm rows are excluded from every ranked set: cosine against
+    // the zero vector is undefined, and the engines disagree on the
+    // degenerate division (Spark non-ANSI 0/0 → NULL sorts last; DuckDB
+    // IEEE 0/0 → NaN sorts FIRST) — a latent cross-engine top-k flip
+    // unless both sides filter (the oracles carry the matching WHERE)
+    e.filter(col(idCol) =!= queryId && col("nrm") > 0)
       .crossJoin(broadcast(q))
       .select(col(idCol),
         round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
@@ -104,7 +109,7 @@ object Similarity {
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
     val q = withBucket.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-    withBucket.filter(col(idCol) =!= queryId)
+    withBucket.filter(col(idCol) =!= queryId && col("nrm") > 0)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col(idCol),
         round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
@@ -306,6 +311,25 @@ object Similarity {
     }: _*)
   }
 
+  /** The multi-probe key set for one table key `bk0` of the form
+    * "<table>:<bits>": the key itself plus every key at Hamming
+    * distance 1 in the bit suffix (flip one of `flipBits` plane bits).
+    * Bit j lives at position prefixLen + j, where the table-index
+    * prefix ends at the ':' — derived per key (instr), not hardcoded,
+    * so a 2-digit table index (numTables >= 11) flips real plane bits
+    * instead of silently mangling its own prefix (`OpsSpec` pins the
+    * prefix/Hamming contract at numTables = 11).
+    */
+  private[graft] def multiProbeKeys(bk0: Column, flipBits: Int): Column = {
+    def flipBit(bk: Column, j: Int): Column = {
+      val pre = instr(bk, ":")
+      concat(bk.substr(lit(1), pre + lit(j - 1)),
+        when(bk.substr(pre + lit(j), lit(1)) === "0", lit("1")).otherwise(lit("0")),
+        bk.substr(pre + lit(j + 1), lit(flipBits)))
+    }
+    array(bk0 +: (1 to flipBits).map(j => flipBit(bk0, j)): _*)
+  }
+
   /** The lazy per-path plans behind [[recallFromBucketer]]: the
     * persisted shared corpus relation plus the three top-k candidate
     * frames (brute ground truth, LSH, IVF). Exposed so the plan-guard
@@ -393,22 +417,11 @@ object Similarity {
     // are a SUPERSET of the multi-table path's by construction (the
     // unflipped key is included), so multiprobe recall dominates —
     // OpsSpec pins that invariant per probe.
-    // bit j lives at position prefixLen + j, where the table-index
-    // prefix ends at the ':' — derived per key (instr), not hardcoded,
-    // so a 2-digit table index (numTables >= 11) flips real plane bits
-    // instead of silently mangling its own prefix
-    def flipBit(bk: Column, j: Int): Column = {
-      val pre = instr(bk, ":")
-      concat(bk.substr(lit(1), pre + lit(j - 1)),
-        when(bk.substr(pre + lit(j), lit(1)) === "0", lit("1")).otherwise(lit("0")),
-        bk.substr(pre + lit(j + 1), lit(mpFlipBits)))
-    }
     val mpProbeKeys = probes
       .select(col("probe_id"), col("pv"), col("pnrm"),
         explode(col("pbuckets")).as("bk0"))
       .select(col("probe_id"), col("pv"), col("pnrm"),
-        explode(array(col("bk0") +:
-          (1 to mpFlipBits).map(j => flipBit(col("bk0"), j)): _*)).as("bk"))
+        explode(multiProbeKeys(col("bk0"), mpFlipBits)).as("bk"))
     val mpK = topK(corpus
       .select(col("id"), col("v"), col("nrm"), explode(col("buckets")).as("bk"))
       .join(broadcast(mpProbeKeys), Seq("bk"))

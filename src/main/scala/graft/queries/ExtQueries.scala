@@ -140,6 +140,23 @@ object ExtQueries {
     */
   private val annIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The cached per-(pid, dir) index copies live under java.io.tmpdir —
+    * reclaim them at JVM exit so repeated bench/verify runs don't
+    * accumulate orphaned index directories on disk (q120 already rm's
+    * its fragmented scaffold eagerly; this covers the kept copies).
+    */
+  private def rmTreeAtExit(m: java.util.concurrent.ConcurrentHashMap[String, String]): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles match {
+          case null => ()
+          case kids => kids.foreach(rm)
+        }
+        f.delete(); ()
+      }
+      m.values().forEach(p => rm(new java.io.File(p)))
+    }))
+  rmTreeAtExit(annIndexes)
   private val q116: Q = (s, dir) => {
     val path = annIndexes.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
@@ -190,6 +207,7 @@ object ExtQueries {
     */
   private val quantIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(quantIndexes)
   private val q122: Q = (s, dir) => {
     val path = quantIndexes.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ann_quant_" +
@@ -216,6 +234,7 @@ object ExtQueries {
     */
   private val compactedIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(compactedIndexes)
   private val q120: Q = (s, dir) => {
     val path = compactedIndexes.computeIfAbsent(dir, _ => {
       val tag = s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
@@ -631,7 +650,10 @@ object ExtQueries {
 
   /** q27's oracle — shared verbatim by q116: the LSH top-5 answer is a
     * property of the geometry, never of whether buckets are computed
-    * per query or read back from the partitioned index.
+    * per query or read back from the partitioned index. The norm > 0
+    * predicate mirrors the Spark-side zero-norm exclusion (Spark 0/0 →
+    * NULL sorts last, DuckDB 0/0 → NaN sorts first — both engines must
+    * drop the degenerate rows before ranking).
     */
   private[queries] lazy val annTop5Sql: String =
     s"""WITH $embCte,
@@ -639,6 +661,7 @@ object ExtQueries {
        |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
        |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+       |  AND list_dot_product(b.v, b.v) > 0
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -740,7 +763,7 @@ object ExtQueries {
       s"""WITH $embCte,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, ${cosSql("e.v", "q.qv")} AS sim
-         |FROM e, q WHERE e.vec_id <> 0
+         |FROM e, q WHERE e.vec_id <> 0 AND list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q27_ann_lsh" -> annTop5Sql,
@@ -760,7 +783,7 @@ object ExtQueries {
       s"""WITH $quantCtes,
          |q AS (SELECT qv AS pqv FROM s WHERE vec_id = 0)
          |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
-         |FROM s, q WHERE s.vec_id <> 0
+         |FROM s, q WHERE s.vec_id <> 0 AND list_dot_product(s.qv, s.qv) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // the assembled layout: bucket membership from the FLOAT vector
@@ -774,17 +797,21 @@ object ExtQueries {
          |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
          |FROM s JOIN b USING (vec_id), q
          |WHERE b.bucket = q.qbucket AND s.vec_id <> 0
+         |  AND list_dot_product(s.qv, s.qv) > 0
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
-    // the two-tier composition, tier by tier: quantized top-40 cut,
-    // then exact cosine over ONLY those candidates — both cuts totally
-    // ordered by (sim desc, vec_id), so the composition is exact
+    // the two-tier composition, tier by tier: quantized top-(k·overfetch)
+    // cut (10·4 — the q121 call site's constants, interpolated so the
+    // oracle can never drift from them silently), then exact cosine over
+    // ONLY those candidates — both cuts totally ordered by
+    // (sim desc, vec_id), so the composition is exact
     "q121_two_tier_rerank" ->
       s"""WITH $quantCtes,
          |q AS (SELECT qv AS pqv FROM s WHERE vec_id = 0),
          |cand AS (SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS simq
          |         FROM s, q WHERE s.vec_id <> 0
-         |         ORDER BY simq DESC, vec_id LIMIT 40),
+         |           AND list_dot_product(s.qv, s.qv) > 0
+         |         ORDER BY simq DESC, vec_id LIMIT ${10 * 4}),
          |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
          |FROM e JOIN cand USING (vec_id), q0

@@ -164,6 +164,100 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("salted write == unsalted probe; files per bucket bounded by the salt") {
+    // 2 planes -> 4 fat buckets (~125 rows each), so the salt actually
+    // splits writer tasks instead of disappearing into 1-row buckets
+    val plain = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_nosalt"
+    val salted = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_salt"
+    AnnIndex.write(emb, "vec_id", "embedding", plain, numPlanes = 2, dim = 64)
+    // AQE coalesces this KB-scale shuffle to one partition (one writer
+    // task → one file per bucket regardless of salt); pin it off for
+    // the write so the test sees the at-scale writer fan-out, where
+    // partitions are far above the coalesce target and never merge
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try AnnIndex.write(emb, "vec_id", "embedding", salted, numPlanes = 2,
+      dim = 64, saltBuckets = 4)
+    finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    def filesPerBucket(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val fpb = filesPerBucket(salted)
+    assert(fpb.keySet == filesPerBucket(plain).keySet,
+      "salting changed the bucket layout")
+    assert(fpb.values.forall(_ <= 4), s"more files than salt values: $fpb")
+    // the salt's point: a fat bucket no longer writes through ONE task
+    assert(fpb.values.exists(_ > 1),
+      s"salt never split a fat bucket — the premise is gone: $fpb")
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def top(p: String) = AnnIndex
+      .probe(spark, p, "vec_id", qvec, k = 5, numPlanes = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(salted) == top(plain))
+    assert(top(salted).nonEmpty)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(plain)); rm(new java.io.File(salted))
+  }
+
+  test("compactBuckets: only over-threshold buckets rewritten, probe preserved") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_optimize"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(p))
+    // 4 appends over 4 fat buckets -> every bucket holds 4 part files
+    for (k <- 0 to 3)
+      AnnIndex.append(emb.filter(col("vec_id") % 4 === k), "vec_id",
+        "embedding", p, numPlanes = 2, dim = 64)
+    def fileNames(pp: String): Map[String, Set[String]] =
+      new java.io.File(pp).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = fileNames(p)
+    assert(before.values.forall(_.size == 4), s"fragmentation premise: $before")
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def top() = AnnIndex
+      .probe(spark, p, "vec_id", qvec, k = 5, numPlanes = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = top()
+    // threshold ABOVE the fragmentation: nothing rewritten, names intact
+    assert(AnnIndex.compactBuckets(spark, p, maxFilesPerBucket = 4).isEmpty)
+    assert(fileNames(p) == before, "a no-op maintenance pass touched files")
+    // threshold below: every bucket compacts to ONE file, probe unchanged
+    val done = AnnIndex.compactBuckets(spark, p, maxFilesPerBucket = 2)
+    assert(done.sorted == before.keySet.map(_.stripPrefix("bucket=")).toSeq.sorted)
+    val after = fileNames(p)
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_.size == 1), s"per-bucket OPTIMIZE must leave one file: $after")
+    assert(spark.read.parquet(p).count() == emb.count())
+    assert(top() == expected)
+    // steady state: a fresh small append re-fragments to 2 files; the
+    // same threshold now leaves it alone (2 is not > 2)
+    AnnIndex.append(emb.filter(col("vec_id") === 1L), "vec_id",
+      "embedding", p, numPlanes = 2, dim = 64)
+    assert(AnnIndex.compactBuckets(spark, p, maxFilesPerBucket = 2).isEmpty)
+    assert(top() == expected)
+    rm(new java.io.File(p))
+  }
+
   test("probe of a vector NOT in the corpus still resolves (no exclusion)") {
     // a synthetic query vector: all ones — deterministic bucket, k rows
     val qvec = Array.fill(64)(1.0)

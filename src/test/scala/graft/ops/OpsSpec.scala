@@ -242,6 +242,31 @@ class SimilaritySpec extends SparkSpec {
         s"multiprobe hits ${r.getLong(3)} < multitable hits ${r.getLong(1)}")
     }
   }
+
+  test("multiProbeKeys: 2-digit table prefixes (numTables >= 11) flip plane bits, never the prefix") {
+    import spark.implicits._
+    // table index 10 — the first 2-digit prefix; a hardcoded 2-char
+    // prefix assumption would flip the '0' of "10:" instead of a plane
+    // bit and silently degrade multiprobe to junk lookups
+    val keys = Seq("10:0110", "0:1010").toDF("bk0")
+      .select(col("bk0"), explode(Similarity.multiProbeKeys(col("bk0"), 4)).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    Seq("10:0110", "0:1010").foreach { bk0 =>
+      val probed = keys.filter(_._1 == bk0).map(_._2).toSeq
+      val (prefix, bits) = bk0.splitAt(bk0.indexOf(':') + 1)
+      // the unflipped key itself plus one key per plane bit, all distinct
+      assert(probed.size == 1 + bits.length, s"$bk0 -> $probed")
+      assert(probed.distinct.size == probed.size, s"duplicate probe keys: $probed")
+      assert(probed.contains(bk0), s"unflipped key missing from $probed")
+      probed.foreach { k =>
+        assert(k.startsWith(prefix), s"prefix mangled: $bk0 -> $k")
+        val suffix = k.drop(prefix.length)
+        assert(suffix.length == bits.length, s"suffix length drift: $bk0 -> $k")
+        val hamming = suffix.zip(bits).count { case (a, b) => a != b }
+        assert(hamming <= 1, s"flip must touch exactly one plane bit: $bk0 -> $k")
+      }
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -70,6 +70,11 @@ class PlanGuardSpec extends SparkSpec {
     // straight into the broadcast join; only the final global sort of
     // k rows may exchange)
     val joinLine = p.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    // anchor before slicing: with joinLine = -1 the drop(0) below would
+    // scan the WHOLE plan (mis-attributing the top-k's own exchange to
+    // the corpus side, or passing vacuously on a reshaped plan)
+    assert(joinLine >= 0,
+      s"the query side must plan as a BroadcastNestedLoopJoin:\n$p")
     val preJoin = p.linesIterator.toSeq.drop(joinLine + 1)
       .filterNot(_.contains("Broadcast"))
     assert(!preJoin.exists(_.contains("Exchange hashpartitioning")),

@@ -45,6 +45,25 @@ object AnnIndex {
     "b" + new String(bits)
   }
 
+  /** The multi-probe partition set of one query vector: its own bucket
+    * plus every bucket at Hamming distance 1 (one plane bit flipped) —
+    * numPlanes + 1 values out of 2^numPlanes. The at-rest analogue of
+    * [[Similarity.multiProbeKeys]]: near-boundary neighbors land one
+    * sign flip away, so probing the 1-ball recovers most of the recall
+    * a single bucket loses (q112's judged multiprobe contract measures
+    * 0.92–0.99 vs the single-bucket 0.7 bound) while the scan still
+    * prunes to (numPlanes+1)/2^numPlanes of the index directories.
+    */
+  def probeBucketsOf(queryVec: Array[Double], numPlanes: Int): Seq[String] = {
+    val b0 = bucketOf(queryVec, numPlanes)
+    val bits = b0.substring(1).toCharArray
+    b0 +: (0 until numPlanes).map { j =>
+      val c = bits.clone()
+      c(j) = if (c(j) == '0') '1' else '0'
+      "b" + new String(c)
+    }
+  }
+
   /** Write the bucket-partitioned index: one directory per LSH bucket,
     * each row carrying the normalized-precision vector and its
     * precomputed norm (so a probe never re-derives per-row norms).
@@ -243,6 +262,65 @@ object AnnIndex {
       // zero-norm exclusion: same cross-engine 0/0 guard as every
       // ranked cosine here (oracle carries the matching WHERE)
       .filter(col("nrm") > 0)
+      .select(col(idCol),
+        round(GraftFunctions.dotNative(col("v"), qv) /
+          (col("nrm") * sqrt(GraftFunctions.dotNative(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-probe the at-rest index: scan the query's bucket PLUS its
+    * Hamming-1 neighbors ([[probeBucketsOf]]) and re-rank the union by
+    * exact cosine. The `isin` over numPlanes+1 bucket values stays a
+    * PARTITION filter (`PartitionFilters: bucket IN (...)` — PlanGuard
+    * pins it), so the scan reads (numPlanes+1)/2^numPlanes of the index
+    * instead of 1/2^numPlanes — the served counterpart of the in-memory
+    * multiprobe recall contract (q112): without this, the serving path's
+    * recall regime is strictly weaker than the one the engine judges.
+    */
+  def probeMulti(spark: SparkSession, path: String, idCol: String,
+      queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val qv = typedlit(queryVec.toSeq)
+    val buckets = probeBucketsOf(queryVec, numPlanes)
+    val base = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+    val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    probed
+      .filter(col("nrm") > 0)
+      .select(col(idCol),
+        round(GraftFunctions.dotNative(col("v"), qv) /
+          (col("nrm") * sqrt(GraftFunctions.dotNative(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The END-TO-END serving path the quantized layout exists for,
+    * composed against storage: tier 1 is [[probeQuantized]] — the
+    * partition-pruned int8 scan of the at-rest index (no floats stored
+    * there at all) cut to the quantized top-(k·overfetch); tier 2
+    * fetches ONLY those candidates' float vectors from the PRIMARY
+    * table (a broadcast LEFT SEMI lookup — |candidates| rows against
+    * the corpus) and re-ranks them by exact cosine. At 100 TB the
+    * per-query read is one bucket directory of int8 bytes plus
+    * k·overfetch primary rows — the cheapest complete (approximate-cut,
+    * exact-answer) probe any layout here offers. Deterministic tier by
+    * tier ((sim desc, id) total order at both cuts), so the judged
+    * oracle composes q122's CTEs with q121's re-rank tier exactly.
+    */
+  def probeTwoTier(spark: SparkSession, quantPath: String,
+      primary: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, overfetch: Int = 4,
+      numPlanes: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val cand = probeQuantized(spark, quantPath, idCol, queryVec,
+      k * overfetch, numPlanes, excludeId).select(col(idCol))
+    val qv = typedlit(queryVec.toSeq)
+    primary
+      .select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .withColumn("nrm", sqrt(GraftFunctions.dotNative(col("v"), col("v"))))
       .select(col(idCol),
         round(GraftFunctions.dotNative(col("v"), qv) /
           (col("nrm") * sqrt(GraftFunctions.dotNative(qv, qv))), 6).as("sim"))

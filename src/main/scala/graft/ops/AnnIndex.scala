@@ -318,6 +318,13 @@ object AnnIndex {
       k * overfetch, numPlanes, excludeId).select(col(idCol))
     val qv = typedlit(queryVec.toSeq)
     primary
+      // zero-norm exclusion on the RAW column (same excluded set as the
+      // `nrm > 0` guard every other ranked cosine carries, without the
+      // pushed-down norm re-evaluation): tier 1's qnrm > 0 already
+      // implies it while index and primary agree, but a drifted primary
+      // row with an all-zero vector would otherwise rank as 0/0 — NULL
+      // here, NaN-sorts-first in the oracle, the exact cross-engine flip
+      .filter(exists(col(vecCol), x => x =!= 0.0))
       .select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
       .join(broadcast(cand), Seq(idCol), "left_semi")
       .withColumn("nrm", sqrt(GraftFunctions.dotNative(col("v"), col("v"))))

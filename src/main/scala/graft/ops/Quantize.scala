@@ -61,16 +61,21 @@ object Quantize {
       queryId: Long, k: Int = 10): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val ndot = GraftFunctions.dotNative _
-    val e = quantize(embeddings, idCol, vecCol)
+    def quantized(df: DataFrame) = quantize(df, idCol, vecCol)
       .select(col(idCol), transform(col("qv"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val q = e.filter(col(idCol) === queryId)
+    val q = quantized(embeddings.filter(col(idCol) === queryId))
       .select(col("v").as("qv2"), col("nrm").as("qnrm"))
     // zero-norm (all-zero) vectors are excluded from the ranked set —
     // Spark's non-ANSI 0/0 is NULL (sorts last) but DuckDB's IEEE 0/0
     // is NaN (sorts first), so an unguarded division is a latent
-    // cross-engine top-k flip; the oracle carries the matching WHERE
-    e.filter(col(idCol) =!= queryId && col("nrm") > 0)
+    // cross-engine top-k flip; the oracle carries the matching WHERE.
+    // The guard runs on the RAW vector (all-zero raw ⇔ all-zero
+    // quantized ⇔ nrm = 0 — maxabs > 0 forces some q_i = ±127), so
+    // pushdown never re-evaluates the O(d²)-inlined quantize chain the
+    // derived-`nrm` predicate used to duplicate (A/B: 1.09 s → 0.76 s).
+    quantized(embeddings.filter(col(idCol) =!= queryId &&
+        exists(col(vecCol), x => x =!= 0.0)))
       .crossJoin(broadcast(q))
       .select(col(idCol),
         round(ndot(col("v"), col("qv2")) / (col("nrm") * col("qnrm")), 6).as("sim"))

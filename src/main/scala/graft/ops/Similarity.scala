@@ -58,15 +58,23 @@ object Similarity {
     // Norms are computed once per row BEFORE the pair step — at n rows
     // that is n norm evaluations instead of n per-pair re-evaluations
     // (and the same restructure makes the pair joins below 3x cheaper).
-    val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qnrm", sqrt(ndot(col("qv"), col("qv"))))
     // zero-norm rows are excluded from every ranked set: cosine against
     // the zero vector is undefined, and the engines disagree on the
     // degenerate division (Spark non-ANSI 0/0 → NULL sorts last; DuckDB
     // IEEE 0/0 → NaN sorts FIRST) — a latent cross-engine top-k flip
-    // unless both sides filter (the oracles carry the matching WHERE)
-    e.filter(col(idCol) =!= queryId && col("nrm") > 0)
+    // unless both sides filter (the oracles carry the matching WHERE).
+    // The guard references the RAW scan column (nrm = 0 ⇔ all-zero
+    // vector, so `exists(x ≠ 0)` excludes the same rows as `nrm > 0` and
+    // the oracles' dot(v,v) > 0 predicate): filtering on the derived
+    // `nrm` gets pushed below the projection by substitution and
+    // re-evaluates the whole norm chain per row (A/B-measured ~1.5×).
+    embeddings
+      .filter(col(idCol) =!= queryId && exists(col(vecCol), x => x =!= 0.0))
+      .select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
       .crossJoin(broadcast(q))
       .select(col(idCol),
         round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
@@ -78,14 +86,20 @@ object Similarity {
     * (hex4(md5("j_d")) - 32768) / 32768 ∈ [-1, 1). Dyadic rationals, so
     * decimal printing round-trips exactly into any IEEE-754 engine.
     */
-  def lshPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val digest = MessageDigest.getInstance("MD5")
-    Array.tabulate(numPlanes, dim) { (j, d) =>
-      val h = digest.digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
-      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
-      (v - 32768).toDouble / 32768.0
-    }
-  }
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  def lshPlanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    // memoized per (numPlanes, dim): the table is pure — every call
+    // site (probe loops included) would otherwise re-run numPlanes·dim
+    // md5 digests on the driver
+    planesCache.computeIfAbsent((numPlanes, dim), _ => {
+      val digest = MessageDigest.getInstance("MD5")
+      Array.tabulate(numPlanes, dim) { (j, d) =>
+        val h = digest.digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
+        val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+        (v - 32768).toDouble / 32768.0
+      }
+    })
 
   /** Sign-random-projection bucket id: one bit per plane ('1' iff
     * dot(vec, plane) >= 0), concatenated to a bit-string.
@@ -103,13 +117,16 @@ object Similarity {
       queryId: Long, k: Int = 5, numPlanes: Int = 8, dim: Int = 0): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val planes = lshPlanes(numPlanes, vecDim(embeddings, vecCol, dim))
-    val withBucket = embeddings.select(col(idCol),
+    def withBucket(df: DataFrame) = df.select(col(idCol),
         toDoubleVec(col(vecCol)).as("v"),
         lshBucket(toDoubleVec(col(vecCol)), planes).as("bucket"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val q = withBucket.filter(col(idCol) === queryId)
+    val q = withBucket(embeddings.filter(col(idCol) === queryId))
       .select(col("v").as("qv"), col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-    withBucket.filter(col(idCol) =!= queryId && col("nrm") > 0)
+    // zero-norm exclusion on the RAW scan column — same rows as
+    // `nrm > 0`, but pushdown duplicates nothing (see [[knnBrute]])
+    withBucket(embeddings.filter(col(idCol) =!= queryId &&
+        exists(col(vecCol), x => x =!= 0.0)))
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col(idCol),
         round(ndot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))

@@ -272,11 +272,15 @@ object AnnIndex {
   /** Multi-probe the at-rest index: scan the query's bucket PLUS its
     * Hamming-1 neighbors ([[probeBucketsOf]]) and re-rank the union by
     * exact cosine. The `isin` over numPlanes+1 bucket values stays a
-    * PARTITION filter (`PartitionFilters: bucket IN (...)` — PlanGuard
-    * pins it), so the scan reads (numPlanes+1)/2^numPlanes of the index
-    * instead of 1/2^numPlanes — the served counterpart of the in-memory
-    * multiprobe recall contract (q112): without this, the serving path's
-    * recall regime is strictly weaker than the one the engine judges.
+    * PARTITION filter (`PartitionFilters: bucket IN (...)` —
+    * PlanGuardSpec pins it), so the scan reads
+    * (numPlanes+1)/2^numPlanes of the index instead of 1/2^numPlanes —
+    * the served counterpart of the in-memory multiprobe recall contract
+    * (q112): without this, the serving path's recall regime is strictly
+    * weaker than the one the engine judges. Judged as q123 (the oracle
+    * enumerates the same 1-ball via a Hamming-distance ≤ 1 predicate
+    * over recomputed bucket strings); AnnIndexSpec pins union ≡
+    * in-memory 1-ball and candidate-superset-of-single-bucket.
     */
   def probeMulti(spark: SparkSession, path: String, idCol: String,
       queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
@@ -307,7 +311,9 @@ object AnnIndex {
     * k·overfetch primary rows — the cheapest complete (approximate-cut,
     * exact-answer) probe any layout here offers. Deterministic tier by
     * tier ((sim desc, id) total order at both cuts), so the judged
-    * oracle composes q122's CTEs with q121's re-rank tier exactly.
+    * oracle composes q122's CTEs with q121's re-rank tier exactly —
+    * judged as q124; AnnIndexSpec pins the composition against the
+    * tier-1 op's cut re-ranked in-plan.
     */
   def probeTwoTier(spark: SparkSession, quantPath: String,
       primary: DataFrame, idCol: String, vecCol: String,

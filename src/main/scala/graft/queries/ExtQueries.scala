@@ -157,20 +157,43 @@ object ExtQueries {
       m.values().forEach(p => rm(new java.io.File(p)))
     }))
   rmTreeAtExit(annIndexes)
-  private val q116: Q = (s, dir) => {
-    val path = annIndexes.computeIfAbsent(dir, _ => {
+  /** vec_id 0's embedding as a driver-side array — the query vector
+    * every at-rest probe (q116/q120/q122/q123/q124) takes.
+    */
+  private def queryVec0(s: SparkSession, dir: String): Array[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+  /** The per-(pid, dir) float index copy, built once and shared by
+    * q116's single-bucket probe and q123's multi-probe.
+    */
+  private def annIndexPath(s: SparkSession, dir: String): String =
+    annIndexes.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ann_index_" +
         s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
       graft.ops.AnnIndex.write(t(s, dir, "embeddings"), "vec_id", "embedding",
         p, numPlanes = 8, dim = embDim)
       p
     })
-    val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-      .select(Similarity.toDoubleVec(col("embedding")))
-      .head().getSeq[Double](0).toArray
-    graft.ops.AnnIndex.probe(s, path, "vec_id", qvec, k = 5,
-      numPlanes = 8, excludeId = Some(0L))
-  }
+  private val q116: Q = (s, dir) =>
+    graft.ops.AnnIndex.probe(s, annIndexPath(s, dir), "vec_id",
+      queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
+
+  /** Multi-probe of the at-rest index ([[graft.ops.AnnIndex.probeMulti]]):
+    * q116's layout probed over the query's bucket PLUS its 8 Hamming-1
+    * neighbors — the served counterpart of q112's judged multiprobe
+    * recall regime (single bucket bounds recall near 0.7; the 1-ball
+    * union reaches 0.92–0.99). The `isin` over the 9 bucket values stays
+    * a PARTITION filter (PlanGuardSpec pins `bucket IN`), so the scan
+    * reads 9/2^8 of the index directories, never the corpus. The oracle
+    * enumerates the same 1-ball relationally: recompute every vector's
+    * bucket string and keep rows within Hamming distance ≤ 1 of the
+    * query's — bucket assignment is md5-deterministic, so both engines
+    * agree on the union exactly.
+    */
+  private val q123: Q = (s, dir) =>
+    graft.ops.AnnIndex.probeMulti(s, annIndexPath(s, dir), "vec_id",
+      queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
 
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
@@ -208,20 +231,36 @@ object ExtQueries {
   private val quantIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   rmTreeAtExit(quantIndexes)
-  private val q122: Q = (s, dir) => {
-    val path = quantIndexes.computeIfAbsent(dir, _ => {
+  /** The per-(pid, dir) quantized index copy, built once and shared by
+    * q122's tier-1 probe and q124's end-to-end two-tier probe.
+    */
+  private def quantIndexPath(s: SparkSession, dir: String): String =
+    quantIndexes.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ann_quant_" +
         s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
       graft.ops.AnnIndex.writeQuantized(t(s, dir, "embeddings"), "vec_id",
         "embedding", p, numPlanes = 8, dim = embDim)
       p
     })
-    val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-      .select(Similarity.toDoubleVec(col("embedding")))
-      .head().getSeq[Double](0).toArray
-    graft.ops.AnnIndex.probeQuantized(s, path, "vec_id", qvec, k = 5,
-      numPlanes = 8, excludeId = Some(0L))
-  }
+  private val q122: Q = (s, dir) =>
+    graft.ops.AnnIndex.probeQuantized(s, quantIndexPath(s, dir), "vec_id",
+      queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
+
+  /** The complete serving path against storage
+    * ([[graft.ops.AnnIndex.probeTwoTier]]): tier 1 partition-prunes
+    * q122's at-rest quantized index to the query bucket and cuts the
+    * quantized top-(10·4); tier 2 fetches ONLY those candidates' float
+    * vectors from the primary `embeddings` table (broadcast semi
+    * lookup) and re-ranks by exact cosine. Deterministic tier by tier,
+    * so the oracle composes q122's CTEs (bucket cut over the int8 form)
+    * with q121's re-rank tier — the approximate-cut/exact-answer probe
+    * a 100 TB layout serves, oracle-pinned end to end.
+    */
+  private val q124: Q = (s, dir) =>
+    graft.ops.AnnIndex.probeTwoTier(s, quantIndexPath(s, dir),
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, numPlanes = 8,
+      excludeId = Some(0L))
 
   /** Compacted-index probe ([[graft.ops.AnnIndex.compact]]): the index
     * is built the way q118's streaming loop leaves it — four partition
@@ -253,10 +292,7 @@ object ExtQueries {
       rm(new java.io.File(frag))
       p
     })
-    val qvec = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-      .select(Similarity.toDoubleVec(col("embedding")))
-      .head().getSeq[Double](0).toArray
-    graft.ops.AnnIndex.probe(s, path, "vec_id", qvec, k = 5,
+    graft.ops.AnnIndex.probe(s, path, "vec_id", queryVec0(s, dir), k = 5,
       numPlanes = 8, excludeId = Some(0L))
   }
 
@@ -581,6 +617,8 @@ object ExtQueries {
     "q120_compacted_probe" -> q120,
     "q121_two_tier_rerank" -> q121,
     "q122_quant_index_probe" -> q122,
+    "q123_multiprobe_index" -> q123,
+    "q124_two_tier_index" -> q124,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -815,6 +853,42 @@ object ExtQueries {
          |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
          |FROM e JOIN cand USING (vec_id), q0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the at-rest multi-probe: the 1-ball bucket union, enumerated
+    // relationally — rows whose recomputed bucket string is within
+    // Hamming distance 1 of the query's (the same 9 buckets probeMulti
+    // isin-prunes to; both sides rank the union by exact cosine)
+    "q123_multiprobe_index" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
+         |FROM b, q
+         |WHERE len(list_filter(generate_series(1, 8),
+         |        i -> substr(b.bucket, i, 1) <> substr(q.qbucket, i, 1))) <= 1
+         |  AND b.vec_id <> 0 AND list_dot_product(b.v, b.v) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    // the end-to-end two-tier serving probe: q122's CTEs produce the
+    // quantized in-bucket tier-1 cut (10·4 — the q124 call site's
+    // constants), then q121's re-rank tier fetches exactly those
+    // candidates' float vectors — both cuts totally ordered by
+    // (sim desc, vec_id), so the storage-composed path is exact
+    "q124_two_tier_index" ->
+      s"""WITH $quantCtes,
+         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
+         |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0),
+         |cand AS (SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS simq
+         |         FROM s JOIN b USING (vec_id), q
+         |         WHERE b.bucket = q.qbucket AND s.vec_id <> 0
+         |           AND list_dot_product(s.qv, s.qv) > 0
+         |         ORDER BY simq DESC, vec_id LIMIT ${10 * 4}),
+         |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
+         |FROM e JOIN cand USING (vec_id), q0
+         |WHERE list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q28_embedding_neardup" ->

@@ -266,4 +266,84 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("vec_id", "sim"))
     assert(out.count() <= 3)
   }
+
+  test("probeMulti == the in-memory Hamming-1 union; candidates strictly widen") {
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    // the at-rest union must be EXACTLY the in-memory 1-ball: same md5
+    // planes ⇒ same probeBucketsOf values ⇒ same candidate membership —
+    // this closes the loop between q112's judged multiprobe recall
+    // regime and the serving layout
+    val got = AnnIndex
+      .probeMulti(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val planes = Similarity.lshPlanes(8, 64)
+    val buckets = AnnIndex.probeBucketsOf(qvec, 8)
+    assert(buckets.size == 9 && buckets.distinct.size == 9)
+    val qnrm = math.sqrt(qvec.map(x => x * x).sum)
+    val expected = emb
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"),
+        concat(lit("b"), Similarity.lshBucket(
+          Similarity.toDoubleVec(col("embedding")), planes)).as("bucket"))
+      .filter(col("bucket").isin(buckets: _*) && col("vec_id") =!= 0L &&
+        exists(col("v"), x => x =!= 0.0))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("v"), typedlit(qvec.toSeq)) /
+          (sqrt(Similarity.dot(col("v"), col("v"))) * qnrm), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // recall premise: the 1-ball candidate set strictly contains the
+    // single bucket's (k far above corpus size ⇒ full candidate sets)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val single = ids(AnnIndex.probe(spark, path, "vec_id", qvec,
+      k = 10000, numPlanes = 8, excludeId = Some(0L)))
+    val multi = ids(AnnIndex.probeMulti(spark, path, "vec_id", qvec,
+      k = 10000, numPlanes = 8, excludeId = Some(0L)))
+    assert(single.subsetOf(multi), "multi-probe lost single-bucket candidates")
+    assert(multi.size > single.size,
+      s"the 1-ball never widened the candidate set (single=${single.size})")
+  }
+
+  test("probeTwoTier == tier-1 quantized cut composed with an exact float re-rank") {
+    val qp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_twotier"
+    AnnIndex.writeQuantized(emb, "vec_id", "embedding", qp,
+      numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val got = AnnIndex
+      .probeTwoTier(spark, qp, emb, "vec_id", "embedding", qvec,
+        k = 3, overfetch = 4, numPlanes = 8, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reference: the judged tier-1 op's cut (probeQuantized — q122's
+    // pinned semantics), re-ranked by exact cosine assembled in-plan
+    val candIds = AnnIndex
+      .probeQuantized(spark, qp, "vec_id", qvec, k = 3 * 4, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(candIds.nonEmpty)
+    val qnrm = math.sqrt(qvec.map(x => x * x).sum)
+    val expected = emb
+      .filter(col("vec_id").isin(candIds.toSeq: _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("v"), typedlit(qvec.toSeq)) /
+          (sqrt(Similarity.dot(col("v"), col("v"))) * qnrm), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(qp))
+  }
 }

@@ -406,6 +406,34 @@ class PlanGuardSpec extends SparkSpec {
       s"bucket must never be filtered AFTER the scan:\n$p")
   }
 
+  test("q123 multi-probe: the 9-bucket isin stays a PARTITION filter on the scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_index_guard_multi"
+    graft.ops.AnnIndex.write(emb, "vec_id", "embedding", path,
+      numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val qb = graft.ops.AnnIndex.bucketOf(qvec, numPlanes = 8)
+    val p = graft.ops.AnnIndex
+      .probeMulti(spark, path, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the Hamming-1 union must prune partitions — `bucket IN (...)` in
+    // the scan's PartitionFilters, so the probe reads 9/2^8 of the
+    // index directories instead of the corpus
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains("bucket") && scan.get.contains(" IN (") &&
+      scan.get.contains(qb),
+      s"the 1-ball isin must prune partitions (IN over the 9 buckets):\n${scan.get}")
+    // ... and never degrade to a post-scan Filter node on bucket
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter (") && l.contains("bucket")),
+      s"bucket must never be filtered AFTER the scan:\n$p")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * Methodology (pinned in round 3 — the round-2 adaptive early-exit
   * recorded warm-up for some queries and mislabeled them regressions;
   * measurement-integrity layer added in round 7 after the round-6
-  * artifact shipped contaminated numbers):
+  * artifact shipped contaminated numbers; regression gate + post-sweep
+  * adjudication added in round 12 after the round-11 artifact shipped a
+  * 9×-inflated entry resting on 2 post-budget runs):
   *  - FIXED iteration count per query: `warmups` discarded runs, then
   *    `measured` timed runs. No early exit — the first execution of a
   *    plan pays whole-stage-codegen compilation + JIT tiering (3-10x
@@ -23,6 +25,17 @@ import org.apache.spark.sql.SparkSession
   *    extra measured runs. A noisy neighbor (page cache, GC, another
   *    process) inflates single runs; extra samples let min/median
   *    re-converge instead of shipping the noise.
+  *  - REGRESSION GATE: per-query mins are diffed against the previous
+  *    committed `bench_full.json` BEFORE it is overwritten; entries
+  *    that regressed >2× AND >0.5 s absolute are listed under
+  *    `regressed_vs_prev` (empty on a clean sweep) — a q121-style 30×
+  *    artifact jump can never ship unexplained again.
+  *  - POST-SWEEP ADJUDICATION: queries still wide-gap or regressed
+  *    after the main sweep get a second re-measure pass while budget
+  *    remains — the round-11 failure mode was the alphabetic tail's
+  *    convergence loop starving at budget exhaustion, so adjudication
+  *    now has its own slice (the gate fields record what it could not
+  *    resolve).
   *  - `queries` reports the MIN over measured runs (the standard
   *    steady-state estimator under one-sided noise; what every round
   *    reported, so round-over-round comparison stays apples-to-apples);
@@ -32,16 +45,46 @@ import org.apache.spark.sql.SparkSession
   *    forensic min==median inference (the round-6 artifact's failure
   *    mode).
   *  - the global soft budget SCALES WITH THE QUERY COUNT
-  *    (max(460, 6·|queries|) s): the round-6 sweep shipped with the
-  *    84-query budget against 104 queries, so the alphabetic tail ran
-  *    once, unconverged. Past the budget, remaining queries degrade to
-  *    1 warm-up + 2 measured (min/median still meaningful) and record
-  *    their run count; past 1.5× budget, to 1+1.
+  *    (max(460, 12·|queries|) s — 6·N was measured too small for this
+  *    host at 122 queries in round 11: the sweep ran 47% over and the
+  *    tail shipped unconverged). Past the budget, remaining queries
+  *    degrade to 1 warm-up + 2 measured (min/median still meaningful)
+  *    and record their run count; past 1.5× budget, to 1+1.
   *  - the codegen class cache is raised from its 100-entry default:
-  *    104 queries × 5+ runs would otherwise evict and recompile each
+  *    100+ queries × 5+ runs would otherwise evict and recompile each
   *    other's generated classes mid-sweep.
   */
 object Bench {
+
+  /** Per-query mins of the previous committed artifact, parsed from its
+    * `"queries":{...}` object — hand-rolled because the artifact is our
+    * own single-line JSON with flat numeric values (no JSON lib on the
+    * classpath). Absent/unparseable file → empty map (first round, or a
+    * format change: the gate degrades to "no prior", never to a crash).
+    */
+  private[graft] def priorMins(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val start = text.indexOf("\"queries\":{")
+      // a prior recorded at a DIFFERENT scale factor is not a baseline —
+      // comparing sf0.1 runs against a local sf0.01 artifact (or vice
+      // versa) would flag everything and burn the adjudication budget
+      if (start < 0 || !text.contains(s""""sf":"$sfDir"""")) Map.empty
+      else {
+        val body = text.substring(start + "\"queries\":{".length,
+          text.indexOf('}', start))
+        body.split(',').iterator.flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: java.io.IOException => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -63,51 +106,74 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val nQueries = SparkEntry.queries.size
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
-      .getOrElse(math.max(460.0, 6.0 * nQueries))
+      .getOrElse(math.max(460.0, 12.0 * nQueries))
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // previous artifact's per-query mins, read BEFORE this run overwrites
+    // the file — the regression gate's baseline
+    val prior = priorMins(outPath, sfDir)
     val sweepStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - sweepStart) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        // Drop any cache a query pinned (e.g. the minhash shingle table)
-        // so iterations and queries don't pay each other's memory.
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
+
+    final class QState(val name: String,
+        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) {
+      var times: Vector[Double] = Vector.empty
+      var failed: Option[String] = None
+      var sawError = false
+      def once(record: Boolean = true): Unit =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // Drop any cache a query pinned (e.g. the minhash shingle
+          // table) so iterations and queries don't pay each other's
+          // memory.
+          spark.catalog.clearCache()
+          if (record) times = (times :+ (System.nanoTime() - t0) / 1e9).sorted
+        } catch {
+          case e: Throwable => failed = Some(e.getMessage); sawError = true
+        }
+      def min: Double = if (times.isEmpty) -1.0 else times.head
+      def median: Double = if (times.isEmpty) -1.0 else times(times.size / 2)
+      def gapTooWide: Boolean = times.size >= 2 && median > 1.3 * min
+      def regressedVsPrior: Boolean = prior.get(name).exists(p =>
+        p > 0 && min > 2.0 * p && min - p > 0.5)
+    }
+
+    val states = SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (n, f) => new QState(n, f) }
+    // main sweep: fixed warmups+measured, inline convergence re-measure
+    states.foreach { st =>
       val (nWarm, nMeas) =
         if (elapsedSec > 1.5 * budgetSec) (1, 1)
         else if (elapsedSec > budgetSec) (1, 2)
         else (warmups, measured)
-      var failed: Option[String] = None
-      var times =
-        try {
-          (0 until nWarm).foreach(_ => once())
-          (0 until nMeas).map(_ => once()).sorted
-        } catch {
-          case e: Throwable => failed = Some(e.getMessage); Seq.empty[Double]
-        }
-      // convergence re-measure: a >30% min/median gap means at least one
-      // run caught host noise — add samples while budget remains
-      def gapTooWide: Boolean =
-        times.size >= 2 && times(times.size / 2) > 1.3 * times.head
+      (0 until nWarm).foreach(_ =>
+        if (st.failed.isEmpty) st.once(record = false))
+      (0 until nMeas).foreach(_ => if (st.failed.isEmpty) st.once())
       var extra = 0
-      while (failed.isEmpty && gapTooWide && extra < maxExtra &&
+      while (st.failed.isEmpty && st.gapTooWide && extra < maxExtra &&
           elapsedSec < 1.5 * budgetSec) {
-        try { times = (times :+ once()).sorted }
-        catch { case e: Throwable => failed = Some(e.getMessage) }
-        extra += 1
+        st.once(); extra += 1
       }
-      if (failed.isDefined)
-        System.err.println(s"[bench] $name failed: ${failed.get}")
-      val mn = if (times.isEmpty) -1.0 else times.head
-      val med = if (times.isEmpty) -1.0 else times(times.size / 2)
-      // flaky = threw during the convergence loop AFTER >=2 clean runs:
-      // timings are real but the failure must reach the artifact, not
-      // just stderr (it would otherwise read as fully healthy).
-      (name, mn, med, times.size, failed.isDefined && times.nonEmpty)
+      if (st.failed.isDefined)
+        System.err.println(s"[bench] ${st.name} failed: ${st.failed.get}")
     }
+    // post-sweep adjudication: anything still wide-gap or regressed vs
+    // the prior artifact gets more samples while budget remains — noise
+    // re-converges, real regressions survive with ≥5 runs behind them
+    states.filter(st => st.failed.isEmpty && st.times.nonEmpty &&
+        (st.gapTooWide || st.regressedVsPrior))
+      .foreach { st =>
+        var extra = 0
+        while (st.failed.isEmpty && (st.gapTooWide || st.regressedVsPrior) &&
+            extra < 2 * maxExtra && elapsedSec < 1.5 * budgetSec) {
+          st.once(); extra += 1
+        }
+      }
+
+    val results = states.map(st =>
+      (st.name, st.min, st.median, st.times.size,
+        st.sawError && st.times.nonEmpty))
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def objL(kv: Seq[(String, Long)]): String =
@@ -123,19 +189,23 @@ object Bench {
     val total = results.filter(_._4 > 0).map(_._2).sum
     val nFailed = failedNames.size
     val failedArr = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // flaky = ran >=1 clean time but threw later in the convergence loop
+    // flaky = ran >=1 clean time but threw later in a re-measure loop
     val flakyNames = results.filter(r => r._4 > 0 && r._5).map(_._1)
     val flakyArr = flakyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-run = degraded-but-ran (budget overrun); failures count separately
     val nOneRun = results.count(_._4 == 1)
     val nWideGap = results.count { case (_, mn, md, r, _) => r >= 2 && md > 1.3 * mn }
+    // the regression gate's verdict AFTER adjudication: what genuinely
+    // moved vs the previous artifact (>2× and >0.5 s absolute on mins)
+    val regressed = states.filter(st => st.times.nonEmpty && st.regressedVsPrior)
+      .map(st => s"""{"name":"${st.name}","prev":${prior(st.name)},"now":${st.min}}""")
+      .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_failed":$nFailed,"failed":$failedArr,"n_flaky":${flakyNames.size},"flaky":$flakyArr,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"queries_runs":$runs,"n_queries":$nQueries,"n_failed":$nFailed,"failed":$failedArr,"n_flaky":${flakyNames.size},"flaky":$flakyArr,"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"regressed_vs_prev":$regressed,"budget_sec":$budgetSec,"sweep_sec":$elapsedSec,"sf":"$sfDir"}"""
     // Full-detail artifact: the driver snapshots only the LAST 2000 chars
     // of stdout, which amputated the full per-query JSON in rounds 1-4
     // (BENCH_r0N.json "parsed": null). The complete JSON goes to a repo
     // file the driver snapshots via git instead.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     // Final stdout line stays under the 2000-char tail window: short qNN
@@ -144,7 +214,7 @@ object Bench {
     // line lands after it inside the captured tail.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val shortQs = obj(results.map { case (n, mn, _, _, _) => n.takeWhile(_ != '_') -> r3(mn) })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_failed":$nFailed,"n_flaky":${flakyNames.size},"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"sf":"$sfDir","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_failed":$nFailed,"n_flaky":${flakyNames.size},"n_one_run":$nOneRun,"n_wide_gap":$nWideGap,"n_regressed":${states.count(st => st.times.nonEmpty && st.regressedVsPrior)},"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

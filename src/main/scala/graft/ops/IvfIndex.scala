@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The IVF serving layout AT REST — [[Similarity.ivfQuery]]'s coarse
+  * quantizer made a PARTITION column, the cell-probed counterpart of
+  * [[AnnIndex]]'s LSH buckets (ivfQuery's own scaladoc promises this
+  * shape: "at rest the cell id becomes a partition column so a probe
+  * prunes to nprobe cells' files").
+  *
+  * Layout: one directory per coarse cell (`cell=<centroid id>`), rows
+  * carrying the double vector and its precomputed norm; the centroid
+  * table (numCentroids rows: cid, cv, cnrm) is stored UNDER the index
+  * at `_centroids/` — the underscore prefix keeps it invisible to the
+  * data scan (the same convention that hides `_SUCCESS`), so
+  * `spark.read.parquet(path)` sees only cells.
+  *
+  * A probe reads the centroid table (numCentroids rows — the bounded
+  * driver-side read is the index's point, exactly like
+  * [[AnnIndex.bucketOf]]'s plane table), ranks cells against the query
+  * driver-side with the same sequential-double accumulation and
+  * 6-decimal round as the in-plan expressions, and scans ONLY the top
+  * `nprobe` cells' files via partition pruning. At 100 TB that is
+  * nprobe/numCentroids of the corpus bytes per query, with the cell
+  * choice costing numCentroids·dim driver flops — microseconds.
+  *
+  * Determinism contract: cells are assigned by the exact argmax
+  * [[Similarity.ivfQuery]] computes (6-decimal rounded cosine,
+  * smaller-cid tie-break), and the driver-side cell ranking reproduces
+  * the in-plan `round(..., 6)` bit-for-bit (BigDecimal HALF_UP over
+  * the sequential dot) — so the probe answers EXACTLY what ivfQuery
+  * answers and q125 is judged against q37's oracle VERBATIM: index
+  * layout cannot change results (`IvfIndexSpec` pins probe ≡ ivfQuery
+  * and per-vector stored-cell equality; PlanGuardSpec pins the
+  * `cell IN (...)` PartitionFilters entry).
+  */
+object IvfIndex {
+
+  /** Rows (id, v, nrm, cell) with ivfQuery's assignment — shared by
+    * [[write]] and the assignment-equality spec.
+    */
+  private def assigned(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): (DataFrame, DataFrame) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val ndot = GraftFunctions.dotNative _
+    val e = embeddings.select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val cents = e.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+    val rows = e.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("nrm"), col("cid"), simToCent.as("csim"))
+      .groupBy(col(idCol), col("v"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    (rows, cents)
+  }
+
+  /** Write the cell-partitioned index plus its `_centroids` table.
+    * The pre-write `repartition(cell)` gives the bounded-writers-per-
+    * task dynamic-partition shape ([[AnnIndex.store]]'s argument).
+    */
+  def write(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 8): Unit = {
+    val (rows, cents) = assigned(embeddings, idCol, vecCol, numCentroids)
+    // partition values are 'c'-prefixed strings ("c3"), the [[AnnIndex]]
+    // convention: partition type inference then can never re-type the
+    // column, so the probe's isin literals always match the column type
+    // exactly and pruning never hides behind a cast
+    rows.withColumn("cell", concat(lit("c"), col("cell")))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    cents.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
+  }
+
+  /** In-plan cell assignment for equality checks — (id, cell). */
+  private[graft] def assignmentOf(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int = 8): DataFrame =
+    assigned(embeddings, idCol, vecCol, numCentroids)._1
+      .select(col(idCol), col("cell"))
+
+  /** Spark's `round(double, 6)` semantics, reproduced driver-side —
+    * BigDecimal HALF_UP over the canonical decimal form.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Sequential left-to-right double dot — [[GraftFunctions.dotNative]]
+    * bit-for-bit, on the driver.
+    */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The query's `nprobe` cells, ranked driver-side from the stored
+    * centroid table with the exact in-plan semantics (6-decimal rounded
+    * cosine desc, cid asc).
+    */
+  def probeCellsOf(spark: SparkSession, path: String, queryVec: Array[Double],
+      nprobe: Int): Seq[String] = {
+    val qnrm = math.sqrt(seqDot(queryVec, queryVec))
+    spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](r.fieldIndex("cv")).toArray
+        val cnrm = r.getDouble(r.fieldIndex("cnrm"))
+        (r.getLong(r.fieldIndex("cid")), round6(seqDot(cv, queryVec) / (cnrm * qnrm)))
+      }
+      .sortBy { case (cid, qsim) => (-qsim, cid) }
+      .take(nprobe).map(c => s"c${c._1}").toSeq
+  }
+
+  /** Probe the at-rest index for the cosine top-k around `queryVec`:
+    * partition-prune to the `nprobe` best cells, exact re-rank within
+    * them — [[Similarity.ivfQuery]]'s answer from storage.
+    */
+  def probe(spark: SparkSession, path: String, idCol: String,
+      queryVec: Array[Double], k: Int = 5, nprobe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = probeCellsOf(spark, path, queryVec, nprobe)
+    val qv = typedlit(queryVec.toSeq)
+    val qnrm = math.sqrt(seqDot(queryVec, queryVec))
+    val base = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+    val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    probed
+      .select(col(idCol),
+        round(GraftFunctions.dotNative(col("v"), qv) /
+          (col("nrm") * lit(qnrm)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -195,6 +195,32 @@ object ExtQueries {
     graft.ops.AnnIndex.probeMulti(s, annIndexPath(s, dir), "vec_id",
       queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
 
+  /** The at-rest IVF index ([[graft.ops.IvfIndex]]): the corpus written
+    * ONCE partitioned by its coarse-quantizer cell (q37's deterministic
+    * 8-centroid assignment), the centroid table stored under
+    * `_centroids/`; a probe ranks cells driver-side from that table
+    * (8 rows) and partition-prunes the scan to the 2 best cells' files
+    * (`PlanGuardSpec` pins the `cell IN (...)` PartitionFilters entry).
+    * Judged against q37's oracle VERBATIM: index layout cannot change
+    * results — the cell-partitioned counterpart of q116's LSH-bucket
+    * argument. Built once per (pid, dir); benched iterations measure
+    * the pruned probe.
+    */
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfIndexes)
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.write(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numCentroids = 8)
+      p
+    })
+  private val q125: Q = (s, dir) =>
+    graft.ops.IvfIndex.probe(s, ivfIndexPath(s, dir), "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
     * the 4×-smaller int8 form — the candidate-generation tier of a
@@ -619,6 +645,7 @@ object ExtQueries {
     "q122_quant_index_probe" -> q122,
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
+    "q125_ivf_index_probe" -> q125,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -700,6 +727,34 @@ object ExtQueries {
        |SELECT b.vec_id, ${cosSql("b.v", "q.qv")} AS sim
        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> 0
        |  AND list_dot_product(b.v, b.v) > 0
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** q37's oracle — shared verbatim by q125: the IVF top-5 answer is a
+    * property of the coarse quantizer's geometry (8 lowest-id
+    * centroids, 6-decimal argmax assignment, nprobe-2 cell pick), never
+    * of whether cells are computed per query or read back from the
+    * cell-partitioned index.
+    */
+  private[queries] lazy val ivfTop5Sql: String =
+    s"""WITH $embCte,
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cid AS cell FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
+       |                      c.cid) AS rn
+       |    FROM en, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid AS cell FROM c, q
+       |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+       |  LIMIT 2)
+       |SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6) AS sim
+       |FROM assign a JOIN probe p ON a.cell = p.cell, q
+       |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -993,27 +1048,12 @@ object ExtQueries {
         |       md5(substr(text, CAST(start + 1 AS INT), 16)) AS frame_md5
         |FROM f ORDER BY media_id, pos_ms""".stripMargin,
 
-    "q37_ivf_ann" ->
-      s"""WITH $embCte,
-         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
-         |assign AS (
-         |  SELECT vec_id, v, nrm, cid AS cell FROM (
-         |    SELECT en.vec_id, en.v, en.nrm, c.cid,
-         |           row_number() OVER (PARTITION BY en.vec_id
-         |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
-         |                      c.cid) AS rn
-         |    FROM en, c)
-         |  WHERE rn = 1),
-         |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT cid AS cell FROM c, q
-         |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
-         |  LIMIT 2)
-         |SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6) AS sim
-         |FROM assign a JOIN probe p ON a.cell = p.cell, q
-         |WHERE a.vec_id <> 0
-         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q37_ivf_ann" -> ivfTop5Sql,
+
+    // the at-rest IVF index probe MUST return exactly what the in-plan
+    // coarse quantizer returns — one oracle string, two judged plans
+    // (the q116/q27 argument, for the cell-partitioned layout)
+    "q125_ivf_index_probe" -> ivfTop5Sql,
 
     "q78_decontamination" ->
       s"""WITH $tokensCte,

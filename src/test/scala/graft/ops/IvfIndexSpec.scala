@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The at-rest IVF index's contracts: (1) layout cannot change
+  * results — the probe's top-k equals [[Similarity.ivfQuery]]'s over
+  * the same corpus/centroids; (2) every stored row sits in the cell
+  * the in-plan argmax assigns (so a probe always looks in the right
+  * directories); (3) the `_centroids` side table is invisible to the
+  * data scan.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val path = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_spec"
+    IvfIndex.write(emb, "vec_id", "embedding", p, numCentroids = 8)
+    p
+  }
+  private def qvec0 = emb.filter(col("vec_id") === 0L)
+    .select(Similarity.toDoubleVec(col("embedding")))
+    .head().getSeq[Double](0).toArray
+
+  test("probe == ivfQuery: index layout cannot change the top-k") {
+    val fromIndex = IvfIndex
+      .probe(spark, path, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inPlan = Similarity
+      .ivfQuery(emb, "vec_id", "embedding", queryId = 0L, k = 5,
+        numCentroids = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inPlan)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("every stored row sits in its argmax cell; _centroids invisible to the scan") {
+    val data = spark.read.parquet(path)
+    // the centroid side table must NOT leak into the data scan
+    assert(!data.columns.contains("cid") && !data.columns.contains("cv"))
+    assert(data.count() == emb.count())
+    val stored = data.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = IvfIndex
+      .assignmentOf(emb, "vec_id", "embedding", numCentroids = 8)
+      .collect().map(r => r.getLong(0) -> s"c${r.getLong(1)}").toMap
+    assert(stored == expected)
+    // and the centroid table itself reads back with the full seed set
+    val cents = spark.read.parquet(s"$path/_centroids")
+    assert(cents.count() == 8)
+    assert(cents.select("cid").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 8L))
+  }
+
+  test("probeCellsOf ranks cells exactly as the in-plan centroid pick") {
+    // driver-side round/dot must reproduce the in-plan (qsim desc, cid)
+    // order — nprobe = numCentroids makes the FULL ranking observable
+    val all = IvfIndex.probeCellsOf(spark, path, qvec0, nprobe = 8)
+    assert(all.size == 8 && all.distinct.size == 8)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    graft.functions.GraftFunctions.register(spark)
+    val qv = typedlit(qvec0.toSeq)
+    val inPlan = spark.read.parquet(s"$path/_centroids")
+      .select(col("cid"),
+        round(ndot(col("cv"), qv) /
+          (col("cnrm") * sqrt(ndot(qv, qv))), 6).as("qsim"))
+      .orderBy(col("qsim").desc, col("cid"))
+      .collect().map(r => s"c${r.getLong(0)}").toSeq
+    assert(all == inPlan)
+  }
+}

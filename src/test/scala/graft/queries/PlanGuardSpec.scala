@@ -434,6 +434,32 @@ class PlanGuardSpec extends SparkSpec {
       s"bucket must never be filtered AFTER the scan:\n$p")
   }
 
+  test("q125 ivf index probe: the nprobe-cell isin stays a PARTITION filter on the scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_guard"
+    graft.ops.IvfIndex.write(emb, "vec_id", "embedding", path,
+      numCentroids = 8)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val cells = graft.ops.IvfIndex.probeCellsOf(spark, path, qvec, nprobe = 2)
+    val p = graft.ops.IvfIndex
+      .probe(spark, path, "vec_id", qvec, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the nprobe-cell choice must prune partitions — the scan reads 2
+    // cells' directories out of numCentroids, never the corpus
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains("cell") && scan.get.contains(" IN (") &&
+      cells.forall(scan.get.contains),
+      s"the nprobe cells must prune partitions (IN over $cells):\n${scan.get}")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter (") && l.contains("cell")),
+      s"cell must never be filtered AFTER the scan:\n$p")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

@@ -161,19 +161,47 @@ object AnnIndex {
     */
   def probeQuantized(spark: SparkSession, path: String, idCol: String,
       queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None): DataFrame =
+    rankQuantized(spark,
+      spark.read.parquet(path)
+        .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes))),
+      idCol, queryVec, k, excludeId)
+
+  /** Multi-probe the quantized index: q122's int8 scan over q123's
+    * Hamming-1 bucket union — the cheapest-bytes AND highest-recall
+    * candidate tier the at-rest layouts compose ((numPlanes+1)/2^
+    * numPlanes of the directories, each 4× smaller than floats). The
+    * `isin` stays a PARTITION filter exactly as in [[probeMulti]].
+    * Judged as q126 (oracle = quantization CTEs × the Hamming ≤ 1
+    * predicate, both halves already pinned by q122/q123).
+    */
+  def probeQuantizedMulti(spark: SparkSession, path: String, idCol: String,
+      queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
+      excludeId: Option[Long] = None): DataFrame =
+    rankQuantized(spark,
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(probeBucketsOf(queryVec, numPlanes): _*)),
+      idCol, queryVec, k, excludeId)
+
+  /** The shared quantized ranking tail: query quantized driver-side
+    * with the same max-abs scheme, integer dot products exact in any
+    * engine, 6-decimal round + (sim desc, id) tie-break.
+    */
+  private def rankQuantized(spark: SparkSession, base: DataFrame,
+      idCol: String, queryVec: Array[Double], k: Int,
+      excludeId: Option[Long]): DataFrame = {
     GraftFunctions.register(spark)
     val m = queryVec.map(math.abs).foldLeft(0.0)(math.max)
     val qq = queryVec.map(x =>
       if (m == 0.0) 0.0 else BigDecimal(x * 127.0 / m)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val qv = typedlit(qq.toSeq)
-    val base = spark.read.parquet(path)
-      .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
       // zero-norm rows never rank (cross-engine 0/0 divergence guard —
-      // see [[Quantize.topKQuantized]]); the oracle filters identically
+      // see [[Quantize.topKQuantized]]); the oracle filters identically.
+      // qnrm is a STORED parquet column, so this costs a column read,
+      // not a re-derivation.
       .filter(col("qnrm") > 0)
       .withColumn("qd", transform(col("qv"), x => x.cast("double")))
       .select(col(idCol),

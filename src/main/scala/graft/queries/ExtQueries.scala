@@ -272,6 +272,18 @@ object ExtQueries {
     graft.ops.AnnIndex.probeQuantized(s, quantIndexPath(s, dir), "vec_id",
       queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
 
+  /** Multi-probe over the QUANTIZED index
+    * ([[graft.ops.AnnIndex.probeQuantizedMulti]]): q122's 4×-smaller
+    * int8 scan over q123's Hamming-1 bucket union — the
+    * cheapest-bytes/highest-recall candidate tier the at-rest layouts
+    * compose. Oracle = quantization CTEs × the Hamming ≤ 1 predicate
+    * (both halves already pinned by q122/q123).
+    */
+  private val q126: Q = (s, dir) =>
+    graft.ops.AnnIndex.probeQuantizedMulti(s, quantIndexPath(s, dir),
+      "vec_id", queryVec0(s, dir), k = 5, numPlanes = 8,
+      excludeId = Some(0L))
+
   /** The complete serving path against storage
     * ([[graft.ops.AnnIndex.probeTwoTier]]): tier 1 partition-prunes
     * q122's at-rest quantized index to the query bucket and cuts the
@@ -646,6 +658,7 @@ object ExtQueries {
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
     "q125_ivf_index_probe" -> q125,
+    "q126_quant_multiprobe" -> q126,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -945,6 +958,20 @@ object ExtQueries {
          |FROM e JOIN cand USING (vec_id), q0
          |WHERE list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // quantized ranking over the multiprobe 1-ball: q122's CTEs with
+    // q123's Hamming predicate in place of the bucket equality
+    "q126_quant_multiprobe" ->
+      s"""WITH $quantCtes,
+         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
+         |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0)
+         |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
+         |FROM s JOIN b USING (vec_id), q
+         |WHERE len(list_filter(generate_series(1, 8),
+         |        i -> substr(b.bucket, i, 1) <> substr(q.qbucket, i, 1))) <= 1
+         |  AND s.vec_id <> 0 AND list_dot_product(s.qv, s.qv) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     "q28_embedding_neardup" ->
       s"""WITH $embCte,

@@ -310,6 +310,56 @@ class AnnIndexSpec extends SparkSpec {
       s"the 1-ball never widened the candidate set (single=${single.size})")
   }
 
+  test("probeQuantizedMulti == quantized ranking over the in-memory 1-ball union") {
+    val qp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_qmulti"
+    AnnIndex.writeQuantized(emb, "vec_id", "embedding", qp,
+      numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val got = AnnIndex
+      .probeQuantizedMulti(spark, qp, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reference: quantized corpus (q122's pinned scheme) restricted to
+    // the Hamming-1 bucket union (q123's pinned set), ranked in-plan
+    val planes = Similarity.lshPlanes(8, 64)
+    val buckets = AnnIndex.probeBucketsOf(qvec, 8)
+    val qz = Quantize.quantize(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("qv"), x => x.cast("double")).as("qd"))
+    val qv0 = qz.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+    val expected = qz
+      .join(emb.select(col("vec_id"),
+        concat(lit("b"), Similarity.lshBucket(
+          Similarity.toDoubleVec(col("embedding")), planes)).as("bucket")),
+        "vec_id")
+      .filter(col("bucket").isin(buckets: _*) && col("vec_id") =!= 0L &&
+        exists(col("qd"), x => x =!= 0.0))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("qd"), typedlit(qv0)) /
+          (sqrt(Similarity.dot(col("qd"), col("qd"))) *
+            math.sqrt(qv0.map(x => x * x).sum)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // candidate widening, quantized edition: 1-ball ⊋ single bucket
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val single = ids(AnnIndex.probeQuantized(spark, qp, "vec_id", qvec,
+      k = 10000, numPlanes = 8, excludeId = Some(0L)))
+    val multi = ids(AnnIndex.probeQuantizedMulti(spark, qp, "vec_id", qvec,
+      k = 10000, numPlanes = 8, excludeId = Some(0L)))
+    assert(single.subsetOf(multi) && multi.size > single.size)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(qp))
+  }
+
   test("probeTwoTier == tier-1 quantized cut composed with an exact float re-rank") {
     val qp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_twotier"
     AnnIndex.writeQuantized(emb, "vec_id", "embedding", qp,

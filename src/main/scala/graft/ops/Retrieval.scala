@@ -100,4 +100,55 @@ object Retrieval {
     // keyless window funneling the scored relation through one partition
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of two
+    * already-cut ranked lists: `rrf(d) = Σ_lists 1/(kRrf + rank_d)`,
+    * with a list contributing 0 for documents it does not contain.
+    * Ranks are 1-based positions under each list's (score desc, id)
+    * total order, so the fusion is exactly reproducible cross-engine
+    * (integer ranks → identical IEEE divisions → one fixed-order sum,
+    * rounded to 6).
+    *
+    * Scale note: the keyless rank windows here run over the POOLED
+    * top-k lists (≤ poolK rows each, the output of a TakeOrdered cut),
+    * never a corpus — bounded by construction, which is the one case a
+    * keyless window is fine.
+    */
+  def rrfFuse(sparse: DataFrame, sparseScoreCol: String,
+      dense: DataFrame, denseScoreCol: String, idCol: String,
+      k: Int = 10, kRrf: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, scoreCol: String, rankName: String) =
+      df.withColumn(rankName,
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+        .select(col(idCol), col(rankName))
+    ranked(sparse, sparseScoreCol, "rs")
+      .join(ranked(dense, denseScoreCol, "rd"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rd")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: BM25 keyword top-`poolK` ∪ dense cosine
+    * top-`poolK`, fused by [[rrfFuse]] — the standard first-stage
+    * retriever of a RAG/data-curation stack (sparse catches exact
+    * terms, dense catches paraphrase; RRF needs no score calibration
+    * between the two, which is why it is the default fusion
+    * everywhere). Corpus cost is exactly one BM25 pass + one dense
+    * top-k pass (both already judged shapes); the fusion itself runs
+    * over 2·poolK rows.
+    */
+  def hybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
+      embeddings: DataFrame, vecIdCol: String, vecCol: String,
+      query: Seq[String], queryId: Long, k: Int = 10, poolK: Int = 20,
+      kRrf: Int = 60): DataFrame = {
+    val sparse = bm25TopK(docs, docIdCol, textCol, query, poolK)
+    val dense = Similarity
+      .knnBrute(embeddings, vecIdCol, vecCol, queryId, poolK)
+      .withColumnRenamed(vecIdCol, docIdCol)
+    rrfFuse(sparse, "score", dense, "sim", docIdCol, k, kRrf)
+  }
 }

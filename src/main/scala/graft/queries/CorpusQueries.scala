@@ -90,6 +90,17 @@ object CorpusQueries {
         query = Seq("vector", "stream", "window"), k = 20)
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Hybrid retrieval ([[Retrieval.hybridTopK]]): q95's BM25 top-20 ∪
+    * q26's dense cosine top-20 (around vec_id 0), fused by reciprocal
+    * rank (k=60) — the standard no-calibration sparse+dense first-stage
+    * retriever. Corpus cost is one BM25 pass + one dense pass (both
+    * judged shapes); the fusion runs over ≤ 40 pooled rows.
+    */
+  private val q127: Q = (s, dir) =>
+    Retrieval.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      query = bm25Terms, queryId = 0L, k = 10, poolK = 20, kRrf = 60)
+
   /** Robust outlier detection ([[Outliers.robustOutliers]]): events
     * whose value sits > 3 MAD-σ from its event-type median — the
     * data-quality gate. Median/MAD round to 6 before the z computation
@@ -439,12 +450,43 @@ object CorpusQueries {
     "q102_chunk_overlap" -> q102,
     "q103_temperature_resample" -> q103,
     "q104_exact_k_sample" -> q104,
+    "q127_hybrid_rrf" -> q127,
   )
 
   // ----------------------------------------------------------------- oracle
 
   private val bm25Terms = Seq("vector", "stream", "window")
   private val bm25TermList = bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** q95's BM25 pipeline as a CTE block ending in `bm(doc_id, score)` —
+    * the top-20 keyword ranking, shared verbatim by the hybrid-RRF
+    * oracle (q127).
+    */
+  private lazy val bm25Ctes: String =
+    s"""${ExtQueries.tokensCte},
+       |tok AS (SELECT doc_id, u.t AS tok FROM w, UNNEST(w.w) AS u(t)),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       |       WHERE tok IN ($bm25TermList) GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+       |          WHERE tok IN ($bm25TermList) GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         CAST(round(
+       |           (ln(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+       |                     / (CAST(dfreq.df AS DOUBLE) + 0.5))
+       |            * (CAST(tf.tf AS DOUBLE) * 2.2))
+       |           / (CAST(tf.tf AS DOUBLE)
+       |              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+       |                              / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))),
+       |           9) AS DECIMAL(28,10)) AS c
+       |  FROM tf
+       |  JOIN dfreq USING (tok)
+       |  JOIN dl USING (doc_id), stats),
+       |bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+       |       FROM scored GROUP BY doc_id
+       |       ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
 
   /** u(key)·2²⁴ in DuckDB: the first 6 md5 hex chars of the doc id as
     * an exact integer — the replay of [[graft.ops.Sampling.hashUniform]].
@@ -799,30 +841,36 @@ object CorpusQueries {
          |ORDER BY exact_n DESC, term LIMIT 20""".stripMargin,
 
     "q95_bm25" ->
-      s"""WITH ${ExtQueries.tokensCte},
-         |tok AS (SELECT doc_id, u.t AS tok FROM w, UNNEST(w.w) AS u(t)),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
-         |       WHERE tok IN ($bm25TermList) GROUP BY 1, 2),
-         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
-         |          WHERE tok IN ($bm25TermList) GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |         CAST(round(
-         |           (ln(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
-         |                     / (CAST(dfreq.df AS DOUBLE) + 0.5))
-         |            * (CAST(tf.tf AS DOUBLE) * 2.2))
-         |           / (CAST(tf.tf AS DOUBLE)
-         |              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-         |                              / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))),
-         |           9) AS DECIMAL(28,10)) AS c
-         |  FROM tf
-         |  JOIN dfreq USING (tok)
-         |  JOIN dl USING (doc_id), stats)
-         |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
-         |FROM scored GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM bm
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // hybrid retrieval: the bm25 CTEs (q95's, verbatim) and the dense
+    // cosine cut (q26's shape at poolK=20) ranked independently, fused
+    // by reciprocal rank — integer ranks make the fusion arithmetic
+    // exact cross-engine (identical IEEE divisions, fixed-order sum)
+    "q127_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |rs AS (SELECT doc_id,
+         |              row_number() OVER (ORDER BY score DESC, doc_id) AS rs
+         |       FROM bm),
+         |${ExtQueries.embCte},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dn AS (SELECT e.vec_id AS doc_id,
+         |              round(list_dot_product(e.v, q.qv)
+         |                / (sqrt(list_dot_product(e.v, e.v))
+         |                   * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+         |       FROM e, q
+         |       WHERE e.vec_id <> 0 AND list_dot_product(e.v, e.v) > 0
+         |       ORDER BY sim DESC, e.vec_id LIMIT 20),
+         |rd AS (SELECT doc_id,
+         |              row_number() OVER (ORDER BY sim DESC, doc_id) AS rd
+         |       FROM dn)
+         |SELECT COALESCE(rs.doc_id, rd.doc_id) AS doc_id,
+         |       round(COALESCE(1.0::DOUBLE / CAST(60 + rs.rs AS DOUBLE), 0.0)
+         |           + COALESCE(1.0::DOUBLE / CAST(60 + rd.rd AS DOUBLE), 0.0), 6) AS rrf
+         |FROM rs FULL OUTER JOIN rd ON rs.doc_id = rd.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q96_robust_outliers" ->
       """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

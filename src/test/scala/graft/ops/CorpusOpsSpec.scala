@@ -308,6 +308,46 @@ class CorpusOpsSpec extends SparkSpec {
       s"one count aggregate total, not one per term:\n${aggLines.mkString("\n")}")
   }
 
+  // ------------------------------------------------------------- hybrid rrf
+
+  test("rrfFuse: hand-computed reciprocal-rank sums, membership-asymmetric lists") {
+    import org.apache.spark.sql.functions.col
+    // sparse ranks: a=1, b=2, c=3; dense ranks: b=1, d=2 — b fuses from
+    // both lists, the rest from one
+    val sparse = Seq(("a", 9.0), ("b", 5.0), ("c", 1.0)).toDF("id", "score")
+    val dense = Seq(("b", 0.9), ("d", 0.7)).toDF("id", "sim")
+    val out = Retrieval.rrfFuse(sparse, "score", dense, "sim", "id",
+        k = 10, kRrf = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      "a" -> r6(1.0 / 61), "b" -> r6(1.0 / 62 + 1.0 / 61),
+      "c" -> r6(1.0 / 63), "d" -> r6(1.0 / 62)))
+    // b leads: two mid ranks beat any single top rank at kRrf = 60
+    val top = Retrieval.rrfFuse(sparse, "score", dense, "sim", "id",
+      k = 1, kRrf = 60).collect().head.getString(0)
+    assert(top == "b")
+  }
+
+  test("hybridTopK: equals rrfFuse of the two judged pool cuts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val terms = Seq("vector", "stream", "window")
+    val got = Retrieval.hybridTopK(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", terms, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = Retrieval.rrfFuse(
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20), "score",
+        Similarity.knnBrute(emb, "vec_id", "embedding", 0L, k = 20)
+          .withColumnRenamed("vec_id", "doc_id"), "sim",
+        "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // fused scores are valid RRF sums: each ∈ (0, 2/61]
+    assert(got.forall { case (_, s) => s > 0 && s <= 2.0 / 61 + 1e-9 })
+  }
+
   // --------------------------------------------------------- robust outliers
 
   test("robustOutliers flags the injected spike and nothing else") {

@@ -221,6 +221,33 @@ object ExtQueries {
     graft.ops.IvfIndex.probe(s, ivfIndexPath(s, dir), "vec_id",
       queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
 
+  /** IVF ingest replay ([[graft.ops.IvfIndex.append]]): the index is
+    * built from the FIRST HALF of the corpus (vec_id < 250 — which
+    * contains the 8 seed ids, so the frozen coarse quantizer equals the
+    * full-corpus one) and the second half is folded in against the
+    * STORED centroids — a pure partition append. Judged against q37's
+    * oracle VERBATIM: with the frozen quantizer, neither the layout nor
+    * the ingest path can change results (q118's argument, for the
+    * cell-partitioned index). Built once per (pid, dir).
+    */
+  private val ivfIngestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfIngestIndexes)
+  private val q128: Q = (s, dir) => {
+    val path = ivfIngestIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_ingest_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfIndex.write(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", p, numCentroids = 8)
+      graft.ops.IvfIndex.append(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", p)
+      p
+    })
+    graft.ops.IvfIndex.probe(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
     * the 4×-smaller int8 form — the candidate-generation tier of a
@@ -659,6 +686,7 @@ object ExtQueries {
     "q124_two_tier_index" -> q124,
     "q125_ivf_index_probe" -> q125,
     "q126_quant_multiprobe" -> q126,
+    "q128_ivf_ingest" -> q128,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -1081,6 +1109,11 @@ object ExtQueries {
     // coarse quantizer returns — one oracle string, two judged plans
     // (the q116/q27 argument, for the cell-partitioned layout)
     "q125_ivf_index_probe" -> ivfTop5Sql,
+
+    // ... and the frozen-quantizer ingest path cannot change results
+    // either (the build half contains the seed ids, so the frozen
+    // centroids equal the full-corpus ones): same oracle, third plan
+    "q128_ivf_ingest" -> ivfTop5Sql,
 
     "q78_decontamination" ->
       s"""WITH $tokensCte,

@@ -54,6 +54,39 @@ class IvfIndexSpec extends SparkSpec {
       (0L until 8L))
   }
 
+  test("append against frozen centroids == write-built: ingest cannot change the top-k") {
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_spec_append"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(p2))
+    // build from the half that CONTAINS the seed ids (0..7), then fold
+    // the other half in against the stored centroids — the frozen
+    // quantizer then equals the full-corpus one, so probes must agree
+    IvfIndex.write(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      p2, numCentroids = 8)
+    IvfIndex.append(spark, emb.filter(col("vec_id") >= 250), "vec_id",
+      "embedding", p2)
+    def top(p: String) = IvfIndex
+      .probe(spark, p, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(p2) == top(path))
+    // the appended index holds the full corpus, and the centroid table
+    // was never rewritten (still the 8 seed rows)
+    assert(spark.read.parquet(p2).count() == emb.count())
+    assert(spark.read.parquet(s"$p2/_centroids").count() == 8)
+    // every appended row landed in the cell the frozen quantizer
+    // assigns — cell sets agree with the write-built layout per vector
+    val a = spark.read.parquet(p2).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = spark.read.parquet(path).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    rm(new java.io.File(p2))
+  }
+
   test("probeCellsOf ranks cells exactly as the in-plan centroid pick") {
     // driver-side round/dot must reproduce the in-plan (qsim desc, cid)
     // order — nprobe = numCentroids makes the FULL ranking observable

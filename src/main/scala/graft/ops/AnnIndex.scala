@@ -342,14 +342,25 @@ object AnnIndex {
     * oracle composes q122's CTEs with q121's re-rank tier exactly —
     * judged as q124; AnnIndexSpec pins the composition against the
     * tier-1 op's cut re-ranked in-plan.
+    *
+    * `multiProbe = true` swaps tier 1 for [[probeQuantizedMulti]] — the
+    * Hamming-1 bucket union instead of the single bucket — giving the
+    * best-recall complete path the layouts compose (q126's candidate
+    * tier under q124's exact answer; judged as q129 with the
+    * correspondingly-composed oracle).
     */
   def probeTwoTier(spark: SparkSession, quantPath: String,
       primary: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, overfetch: Int = 4,
-      numPlanes: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+      numPlanes: Int = 8, excludeId: Option[Long] = None,
+      multiProbe: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
-    val cand = probeQuantized(spark, quantPath, idCol, queryVec,
-      k * overfetch, numPlanes, excludeId).select(col(idCol))
+    val tier1 =
+      if (multiProbe) probeQuantizedMulti(spark, quantPath, idCol, queryVec,
+        k * overfetch, numPlanes, excludeId)
+      else probeQuantized(spark, quantPath, idCol, queryVec,
+        k * overfetch, numPlanes, excludeId)
+    val cand = tier1.select(col(idCol))
     val qv = typedlit(queryVec.toSeq)
     primary
       // zero-norm exclusion on the RAW column (same excluded set as the

@@ -327,6 +327,16 @@ object ExtQueries {
       queryVec0(s, dir), k = 10, overfetch = 4, numPlanes = 8,
       excludeId = Some(0L))
 
+  /** The best-recall complete serving path: q126's multi-probe int8
+    * tier-1 cut (Hamming-1 bucket union, 4×-smaller bytes) under q124's
+    * exact float re-rank — the last cell of the layout × probe matrix.
+    */
+  private val q129: Q = (s, dir) =>
+    graft.ops.AnnIndex.probeTwoTier(s, quantIndexPath(s, dir),
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, numPlanes = 8,
+      excludeId = Some(0L), multiProbe = true)
+
   /** Compacted-index probe ([[graft.ops.AnnIndex.compact]]): the index
     * is built the way q118's streaming loop leaves it — four partition
     * APPENDS, so every bucket directory holds up to four small batch
@@ -687,6 +697,7 @@ object ExtQueries {
     "q125_ivf_index_probe" -> q125,
     "q126_quant_multiprobe" -> q126,
     "q128_ivf_ingest" -> q128,
+    "q129_two_tier_multiprobe" -> q129,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -979,6 +990,27 @@ object ExtQueries {
          |cand AS (SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS simq
          |         FROM s JOIN b USING (vec_id), q
          |         WHERE b.bucket = q.qbucket AND s.vec_id <> 0
+         |           AND list_dot_product(s.qv, s.qv) > 0
+         |         ORDER BY simq DESC, vec_id LIMIT ${10 * 4}),
+         |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
+         |FROM e JOIN cand USING (vec_id), q0
+         |WHERE list_dot_product(e.v, e.v) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the best-recall complete path: q126's multiprobe quantized cut
+    // (Hamming ≤ 1 union, 10·4 candidates) under q124's exact re-rank —
+    // every piece already pinned, composed here
+    "q129_two_tier_multiprobe" ->
+      s"""WITH $quantCtes,
+         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+         |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
+         |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0),
+         |cand AS (SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS simq
+         |         FROM s JOIN b USING (vec_id), q
+         |         WHERE len(list_filter(generate_series(1, 8),
+         |                 i -> substr(b.bucket, i, 1) <> substr(q.qbucket, i, 1))) <= 1
+         |           AND s.vec_id <> 0
          |           AND list_dot_product(s.qv, s.qv) > 0
          |         ORDER BY simq DESC, vec_id LIMIT ${10 * 4}),
          |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)

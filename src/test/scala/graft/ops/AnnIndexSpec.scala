@@ -390,6 +390,29 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == expected)
     assert(got.nonEmpty)
+    // multiProbe = true composes with the q126 tier instead: same
+    // re-rank over probeQuantizedMulti's (1-ball) cut
+    val gotMulti = AnnIndex
+      .probeTwoTier(spark, qp, emb, "vec_id", "embedding", qvec,
+        k = 3, overfetch = 4, numPlanes = 8, excludeId = Some(0L),
+        multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val candMulti = AnnIndex
+      .probeQuantizedMulti(spark, qp, "vec_id", qvec, k = 3 * 4,
+        numPlanes = 8, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val expMulti = emb
+      .filter(col("vec_id").isin(candMulti.toSeq: _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("v"), typedlit(qvec.toSeq)) /
+          (sqrt(Similarity.dot(col("v"), col("v"))) * qnrm), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotMulti == expMulti)
+    assert(candMulti.size > candIds.size,
+      "the multiprobe tier-1 cut never widened past the single bucket")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete(); ()

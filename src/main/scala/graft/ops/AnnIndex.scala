@@ -134,7 +134,26 @@ object AnnIndex {
     * values, never candidate membership.
     */
   def writeQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, numPlanes: Int = 8, dim: Int = 0): Unit = {
+      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+    storeQuantized(embeddings, idCol, vecCol, path, numPlanes, dim,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold a batch into the quantized index — the [[append]] maintenance
+    * path for the int8 layout: per-vector quantization scales and md5
+    * buckets are batch-local-stateless (no frozen side table to
+    * consult, unlike [[IvfIndex.append]]), so ingest is a pure
+    * partition append and append-built ≡ write-built exactly
+    * (`AnnIndexSpec` pins it; q130 judges the fragmented replay
+    * against q122's oracle verbatim).
+    */
+  def appendQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int = 8, dim: Int = 0): Unit =
+    storeQuantized(embeddings, idCol, vecCol, path, numPlanes, dim,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def storeQuantized(embeddings: DataFrame, idCol: String,
+      vecCol: String, path: String, numPlanes: Int, dim: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val d =
       if (dim > 0) dim
@@ -148,7 +167,7 @@ object AnnIndex {
       .withColumn("qnrm", sqrt(GraftFunctions.dotNative(col("qd"), col("qd"))))
       .drop("qd")
       .repartition(col("bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("bucket").parquet(path)
   }
 

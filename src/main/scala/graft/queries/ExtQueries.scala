@@ -327,6 +327,31 @@ object ExtQueries {
       queryVec0(s, dir), k = 10, overfetch = 4, numPlanes = 8,
       excludeId = Some(0L))
 
+  /** Quantized-index ingest replay ([[graft.ops.AnnIndex
+    * .appendQuantized]]): the int8 index built the way a streaming
+    * maintenance loop leaves it — four partition appends — then probed
+    * for q122's exact question. Judged against q122's oracle VERBATIM:
+    * quantization scales and buckets are per-vector-stateless, so the
+    * ingest path cannot change results (q120's argument for the int8
+    * layout). Built once per (pid, dir).
+    */
+  private val quantIngestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(quantIngestIndexes)
+  private val q130: Q = (s, dir) => {
+    val path = quantIngestIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_quant_ingest_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      for (k <- 0 until 4)
+        graft.ops.AnnIndex.appendQuantized(emb.filter(col("vec_id") % 4 === k),
+          "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      p
+    })
+    graft.ops.AnnIndex.probeQuantized(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
+  }
+
   /** The best-recall complete serving path: q126's multi-probe int8
     * tier-1 cut (Hamming-1 bucket union, 4×-smaller bytes) under q124's
     * exact float re-rank — the last cell of the layout × probe matrix.
@@ -698,6 +723,7 @@ object ExtQueries {
     "q126_quant_multiprobe" -> q126,
     "q128_ivf_ingest" -> q128,
     "q129_two_tier_multiprobe" -> q129,
+    "q130_quant_ingest" -> q130,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -807,6 +833,22 @@ object ExtQueries {
        |SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6) AS sim
        |FROM assign a JOIN probe p ON a.cell = p.cell, q
        |WHERE a.vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** q122's oracle — shared verbatim by q130: bucket membership from
+    * the FLOAT vector (q27's geometry), ranking from the int8 form
+    * (q119's scheme); the quantized top-5 cannot depend on how the
+    * index files got there.
+    */
+  private[queries] lazy val quantTop5Sql: String =
+    s"""WITH $quantCtes,
+       |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+       |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
+       |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0)
+       |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
+       |FROM s JOIN b USING (vec_id), q
+       |WHERE b.bucket = q.qbucket AND s.vec_id <> 0
+       |  AND list_dot_product(s.qv, s.qv) > 0
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -934,16 +976,11 @@ object ExtQueries {
     // the assembled layout: bucket membership from the FLOAT vector
     // (q27's geometry), ranking from the int8 form (q119's scheme) —
     // both halves already pinned separately, composed here
-    "q122_quant_index_probe" ->
-      s"""WITH $quantCtes,
-         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
-         |q AS (SELECT s.qv AS pqv, b.bucket AS qbucket
-         |      FROM s JOIN b USING (vec_id) WHERE vec_id = 0)
-         |SELECT s.vec_id, ${cosSql("s.qv", "q.pqv")} AS sim
-         |FROM s JOIN b USING (vec_id), q
-         |WHERE b.bucket = q.qbucket AND s.vec_id <> 0
-         |  AND list_dot_product(s.qv, s.qv) > 0
-         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q122_quant_index_probe" -> quantTop5Sql,
+
+    // ... and the quantized ingest path is layout-only too: same
+    // oracle, append-fragmented judged plan
+    "q130_quant_ingest" -> quantTop5Sql,
 
     // the two-tier composition, tier by tier: quantized top-(k·overfetch)
     // cut (10·4 — the q121 call site's constants, interpolated so the

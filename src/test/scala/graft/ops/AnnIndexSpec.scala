@@ -310,6 +310,32 @@ class AnnIndexSpec extends SparkSpec {
       s"the 1-ball never widened the candidate set (single=${single.size})")
   }
 
+  test("appendQuantized-built index == writeQuantized-built: int8 ingest is layout-only") {
+    val w = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_qwrite"
+    val a = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_qappend"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(a))
+    AnnIndex.writeQuantized(emb, "vec_id", "embedding", w,
+      numPlanes = 8, dim = 64)
+    for (k <- 0 to 2)
+      AnnIndex.appendQuantized(emb.filter(col("vec_id") % 3 === k),
+        "vec_id", "embedding", a, numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def top(p: String) = AnnIndex
+      .probeQuantized(spark, p, "vec_id", qvec, k = 5, numPlanes = 8,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(a) == top(w))
+    assert(top(a).nonEmpty)
+    assert(spark.read.parquet(a).count() == emb.count())
+    rm(new java.io.File(w)); rm(new java.io.File(a))
+  }
+
   test("probeQuantizedMulti == quantized ranking over the in-memory 1-ball union") {
     val qp = s"${sys.props("java.io.tmpdir")}/graft_ann_index_spec_qmulti"
     AnnIndex.writeQuantized(emb, "vec_id", "embedding", qp,

@@ -235,4 +235,23 @@ object Sampling {
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col(orderCol).desc, col(tieCol).asc)))
       .filter(col("rank_in_domain") <= n)
+
+  /** Per-domain TOKEN-budget selection — [[quotaCap]] in the unit
+    * training runs actually budget in: within each domain, rank rows by
+    * (`orderCol` desc, `tieCol` asc — a total order) and keep the
+    * greedy prefix whose cumulative `weightCol` stays within `budget`.
+    * This is how a mixture spec like "≤ N tokens of domain X, best
+    * quality first" is materialized; fraction/count-based sampling
+    * can't express it because document lengths vary. The running sum is
+    * a window partitioned by domain — state is one domain's rows, never
+    * the corpus (a skewed giant domain is the `Skew` salting case).
+    * `cum_weight` is the INCLUSIVE prefix sum, so a row is kept iff it
+    * fits entirely — deterministic, order-independent, replayable.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, weightCol: String,
+      orderCol: String, tieCol: String, budget: Long): DataFrame =
+    df.withColumn("cum_weight",
+        sum(col(weightCol)).over(Window.partitionBy(col(groupCol))
+          .orderBy(col(orderCol).desc, col(tieCol).asc)))
+      .filter(col("cum_weight") <= budget)
 }

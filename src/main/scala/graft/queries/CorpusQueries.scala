@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BloomPrune, Chunking, Dedup, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomPrune, Chunking, Dedup, LanguageModel, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -100,6 +100,17 @@ object CorpusQueries {
     Retrieval.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
       t(s, dir, "embeddings"), "vec_id", "embedding",
       query = bm25Terms, queryId = 0L, k = 10, poolK = 20, kRrf = 60)
+
+  /** Corpus-trained bigram LM scoring ([[LanguageModel.bigramNll]]):
+    * per-document mean negative log-likelihood under an add-one bigram
+    * model trained on the corpus itself — the perplexity-style quality
+    * filter (CCNet lineage) next to q108's within-document entropy
+    * proxy. Contributions rounded to 9 and summed as DECIMAL (the BM25
+    * discipline), mean rounded to 6.
+    */
+  private val q131: Q = (s, dir) =>
+    LanguageModel.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Robust outlier detection ([[Outliers.robustOutliers]]): events
     * whose value sits > 3 MAD-σ from its event-type median — the
@@ -451,6 +462,7 @@ object CorpusQueries {
     "q103_temperature_resample" -> q103,
     "q104_exact_k_sample" -> q104,
     "q127_hybrid_rrf" -> q127,
+    "q131_bigram_lm" -> q131,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -871,6 +883,26 @@ object CorpusQueries {
          |           + COALESCE(1.0::DOUBLE / CAST(60 + rd.rd AS DOUBLE), 0.0), 6) AS rrf
          |FROM rs FULL OUTER JOIN rd ON rs.doc_id = rd.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the Laplace bigram model replayed relationally: history counts
+    // from the bigram relation, vocabulary over ALL tokens, identical
+    // double division → ln → round-9 → DECIMAL-sum → round-6 mean
+    "q131_bigram_lm" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |       FROM w, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |       WHERE len(w) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT u.t) AS v FROM w, UNNEST(w.w) AS u(t)),
+         |scored AS (SELECT bg.doc_id,
+         |                  CAST(round(-ln(CAST(cb.cb + 1 AS DOUBLE)
+         |                                 / CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
+         |                       AS DECIMAL(28,10)) AS c
+         |           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q96_robust_outliers" ->
       """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

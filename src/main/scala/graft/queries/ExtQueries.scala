@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Decontamination, Dedup, Multimodal, SequencePacking, Similarity, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Multimodal, Sampling, SequencePacking, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -107,6 +107,26 @@ object ExtQueries {
       .groupBy("doc_id")
       .agg(md5(concat_ws(" ", sort_array(collect_set(col("tok"))))).as("fp"))
       .orderBy("doc_id")
+
+  /** Token-budget curation ([[graft.ops.Sampling.tokenBudgetSelect]]):
+    * within each `source` domain, keep the best-quality documents whose
+    * cumulative token count fits an 800-token budget — the materialized
+    * form of a mixture spec ("≤ N tokens of domain X, best first"),
+    * which count/fraction sampling cannot express because document
+    * lengths vary. Ranking is (q23's quality score desc, doc_id) — a
+    * total order both engines compute bit-identically; the running sum
+    * is a per-domain window (state = one domain's rows).
+    */
+  private val q132: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    Sampling.tokenBudgetSelect(
+        d.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", "n_tokens", "quality", "doc_id", budget = 800L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_weight"))
+      .orderBy("doc_id")
+  }
 
   /** Brute-force cosine top-10 around vec_id 0 — the exact ANN baseline. */
   private val q26: Q = (s, dir) =>
@@ -724,6 +744,7 @@ object ExtQueries {
     "q128_ivf_ingest" -> q128,
     "q129_two_tier_multiprobe" -> q129,
     "q130_quant_ingest" -> q130,
+    "q132_token_budget" -> q132,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -952,6 +973,22 @@ object ExtQueries {
          |SELECT e.vec_id, ${cosSql("e.v", "q.qv")} AS sim
          |FROM e, q WHERE e.vec_id <> 0 AND list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the greedy per-domain token-budget fill: q23's quality formula
+    // ranks, an inclusive windowed prefix sum gates at 800 tokens
+    "q132_token_budget" ->
+      s"""WITH $tokensCte,
+         |base AS (SELECT d.doc_id, d.source, CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |         (CAST(len(list_filter(w.w, x -> x IN ($stopList))) AS DOUBLE)
+         |            / CAST(len(w.w) AS DOUBLE)) * 0.5
+         |           + least(CAST(len(w.w) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality
+         |         FROM documents d JOIN w ON d.doc_id = w.doc_id),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |               CAST(sum(n_tokens) OVER (PARTITION BY source
+         |                 ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_weight
+         |        FROM base)
+         |SELECT doc_id, source, n_tokens, cum_weight
+         |FROM cum WHERE cum_weight <= 800 ORDER BY doc_id""".stripMargin,
 
     "q27_ann_lsh" -> annTop5Sql,
 

@@ -348,6 +348,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.forall { case (_, s) => s > 0 && s <= 2.0 / 61 + 1e-9 })
   }
 
+  // ------------------------------------------------------------- bigram LM
+
+  test("bigramNll: hand-computed Laplace bigram scores; short docs excluded") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b)(b,a)(a,b)
+      (2L, "a a"),     // bigram (a,a)
+      (3L, "a"),       // 1 token -> no bigrams -> excluded
+      (4L, "")         // empty -> excluded
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // model: cb(a,b)=2 cb(b,a)=1 cb(a,a)=1; c1(a)=3 c1(b)=1; V=2
+    // p(b|a)=(2+1)/(3+2)=0.6  p(a|b)=(1+1)/(1+2)=2/3  p(a|a)=(1+1)/(3+2)=0.4
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = r9(-math.log(3.0 / 5.0)); val ba = r9(-math.log(2.0 / 3.0))
+    val aa = r9(-math.log(2.0 / 5.0))
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, r6((ab + ba + ab) / 3))))
+    assert(out(2L) == ((1L, r6(aa))))
+  }
+
   // --------------------------------------------------------- robust outliers
 
   test("robustOutliers flags the injected spike and nothing else") {

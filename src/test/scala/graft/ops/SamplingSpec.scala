@@ -194,6 +194,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ token budget fill
+
+  test("tokenBudgetSelect: greedy per-domain prefix, inclusive boundary, ties total") {
+    import spark.implicits._
+    // domain A by score desc, id asc: (1,300)(2,300)(3,300)(4,100) —
+    // budget 600 keeps exactly {1,2}; 3 overflows and, the sum being
+    // monotone, the smaller 4 behind it can never re-enter.
+    // domain B: one row at exactly the budget — inclusive, kept.
+    // ties: 5 and 6 share score 0.5; id asc puts 5 first.
+    val df = Seq(
+      ("A", 1L, 300L, 0.9), ("A", 2L, 300L, 0.8), ("A", 3L, 300L, 0.7),
+      ("A", 4L, 100L, 0.6),
+      ("B", 7L, 600L, 0.9),
+      ("C", 5L, 400L, 0.5), ("C", 6L, 400L, 0.5)
+    ).toDF("domain", "id", "w", "score")
+    val out = Sampling.tokenBudgetSelect(df, "domain", "w", "score", "id", 600L)
+      .select("id", "cum_weight").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 300L, 2L -> 600L, 7L -> 600L, 5L -> 400L))
+  }
+
   // ----------------------------------------------------- empty-input guards
 
   test("mixtureResample/temperatureResample: clear error on empty input") {

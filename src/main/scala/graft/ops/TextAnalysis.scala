@@ -248,4 +248,53 @@ object TextAnalysis {
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
+
+  /** CROSS-document duplicated-span coverage — the `dup_frac` signal of
+    * the RefinedWeb/Dolma curation recipes: for each document, the
+    * fraction of its tokens covered by at least one k-token span that
+    * also occurs in ANOTHER document (within-doc repeats don't count —
+    * [[repetitionSignals]] carries those). Boilerplate, mirrored pages
+    * and templated text light this up; exact-duplicate docs score 1.0.
+    *
+    * Scale shape: the positioned k-gram relation is corpus-token-
+    * proportional (ONE row per position, never ×k); duplicated grams
+    * come from a grouped distinct-doc count (map-side combined); and
+    * coverage is computed by MERGED-INTERVAL arithmetic — a per-doc
+    * window over the doc's duplicated spans ordered by start position,
+    * where each span contributes `max(0, end − max(prevMaxEnd, start−1))`
+    * new covered tokens. That keeps the whole computation free of the
+    * naive ×k position explosion at every stage. Integer arithmetic
+    * end-to-end until the final 6-decimal ratio.
+    */
+  def dupSpanCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    val grams = base.filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(k))))).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("i"), col("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("gram"))
+    val prevEnd = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.join(dupGrams, "gram")
+      .select(col(idCol), col("i"), (col("i") + (k - 1)).as("e"))
+      .withColumn("newCov", greatest(lit(0L),
+        col("e") - greatest(coalesce(max(col("e")).over(prevEnd), lit(0L)),
+          col("i") - 1)))
+      .groupBy(col(idCol)).agg(sum(col("newCov")).as("dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
 }

@@ -128,6 +128,19 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-span coverage
+    * ([[graft.ops.TextAnalysis.dupSpanCoverage]]): per-doc fraction of
+    * tokens covered by 5-token spans that also occur in another
+    * document — the RefinedWeb/Dolma `dup_frac` curation signal, next
+    * to q79's within-document repetition. Coverage is merged-interval
+    * arithmetic (no ×k position blowup); integers until the final
+    * 6-decimal ratio, so the oracle reproduces it exactly.
+    */
+  private val q133: Q = (s, dir) =>
+    TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)
+      .orderBy("doc_id")
+
   /** Brute-force cosine top-10 around vec_id 0 — the exact ANN baseline. */
   private val q26: Q = (s, dir) =>
     Similarity.knnBrute(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -745,6 +758,7 @@ object ExtQueries {
     "q129_two_tier_multiprobe" -> q129,
     "q130_quant_ingest" -> q130,
     "q132_token_budget" -> q132,
+    "q133_dup_span_frac" -> q133,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -989,6 +1003,32 @@ object ExtQueries {
          |        FROM base)
          |SELECT doc_id, source, n_tokens, cum_weight
          |FROM cum WHERE cum_weight <= 800 ORDER BY doc_id""".stripMargin,
+
+    // duplicated-span coverage replayed relationally: positioned
+    // 5-grams, cross-doc df >= 2, merged-interval window coverage —
+    // the same max(0, e - max(prevMaxEnd, i-1)) arithmetic
+    "q133_dup_span_frac" ->
+      s"""WITH $tokensCte,
+         |g AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+         |      FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         |      WHERE len(w) >= 5),
+         |dfq AS (SELECT gram FROM g GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT g.doc_id, g.i, g.i + 4 AS e FROM g JOIN dfq USING (gram)),
+         |cov AS (SELECT doc_id, i, e,
+         |               max(e) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+         |        FROM dup),
+         |agg AS (SELECT doc_id,
+         |               sum(greatest(0, e - greatest(COALESCE(prevmax, 0), i - 1))) AS dup_tokens
+         |        FROM cov GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       round(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE)
+         |             / CAST(len(w.w) AS DOUBLE), 6) AS dup_frac
+         |FROM w LEFT JOIN agg USING (doc_id)
+         |WHERE len(w.w) >= 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q27_ann_lsh" -> annTop5Sql,
 

@@ -27,6 +27,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("dupSpanCoverage: merged overlaps, cross-doc only, short docs zero") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // "a b c" (shared w/ 2), "c d e" (shared w/ 3)
+      (2L, "a b c x y"),       // "a b c" only
+      (3L, "z c d e q"),       // "c d e" only
+      (4L, "q q"),             // shorter than k -> no grams
+      (5L, "m n o p m n o")    // "m n o" repeats WITHIN the doc only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: spans [1,3] and [3,5] merge to 5 covered tokens (position 3
+    // counted ONCE) -> frac 1.0 — the merged-interval arithmetic's point
+    assert(out(1L) == ((5L, 1.0)))
+    assert(out(2L) == ((3L, 0.6)))
+    assert(out(3L) == ((3L, 0.6)))
+    assert(out(4L) == ((0L, 0.0)))
+    // within-doc repetition is NOT cross-doc duplication
+    assert(out(5L) == ((0L, 0.0)))
+  }
+
   test("langId: marker argmax with alphabetical tie-break, und for no hits") {
     val df = Seq((1L, "the cat and dog"), (2L, "el gato la casa"),
       (3L, "zzz qqq"), (4L, "la la la")).toDF("id", "text")

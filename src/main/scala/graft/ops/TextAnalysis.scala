@@ -269,15 +269,21 @@ object TextAnalysis {
   def dupSpanCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the gram relation feeds BOTH the df aggregate and the coverage
+    // join; base feeds the grams and the final length join — pin both
+    // so the corpus is tokenized once, not once per consumer (released
+    // on completion, the CacheLifecycle contract)
     val base = df
       .select(col(idCol), tokens(col(textCol)).as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .filter(col("n_tokens") >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.filter(size(col("w")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), size(col("w")) - (k - 1)),
         i => concat_ws(" ", slice(col("w"), i, lit(k))))).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("i"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = grams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("gdf"))
       .filter(col("gdf") >= 2)
@@ -290,11 +296,12 @@ object TextAnalysis {
         col("e") - greatest(coalesce(max(col("e")).over(prevEnd), lit(0L)),
           col("i") - 1)))
       .groupBy(col(idCol)).agg(sum(col("newCov")).as("dup_tokens"))
-    base.select(col(idCol), col("n_tokens"))
+    val result = base.select(col(idCol), col("n_tokens"))
       .join(cov, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_frac"))
+    CacheLifecycle.resolveAndRelease(result, base, grams)
   }
 }

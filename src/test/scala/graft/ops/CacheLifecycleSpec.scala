@@ -67,7 +67,8 @@ class CacheLifecycleSpec extends SparkSpec {
   for (q <- Seq("q21_minhash_neardup", "q57_dup_clusters", "q67_share_of_total",
       "q82_kmeans", "q84_curation_gate", "q92_ngram_jaccard", "q95_bm25",
       "q97_pagerank", "q106_ngram_containment", "q109_cross_dedup",
-      "q113_incremental_index", "q114_curation_pipeline", "q115_semdedup")) {
+      "q113_incremental_index", "q114_curation_pipeline", "q115_semdedup",
+      "q131_bigram_lm", "q133_dup_span_frac")) {
     test(s"$q: pins released, no block accumulation across runs") {
       spark.catalog.clearCache() // known-clean CacheManager baseline
       val before = persistedIds

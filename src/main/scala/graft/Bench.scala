@@ -70,10 +70,13 @@ object Bench {
       // a prior recorded at a DIFFERENT scale factor is not a baseline —
       // comparing sf0.1 runs against a local sf0.01 artifact (or vice
       // versa) would flag everything and burn the adjudication budget
-      if (start < 0 || !text.contains(s""""sf":"$sfDir"""")) Map.empty
+      // a truncated artifact can contain `"queries":{` with no closing
+      // brace — indexOf returns -1 and substring would throw, crashing
+      // the bench; the contract is "unparseable → no prior", so guard it
+      val end = text.indexOf('}', start)
+      if (start < 0 || end < 0 || !text.contains(s""""sf":"$sfDir"""")) Map.empty
       else {
-        val body = text.substring(start + "\"queries\":{".length,
-          text.indexOf('}', start))
+        val body = text.substring(start + "\"queries\":{".length, end)
         body.split(',').iterator.flatMap { kv =>
           kv.split(':') match {
             case Array(k, v) =>
@@ -83,7 +86,7 @@ object Bench {
           }
         }.toMap
       }
-    } catch { case _: java.io.IOException => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

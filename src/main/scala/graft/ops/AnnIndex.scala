@@ -204,9 +204,11 @@ object AnnIndex {
 
   /** The shared quantized ranking tail: query quantized driver-side
     * with the same max-abs scheme, integer dot products exact in any
-    * engine, 6-decimal round + (sim desc, id) tie-break.
+    * engine, 6-decimal round + (sim desc, id) tie-break. `private[ops]`
+    * so [[IvfIndex.probeQuantized]] ranks its cell-pruned scan with the
+    * exact same semantics (one implementation, two layouts).
     */
-  private def rankQuantized(spark: SparkSession, base: DataFrame,
+  private[ops] def rankQuantized(spark: SparkSession, base: DataFrame,
       idCol: String, queryVec: Array[Double], k: Int,
       excludeId: Option[Long]): DataFrame = {
     GraftFunctions.register(spark)
@@ -276,16 +278,26 @@ object AnnIndex {
       .map(_.getPath)
       .filter(d => partFiles(d).length > maxFilesPerBucket)
       .sortBy(_.getName)
-    over.foreach { dir =>
-      // the leaf dir reads WITHOUT the partition column (it lives in the
-      // dir name, exactly like the dynamic-partition writer lays files
-      // out), so the rewritten file drops straight back into place
-      val tmp = new Path(root, s".compact_tmp_${dir.getName}")
-      spark.read.parquet(dir.toString).coalesce(1)
+    if (over.nonEmpty) {
+      // ONE job rewrites every flagged bucket: read just the flagged
+      // leaf dirs (basePath keeps the partition column), shuffle by the
+      // partition column so one task owns whole buckets (ONE file per
+      // bucket dir — the [[store]] write shape), land in a dot-prefixed
+      // tmp the data scan can't see, then swap per bucket. A
+      // per-bucket-sequential rewrite would be driver-bound at hundreds
+      // of flagged buckets (q118's post-ingest pass flags ~256) — the
+      // distributed single job is what a real OPTIMIZE runs.
+      val tmp = new Path(root, ".compact_tmp")
+      spark.read.option("basePath", path)
+        .parquet(over.map(_.toString).toIndexedSeq: _*)
+        .repartition(col("bucket"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmp.toString)
-      partFiles(dir).foreach(f => fs.delete(f.getPath, false))
-      partFiles(tmp).foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        .partitionBy("bucket").parquet(tmp.toString)
+      over.foreach { dir =>
+        partFiles(dir).foreach(f => fs.delete(f.getPath, false))
+        partFiles(new Path(tmp, dir.getName)).foreach(f =>
+          fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+      }
       fs.delete(tmp, true)
     }
     over.map(_.getName.stripPrefix("bucket=")).toSeq

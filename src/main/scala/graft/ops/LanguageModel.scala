@@ -2,65 +2,95 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Corpus-trained n-gram language-model scoring — the perplexity-style
   * quality filter of the CCNet/Gopher/Llama lineage: score every
   * document by how surprising its token sequence is under a model
-  * trained on the corpus itself, then gate or stratify on the score
+  * trained on a reference corpus, then gate or stratify on the score
   * (boilerplate and gibberish land in the tails; [[TextAnalysis
   * .tokenEntropy]] is the cheaper within-document proxy, this is the
   * cross-document one).
   *
-  * Model: bigram with add-one (Laplace) smoothing, trained on the SAME
-  * relation it scores — `p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V)`
-  * where `c1(w1) = Σ_w2 c(w1,w2)` (the history count, so the smoothed
+  * Model: bigram with add-one (Laplace) smoothing —
+  * `p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V)` where
+  * `c1(w1) = Σ_w2 c(w1,w2)` (the history count, so the smoothed
   * conditional sums to 1 over the V-word vocabulary) and V is the
-  * corpus distinct-token count. The score is the mean negative
+  * TRAINING corpus distinct-token count. The score is the mean negative
   * log-likelihood over a document's bigrams, in nats — monotone in
   * pseudo-perplexity (`ppl = exp(nll)`), reported as nll so no
-  * cross-engine `exp` is needed.
+  * cross-engine `exp` is needed. Bigrams/histories UNSEEN in training
+  * count as 0 (the left-join coalesce below) — that is what the +1/+V
+  * smoothing exists for, and what makes scoring held-out data
+  * well-defined.
+  *
+  * Two serving shapes:
+  *  - [[bigramNll]]: train and score the SAME relation in one plan —
+  *    the ad-hoc corpus-analysis form (judged as q131);
+  *  - [[writeModel]] / [[scoreAgainst]]: train ONCE, persist the model
+  *    as three tables (`cb`, `c1`, `vocab` — the stored-summaries shape
+  *    of [[Dedup.ShingleIndex]]), score any later batch against the
+  *    FROZEN counts — the production quality gate. Freezing is the
+  *    semantically required maintenance contract (the same argument as
+  *    [[IvfIndex.append]]'s frozen coarse quantizer): retraining per
+  *    batch would silently re-score history — a document's quality
+  *    score must not depend on what arrived after it.
   *
   * Scale shape: the bigram relation is corpus-token-proportional and
-  * built ONCE (pinned, then released via [[CacheLifecycle]]); model
-  * counts are two grouped aggregates over it (map-side combined); the
-  * scoring join keys bigrams on (w1, w2) — an equi-shuffle of
-  * corpus-sized against vocabulary-sized relations, never a cross
-  * product; V rides a 1-row broadcast. Per-doc means follow the BM25
-  * determinism discipline: per-bigram contributions rounded to 9
-  * decimals and summed as DECIMAL (exact, order-invariant), the mean
-  * rounded to 6.
+  * built ONCE per train/score side (pinned, then released via
+  * [[CacheLifecycle]]); model counts are two grouped aggregates over it
+  * (map-side combined); the scoring join keys bigrams on (w1, w2) — an
+  * equi-shuffle of batch-sized against vocabulary-sized relations,
+  * never a cross product; V rides a 1-row broadcast. Per-doc means
+  * follow the BM25 determinism discipline: per-bigram contributions
+  * rounded to 9 decimals and summed as DECIMAL (exact,
+  * order-invariant), the mean rounded to 6.
   */
 object LanguageModel {
 
-  /** (id, n_bigrams, nll): mean bigram negative log-likelihood per
-    * document under the corpus-trained Laplace bigram model. Documents
-    * with fewer than 2 tokens have no bigrams and are excluded (the
-    * oracle's `len(w) >= 2` mirrors it).
+  /** Whitespace tokens of `textCol`, lowercased, empties dropped —
+    * the tokenizer every relation here shares.
     */
-  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = filter(split(lower(col(textCol)), " "), x => x =!= "")
-    val bg = docs
-      .select(col(idCol), w.as("w"))
+  private def words(textCol: String) =
+    filter(split(lower(col(textCol)), " "), x => x =!= "")
+
+  /** (id, w1, w2): one row per bigram occurrence. Documents with fewer
+    * than 2 tokens have no bigrams and are excluded (the oracle's
+    * `len(w) >= 2` mirrors it).
+    */
+  private def bigramTable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), words(textCol).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col(idCol), explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    // vocabulary over ALL tokens (doc-final ones included) — V is the
-    // smoothing denominator's event count, not a history count
-    val vocab = docs
-      .select(explode(w).as("tok"))
+
+  /** The 1-row training-vocabulary count: V is the smoothing
+    * denominator's event count over ALL tokens (doc-final ones
+    * included), not a history count.
+    */
+  private def vocabCount(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(textCol)).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
+
+  /** The shared scoring tail: per-bigram Laplace contributions against
+    * (cb, c1, vocab), folded to per-doc means. LEFT joins with
+    * coalesce-to-0 so bigrams/histories unseen in training score at
+    * the smoothed floor — for a self-trained corpus every count ≥ 1,
+    * so this is exactly the inner-join semantics q131 pinned.
+    */
+  private def scoreBigrams(bg: DataFrame, cb: DataFrame, c1: DataFrame,
+      vocab: DataFrame, idCol: String): DataFrame = {
     val contrib = -log(
-      (col("cb") + lit(1)).cast("double") /
-        (col("c1") + col("v")).cast("double"))
-    val scored = bg
-      .join(cb.join(c1, "w1"), Seq("w1", "w2"))
+      (coalesce(col("cb"), lit(0L)) + lit(1)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+    bg
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         round(contrib, 9).cast(DecimalType(28, 10)).as("c"))
@@ -68,6 +98,55 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("c")).cast("double") /
           count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
+  /** (id, n_bigrams, nll): mean bigram negative log-likelihood per
+    * document under the corpus-trained Laplace bigram model — train
+    * and score fused over one relation (the q131 form).
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = scoreBigrams(bg, cb, c1, vocabCount(docs, textCol), idCol)
     CacheLifecycle.resolveAndRelease(scored, bg)
   }
+
+  /** Train on `docs` and PERSIST the model under `path`: `cb/`
+    * (w1, w2, cb), `c1/` (w1, c1), `vocab/` (v — 1 row). One tokenize
+    * of the training corpus feeds both count tables (pinned, then
+    * released); the stored relations are vocabulary-proportional —
+    * at 100 TB of text that is the bigram type table, not the corpus.
+    */
+  def writeModel(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val bg = bigramTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .write.mode(mode).parquet(s"$path/cb")
+      bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .write.mode(mode).parquet(s"$path/c1")
+      vocabCount(docs, textCol).coalesce(1)
+        .write.mode(mode).parquet(s"$path/vocab")
+    } finally { bg.unpersist(); () }
+  }
+
+  /** Score `batch` against the FROZEN model stored at `modelPath` —
+    * the production quality gate: (id, n_bigrams, nll) with the exact
+    * [[bigramNll]] arithmetic, unseen bigrams/histories at the Laplace
+    * floor, V fixed at training time. Scoring cost is one tokenize of
+    * the BATCH plus equi-joins against the stored count tables; the
+    * model is never recomputed (`LanguageModelSpec` pins
+    * train-on-A/score-on-A ≡ [[bigramNll]] and the held-out closed
+    * form; q135 judges a held-out slice against the stored counts).
+    */
+  def scoreAgainst(spark: SparkSession, modelPath: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scoreBigrams(bigramTable(batch, idCol, textCol),
+      spark.read.parquet(s"$modelPath/cb"),
+      spark.read.parquet(s"$modelPath/c1"),
+      spark.read.parquet(s"$modelPath/vocab"), idCol)
 }

@@ -242,16 +242,57 @@ object Sampling {
     * greedy prefix whose cumulative `weightCol` stays within `budget`.
     * This is how a mixture spec like "≤ N tokens of domain X, best
     * quality first" is materialized; fraction/count-based sampling
-    * can't express it because document lengths vary. The running sum is
-    * a window partitioned by domain — state is one domain's rows, never
-    * the corpus (a skewed giant domain is the `Skew` salting case).
-    * `cum_weight` is the INCLUSIVE prefix sum, so a row is kept iff it
-    * fits entirely — deterministic, order-independent, replayable.
+    * can't express it because document lengths vary. `cum_weight` is
+    * the INCLUSIVE prefix sum, so a row is kept iff it fits entirely —
+    * deterministic, order-independent, replayable.
+    *
+    * The per-domain running sum is a DISTRIBUTED PREFIX SUM, not a
+    * plain `Window.partitionBy(domain)` — that window puts an entire
+    * domain's rows into ONE task, and a realistic pretraining mixture
+    * is domain-skewed (one web domain can be most of the corpus), so at
+    * 100 TB it is a single-task sort of terabytes. Same shape as
+    * [[SequencePacking.packSequences]], keyed on the ORDER VALUE:
+    *   1. bucket by `floor(orderCol / orderBucketWidth)` — a
+    *      deterministic, monotone-in-`orderCol` bucketing, so bucket
+    *      order (desc) is consistent with the (orderCol desc) sort and
+    *      rows tied on `orderCol` always share a bucket (the `tieCol`
+    *      order never straddles buckets);
+    *   2. per-(domain, bucket) inclusive running sums in parallel;
+    *   3. per-(domain, bucket) totals — |buckets| rows per domain —
+    *      get their own prefix via a window partitioned by DOMAIN over
+    *      that tiny relation alone, then broadcast-join back.
+    * Cost: one keyed shuffle + a broadcast of the bucket-summary rows;
+    * no task ever holds more than one (domain, score-bucket) slice.
+    * The result is IDENTICAL for every positive `orderBucketWidth`
+    * (the cumsum is a property of the total order, not the bucketing —
+    * `SamplingSpec` pins the invariance); pick it so a domain's score
+    * range splits into ~10³ buckets at the target scale. Degenerate
+    * case: a domain where ALL rows tie on `orderCol` collapses to one
+    * bucket — a constant score column carries no order to parallelize
+    * over; budget-select on a real-valued quality signal.
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, weightCol: String,
-      orderCol: String, tieCol: String, budget: Long): DataFrame =
-    df.withColumn("cum_weight",
-        sum(col(weightCol)).over(Window.partitionBy(col(groupCol))
-          .orderBy(col(orderCol).desc, col(tieCol).asc)))
+      orderCol: String, tieCol: String, budget: Long,
+      orderBucketWidth: Double = 0.05): DataFrame = {
+    require(orderBucketWidth > 0, "orderBucketWidth must be positive")
+    val base = df.withColumn("__ob",
+      floor(col(orderCol).cast("double") / lit(orderBucketWidth)).cast("long"))
+    val wIn = Window.partitionBy(col(groupCol), col("__ob"))
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__local_cum", sum(col(weightCol)).over(wIn))
+    // one row per (domain, bucket); the prefix window below partitions
+    // by DOMAIN over this summary relation only, never the corpus
+    val wTot = Window.partitionBy(col(groupCol)).orderBy(col("__ob").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy(col(groupCol), col("__ob"))
+      .agg(sum(col(weightCol)).as("__btot"))
+      .withColumn("__bucket_prefix",
+        coalesce(sum(col("__btot")).over(wTot), lit(0L)))
+      .select(col(groupCol), col("__ob"), col("__bucket_prefix"))
+    local.join(broadcast(prefixes), Seq(groupCol, "__ob"))
+      .withColumn("cum_weight", col("__bucket_prefix") + col("__local_cum"))
       .filter(col("cum_weight") <= budget)
+      .drop("__ob", "__local_cum", "__bucket_prefix")
+  }
 }

@@ -71,6 +71,15 @@ object Similarity {
     // the oracles' dot(v,v) > 0 predicate): filtering on the derived
     // `nrm` gets pushed below the projection by substitution and
     // re-evaluates the whole norm chain per row (A/B-measured ~1.5×).
+    // Caveat to the ⇔: for SUBNORMAL components (|x| < ~1.5e-162) x·x
+    // underflows to 0, so dot(v,v) = 0 while exists(x ≠ 0) holds —
+    // Spark would then keep a NULL-sim row the oracle's dot(v,v) > 0
+    // drops, visible only when the candidate pool is smaller than k.
+    // Embeddings are O(1)-magnitude by construction (any trained model,
+    // and the generated testdata), so the raw-column guard is kept for
+    // its measured pushdown win; same caveat applies at every
+    // exists-guard site ([[Quantize.topKQuantized]],
+    // [[AnnIndex.probeTwoTier]], [[annQuery]]).
     embeddings
       .filter(col(idCol) =!= queryId && exists(col(vecCol), x => x =!= 0.0))
       .select(col(idCol), toDoubleVec(col(vecCol)).as("v"))

@@ -112,6 +112,50 @@ object CorpusQueries {
     LanguageModel.bigramNll(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Held-out scoring against a STORED bigram model
+    * ([[LanguageModel.writeModel]] / [[LanguageModel.scoreAgainst]]):
+    * the model is trained once on the doc_id % 4 ≠ 3 slice and
+    * persisted (cb/c1/vocab tables); the % 4 = 3 slice is scored
+    * against the FROZEN counts — the production quality gate, where
+    * unseen bigrams/histories land at the Laplace floor and V is fixed
+    * at training time. The oracle recomputes the same frozen counts
+    * from the train slice and left-joins the held-out bigrams. Model
+    * built once per (pid, dir) — benched iterations measure SCORING,
+    * which is the gate's steady-state cost.
+    */
+  private val lmModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(lmModels)
+  private val q135: Q = (s, dir) => {
+    val path = lmModels.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm_model_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      LanguageModel.writeModel(
+        t(s, dir, "documents").filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", p)
+      p
+    })
+    LanguageModel.scoreAgainst(s, path,
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The cached per-(pid, dir) model dirs live under java.io.tmpdir —
+    * reclaim them at JVM exit (the [[ExtQueries]] index-cache pattern).
+    */
+  private def rmTreeAtExit(m: java.util.concurrent.ConcurrentHashMap[String, String]): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles match {
+          case null => ()
+          case kids => kids.foreach(rm)
+        }
+        f.delete(); ()
+      }
+      m.values().forEach(p => rm(new java.io.File(p)))
+    }))
+
   /** Robust outlier detection ([[Outliers.robustOutliers]]): events
     * whose value sits > 3 MAD-σ from its event-type median — the
     * data-quality gate. Median/MAD round to 6 before the z computation
@@ -463,6 +507,7 @@ object CorpusQueries {
     "q104_exact_k_sample" -> q104,
     "q127_hybrid_rrf" -> q127,
     "q131_bigram_lm" -> q131,
+    "q135_bigram_score_heldout" -> q135,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -900,6 +945,33 @@ object CorpusQueries {
          |                                 / CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
          |                       AS DECIMAL(28,10)) AS c
          |           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the train/score split replayed relationally: frozen counts and V
+    // from the doc_id % 4 <> 3 slice, held-out bigrams LEFT-joined so
+    // unseen bigrams/histories hit the Laplace floor (COALESCE 0) —
+    // q131's arithmetic against a model the scored rows never touched
+    "q135_bigram_score_heldout" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |train AS (SELECT doc_id, w FROM w WHERE doc_id % 4 <> 3),
+         |tbg AS (SELECT w[i] AS w1, w[i+1] AS w2
+         |        FROM train, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |        WHERE len(w) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM tbg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT u.t) AS v
+         |          FROM train, UNNEST(train.w) AS u(t)),
+         |sbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |        FROM w, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |        WHERE doc_id % 4 = 3 AND len(w) >= 2),
+         |scored AS (SELECT sbg.doc_id,
+         |                  CAST(round(-ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+         |                                 / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE)), 9)
+         |                       AS DECIMAL(28,10)) AS c
+         |           FROM sbg LEFT JOIN cb USING (w1, w2)
+         |                    LEFT JOIN c1 USING (w1), vocab)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,

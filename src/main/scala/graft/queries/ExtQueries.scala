@@ -115,7 +115,10 @@ object ExtQueries {
     * which count/fraction sampling cannot express because document
     * lengths vary. Ranking is (q23's quality score desc, doc_id) — a
     * total order both engines compute bit-identically; the running sum
-    * is a per-domain window (state = one domain's rows).
+    * is the bucketed two-phase DISTRIBUTED prefix sum (quality ∈ [0,1]
+    * splits into ~21 width-0.05 score buckets per domain — no task ever
+    * holds a whole domain; the result is width-invariant, SamplingSpec
+    * pins it, and the oracle stays the plain windowed form).
     */
   private val q132: Q = (s, dir) => {
     val d = t(s, dir, "documents")
@@ -123,7 +126,8 @@ object ExtQueries {
         d.select(col("doc_id"), col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
           TextAnalysis.qualityScore(col("text")).as("quality")),
-        "source", "n_tokens", "quality", "doc_id", budget = 800L)
+        "source", "n_tokens", "quality", "doc_id", budget = 800L,
+        orderBucketWidth = 0.05)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_weight"))
       .orderBy("doc_id")
   }
@@ -275,6 +279,87 @@ object ExtQueries {
         "vec_id", "embedding", p, numCentroids = 8)
       graft.ops.IvfIndex.append(s, emb.filter(col("vec_id") >= 250),
         "vec_id", "embedding", p)
+      p
+    })
+    graft.ops.IvfIndex.probe(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
+  /** The quantized IVF layout ([[graft.ops.IvfIndex.writeQuantized]]):
+    * cell-PARTITIONED and int8-STORED at once — q125's partition
+    * pruning × q119's 4×-smaller scan, the cell-side counterpart of
+    * q122 and the cheapest-bytes probe the IVF family offers. Cells
+    * are assigned on the float vector (frozen geometry — candidate
+    * membership is exactly q125's), storage is `array<tinyint>` +
+    * scale + precomputed qnrm; the probe ranks by quantized cosine
+    * (exact integer dot products cross-engine). Oracle = q125's cell
+    * CTEs composed with q122's quantization CTEs, both halves already
+    * pinned. Built once per (pid, dir).
+    */
+  private val ivfQuantIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfQuantIndexes)
+  private def ivfQuantIndexPath(s: SparkSession, dir: String): String =
+    ivfQuantIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_quant_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.writeQuantized(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numCentroids = 8)
+      p
+    })
+  private val q134: Q = (s, dir) =>
+    graft.ops.IvfIndex.probeQuantized(s, ivfQuantIndexPath(s, dir),
+      "vec_id", queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+
+  /** Quantized-IVF ingest replay ([[graft.ops.IvfIndex
+    * .appendQuantized]]): built from the first half (which contains the
+    * 8 seed ids, so the frozen quantizer equals the full-corpus one),
+    * second half folded in against the STORED centroids — q128's
+    * frozen-quantizer argument over the int8 storage form. Judged
+    * against q134's oracle VERBATIM. Built once per (pid, dir).
+    */
+  private val ivfQuantIngestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfQuantIngestIndexes)
+  private val q137: Q = (s, dir) => {
+    val path = ivfQuantIngestIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_qing_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfIndex.writeQuantized(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", p, numCentroids = 8)
+      graft.ops.IvfIndex.appendQuantized(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", p)
+      p
+    })
+    graft.ops.IvfIndex.probeQuantized(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
+  /** IVF REBUILD ([[graft.ops.IvfIndex.rebuild]]): the index is built
+    * the way long-running ingest leaves it (first half written, second
+    * half appended against the frozen quantizer — q128's replay), then
+    * the coarse quantizer is RECOMPUTED over the full at-rest corpus
+    * and the layout atomically swapped — the refresh operator that
+    * remediates cell-balance drift. Because the quantizer seeds
+    * deterministically (lowest-8 ids), rebuild-after-appends ≡
+    * fresh-write on the union corpus exactly: judged against q37's
+    * oracle VERBATIM — a refresh can change layout, never answers.
+    * Built once per (pid, dir).
+    */
+  private val ivfRebuiltIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfRebuiltIndexes)
+  private val q136: Q = (s, dir) => {
+    val path = ivfRebuiltIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_rebuild_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfIndex.write(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", p, numCentroids = 8)
+      graft.ops.IvfIndex.append(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", p)
+      graft.ops.IvfIndex.rebuild(s, p, "vec_id", numCentroids = 8)
       p
     })
     graft.ops.IvfIndex.probe(s, path, "vec_id",
@@ -759,6 +844,9 @@ object ExtQueries {
     "q130_quant_ingest" -> q130,
     "q132_token_budget" -> q132,
     "q133_dup_span_frac" -> q133,
+    "q134_ivf_quant_probe" -> q134,
+    "q136_ivf_rebuild" -> q136,
+    "q137_ivf_quant_ingest" -> q137,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -869,6 +957,36 @@ object ExtQueries {
        |FROM assign a JOIN probe p ON a.cell = p.cell, q
        |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** q134's oracle — shared verbatim by q137: the quantized IVF probe.
+    * Cell assignment and the nprobe-2 cell cut run on the FLOAT
+    * geometry (q125's CTEs — cells are frozen at the exact answer the
+    * float index gives), the ranking on the int8 form (q119's scheme);
+    * the composition cannot depend on how the index files got there.
+    */
+  private[queries] lazy val ivfQuantTop5Sql: String =
+    s"""WITH $quantCtes,
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT en.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
+       |                      c.cid) AS rn
+       |    FROM en, c)
+       |  WHERE rn = 1),
+       |qf AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid AS cell FROM c, qf
+       |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+       |  LIMIT 2),
+       |qq AS (SELECT qv AS pqv FROM s WHERE vec_id = 0)
+       |SELECT s.vec_id, ${cosSql("s.qv", "qq.pqv")} AS sim
+       |FROM assign a JOIN probe p ON a.cell = p.cell
+       |  JOIN s ON s.vec_id = a.vec_id, qq
+       |WHERE s.vec_id <> 0 AND list_dot_product(s.qv, s.qv) > 0
+       |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
 
   /** q122's oracle — shared verbatim by q130: bucket membership from
     * the FLOAT vector (q27's geometry), ranking from the int8 form
@@ -1260,6 +1378,20 @@ object ExtQueries {
     // either (the build half contains the seed ids, so the frozen
     // centroids equal the full-corpus ones): same oracle, third plan
     "q128_ivf_ingest" -> ivfTop5Sql,
+
+    // ... and a REBUILD (recompute quantizer over the grown corpus,
+    // swap the layout) reproduces the fresh build exactly — same
+    // oracle, fourth plan: refresh changes layout, never answers
+    "q136_ivf_rebuild" -> ivfTop5Sql,
+
+    // the quantized IVF layout: cell membership and the nprobe cut
+    // from the FLOAT geometry (q125's CTEs), ranking from the int8
+    // form (q119's scheme) — both halves already pinned, composed here
+    "q134_ivf_quant_probe" -> ivfQuantTop5Sql,
+
+    // ... and the frozen-quantizer int8 ingest path is layout-only
+    // too: same oracle, append-fragmented judged plan
+    "q137_ivf_quant_ingest" -> ivfQuantTop5Sql,
 
     "q78_decontamination" ->
       s"""WITH $tokensCte,

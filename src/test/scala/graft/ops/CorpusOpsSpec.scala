@@ -370,6 +370,69 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, r6(aa))))
   }
 
+  test("writeModel/scoreAgainst: frozen model, closed-form held-out Laplace scores") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_spec_model"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    // train on A: "a b a" + "b a" -> cb(a,b)=1 cb(b,a)=2; c1(a)=1
+    // c1(b)=2; V = |{a,b}| = 2
+    val train = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    LanguageModel.writeModel(train, "doc_id", "text", path)
+    // the stored model is exactly the frozen counts
+    val cb = spark.read.parquet(s"$path/cb")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cb == Map(("a", "b") -> 1L, ("b", "a") -> 2L))
+    val c1 = spark.read.parquet(s"$path/c1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == Map("a" -> 1L, "b" -> 2L))
+    assert(spark.read.parquet(s"$path/vocab").head().getLong(0) == 2L)
+    // score held-out B = "a b c": (a,b) seen -> (1+1)/(1+2);
+    // (b,c) unseen bigram, seen history -> (0+1)/(2+2); the OOV token c
+    // does NOT grow V (frozen at training time)
+    val heldOut = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreAgainst(spark, path, heldOut, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r6((r9(-math.log(2.0 / 3.0)) + r9(-math.log(1.0 / 4.0))) / 2)
+    assert(got == Map(7L -> ((2L, expected))))
+    // fully-unseen history: (c,d) -> (0+1)/(0+2)
+    val got2 = LanguageModel.scoreAgainst(spark, path,
+        Seq((8L, "c d")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got2 == Map(8L -> r6(r9(-math.log(1.0 / 2.0)))))
+    rm(new java.io.File(path))
+  }
+
+  test("scoreAgainst(model trained on X) over X == bigramNll(X): the split changes nothing when self-scored") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_spec_self"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    LanguageModel.writeModel(docs, "doc_id", "text", path)
+    val split = LanguageModel.scoreAgainst(spark, path, docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val fused = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(split == fused)
+    assert(split.nonEmpty)
+    rm(new java.io.File(path))
+  }
+
   // --------------------------------------------------------- robust outliers
 
   test("robustOutliers flags the injected spike and nothing else") {

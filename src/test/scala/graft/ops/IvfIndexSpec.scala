@@ -87,6 +87,116 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(p2))
   }
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles match {
+      case null => ()
+      case kids => kids.foreach(rm)
+    }
+    f.delete(); ()
+  }
+
+  test("probeQuantized == in-plan quantized ranking within the probed cells") {
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_spec_quant"
+    rm(new java.io.File(p2))
+    IvfIndex.writeQuantized(emb, "vec_id", "embedding", p2, numCentroids = 8)
+    // storage is int8-only: no float vector column at rest
+    val data = spark.read.parquet(p2)
+    assert(data.columns.sorted.toSeq == Seq("cell", "qnrm", "qv", "scale", "vec_id"))
+    assert(data.count() == emb.count())
+    // cells are the FLOAT assignment — candidate membership is exactly
+    // the float layout's
+    val cellsStored = data.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cellsFloat = spark.read.parquet(path).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cellsStored == cellsFloat)
+    // the probe equals quantized ranking over the same nprobe cells,
+    // computed in-plan from first principles (Quantize.quantize +
+    // the float cell assignment)
+    val probeCells = IvfIndex.probeCellsOf(spark, p2, qvec0, nprobe = 2)
+    val fromIndex = IvfIndex
+      .probeQuantized(spark, p2, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    val assign = IvfIndex.assignmentOf(emb, "vec_id", "embedding", 8)
+      .select(col("vec_id"), concat(lit("c"), col("cell")).as("cell"))
+    val m = qvec0.map(math.abs).max
+    val qq = qvec0.map(x => BigDecimal(x * 127.0 / m)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val qv = typedlit(qq.toSeq)
+    val inPlan = Quantize.quantize(emb, "vec_id", "embedding")
+      .join(assign, "vec_id")
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0L)
+      .withColumn("qd", transform(col("qv"), x => x.cast("double")))
+      .filter(ndot(col("qd"), col("qd")) > 0)
+      .select(col("vec_id"),
+        round(ndot(col("qd"), qv) /
+          (sqrt(ndot(col("qd"), col("qd"))) * sqrt(ndot(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inPlan)
+    assert(fromIndex.nonEmpty)
+    rm(new java.io.File(p2))
+  }
+
+  test("appendQuantized against frozen centroids == writeQuantized-built") {
+    val pW = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_qw"
+    val pA = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_qa"
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+    IvfIndex.writeQuantized(emb, "vec_id", "embedding", pW, numCentroids = 8)
+    IvfIndex.writeQuantized(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", pA, numCentroids = 8)
+    IvfIndex.appendQuantized(spark, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding", pA)
+    def top(p: String) = IvfIndex
+      .probeQuantized(spark, p, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(pA) == top(pW))
+    assert(top(pA).nonEmpty)
+    assert(spark.read.parquet(pA).count() == emb.count())
+    assert(spark.read.parquet(s"$pA/_centroids").count() == 8)
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+  }
+
+  test("rebuild after appends == fresh write on the union corpus") {
+    val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
+    rm(new java.io.File(pR))
+    // ingest history: build on a slice that does NOT contain all seed
+    // ids (vec_id >= 4 only has seeds 4..7), append the rest — the
+    // frozen quantizer is now genuinely different from the fresh one,
+    // so ONLY a rebuild can restore fresh-build equality
+    IvfIndex.write(emb.filter(col("vec_id") >= 4), "vec_id", "embedding",
+      pR, numCentroids = 8)
+    IvfIndex.append(spark, emb.filter(col("vec_id") < 4), "vec_id",
+      "embedding", pR)
+    val frozenCents = spark.read.parquet(s"$pR/_centroids")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(frozenCents == (4L until 12L), "premise: frozen quantizer differs")
+    IvfIndex.rebuild(spark, pR, "vec_id", numCentroids = 8)
+    // the rebuilt quantizer re-seeds from the union corpus (ids 0..7)
+    val rebuiltCents = spark.read.parquet(s"$pR/_centroids")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rebuiltCents == (0L until 8L))
+    def top(p: String) = IvfIndex
+      .probe(spark, p, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(pR) == top(path))
+    assert(top(pR).nonEmpty)
+    // full corpus survives the swap; per-vector cells equal fresh-built
+    assert(spark.read.parquet(pR).count() == emb.count())
+    val a = spark.read.parquet(pR).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = spark.read.parquet(path).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    rm(new java.io.File(pR))
+  }
+
   test("probeCellsOf ranks cells exactly as the in-plan centroid pick") {
     // driver-side round/dot must reproduce the in-plan (qsim desc, cid)
     // order — nprobe = numCentroids makes the FULL ranking observable

@@ -214,6 +214,30 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(1L -> 300L, 2L -> 600L, 7L -> 600L, 5L -> 400L))
   }
 
+  test("tokenBudgetSelect: invariant to orderBucketWidth (the cumsum is a property of the total order)") {
+    import spark.implicits._
+    // skewed mix (one fat domain, one tiny), negative scores, exact
+    // score ties, and a weight-0 row — everything the bucketing must
+    // not disturb
+    val rows =
+      (1 to 200).map(i => ("web", i.toLong, (i % 7).toLong,
+        (i % 13).toDouble / 13.0 - 0.3)) ++
+      Seq(("code", 500L, 120L, 0.9), ("code", 501L, 120L, 0.9),
+        ("code", 502L, 50L, -0.2))
+    val df = rows.toDF("domain", "id", "w", "score")
+    def run(width: Double): Set[(Long, Long)] =
+      Sampling.tokenBudgetSelect(df, "domain", "w", "score", "id", 250L,
+          orderBucketWidth = width)
+        .select("id", "cum_weight").as[(Long, Long)].collect().toSet
+    // 1e9 puts every row in one bucket — the single-window legacy form;
+    // every finer width must reproduce it exactly
+    val anchor = run(1e9)
+    assert(anchor.nonEmpty)
+    Seq(0.01, 0.05, 0.37, 1.0).foreach { w =>
+      assert(run(w) == anchor, s"width $w diverged from the order-defined cumsum")
+    }
+  }
+
   // ----------------------------------------------------- empty-input guards
 
   test("mixtureResample/temperatureResample: clear error on empty input") {

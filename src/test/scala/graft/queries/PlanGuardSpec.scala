@@ -306,6 +306,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"never a global window:\n$p")
   }
 
+  test("q132 token budget: bucketed prefix sum — windows keyed past the domain, no global exchange") {
+    val p = planOf("q132_token_budget")
+    // the corpus-sized running sum must window by (domain, score-bucket),
+    // never by the domain alone (one skewed domain = one task at 100 TB)
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("__ob")),
+      s"the corpus window must partition by (source, __ob):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"never a keyless/global window:\n$p")
+    // the bucket-summary prefix rides back on a broadcast, not a shuffle
+    // of the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (domain, bucket) prefix relation must broadcast:\n$p")
+  }
+
   test("q115 semdedup: pair-side broadcasts onto the assignment, never a corpus shuffle or product") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -458,6 +473,39 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("Filter (") && l.contains("cell")),
       s"cell must never be filtered AFTER the scan:\n$p")
+  }
+
+  test("q134 quantized ivf probe: cell-pruned AND narrow — int8 scan over the nprobe cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_quant_guard"
+    graft.ops.IvfIndex.writeQuantized(emb, "vec_id", "embedding", path,
+      numCentroids = 8)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val cells = graft.ops.IvfIndex.probeCellsOf(spark, path, qvec, nprobe = 2)
+    val p = graft.ops.IvfIndex
+      .probeQuantized(spark, path, "vec_id", qvec, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the nprobe-cell choice must prune partitions, exactly as q125's
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains("cell") && scan.get.contains(" IN (") &&
+      cells.forall(scan.get.contains),
+      s"the nprobe cells must prune partitions (IN over $cells):\n${scan.get}")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter (") && l.contains("cell")),
+      s"cell must never be filtered AFTER the scan:\n$p")
+    // ... and the bytes are the int8 column — no float/double vector
+    // column exists at rest, so none may appear in the scan schema
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(rs.isDefined, s"no ReadSchema in the probe scan:\n$p")
+    assert(rs.get.contains("qv") && rs.get.contains("tinyint"),
+      s"the probe must scan the int8 form:\n${rs.get}")
+    assert(!rs.get.contains("array<float>") && !rs.get.contains("array<double>"),
+      s"no wide vector column may be read (none is even stored):\n${rs.get}")
   }
 
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {

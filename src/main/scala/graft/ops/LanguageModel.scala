@@ -114,10 +114,16 @@ object LanguageModel {
   }
 
   /** Train on `docs` and PERSIST the model under `path`: `cb/`
-    * (w1, w2, cb), `c1/` (w1, c1), `vocab/` (v — 1 row). One tokenize
-    * of the training corpus feeds both count tables (pinned, then
-    * released); the stored relations are vocabulary-proportional —
-    * at 100 TB of text that is the bigram type table, not the corpus.
+    * (w1, w2, cb), `c1/` (w1, c1), `vocab/` (v — 1 row), and `calib/`
+    * (nll_med — 1 row: the 6-decimal-rounded exact median of the
+    * training docs' SELF-scored nll, the gate threshold a production
+    * filter calibrates on its own training distribution rather than
+    * hard-coding; exact `percentile` ≡ DuckDB `quantile_cont` under
+    * the round — the q96 median discipline). One tokenize of the
+    * training corpus feeds the count tables AND the calibration pass
+    * (pinned, then released); the stored relations are
+    * vocabulary-proportional — at 100 TB of text that is the bigram
+    * type table, not the corpus — plus two 1-row scalars.
     */
   def writeModel(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
@@ -125,14 +131,30 @@ object LanguageModel {
     val bg = bigramTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        .write.mode(mode).parquet(s"$path/cb")
-      bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        .write.mode(mode).parquet(s"$path/c1")
-      vocabCount(docs, textCol).coalesce(1)
-        .write.mode(mode).parquet(s"$path/vocab")
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = vocabCount(docs, textCol)
+      cb.write.mode(mode).parquet(s"$path/cb")
+      c1.write.mode(mode).parquet(s"$path/c1")
+      vocab.coalesce(1).write.mode(mode).parquet(s"$path/vocab")
+      scoreBigrams(bg, cb, c1, vocab, idCol)
+        .agg(round(expr("percentile(nll, 0.5)"), 6).as("nll_med"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/calib")
     } finally { bg.unpersist(); () }
   }
+
+  /** [[scoreAgainst]] plus the calibrated KEEP decision — the complete
+    * quality gate: `kept = nll ≤ nll_med` against the threshold frozen
+    * at training time (a batch's gate outcome can never depend on what
+    * else arrived with it). The calibration rides a 1-row broadcast,
+    * everything else is [[scoreAgainst]]'s cost.
+    */
+  def scoreGated(spark: SparkSession, modelPath: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scoreAgainst(spark, modelPath, batch, idCol, textCol)
+      .crossJoin(broadcast(spark.read.parquet(s"$modelPath/calib")))
+      .withColumn("kept", col("nll") <= col("nll_med"))
+      .drop("nll_med")
 
   /** Score `batch` against the FROZEN model stored at `modelPath` —
     * the production quality gate: (id, n_bigrams, nll) with the exact

@@ -440,6 +440,74 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming LM quality gate — q117's maintained-state loop for the
+    * perplexity filter ([[graft.ops.LanguageModel]]): the bigram model
+    * is trained + calibrated ONCE on the doc_id % 4 = 0 slice and
+    * persisted (cb/c1/vocab/calib tables — FROZEN: a gate that retrains
+    * per batch would let a document's quality score depend on what
+    * arrived with it); the remaining corpus then arrives as three
+    * mtime-ordered micro-batches, each scored against the stored counts
+    * and gated at the calibrated self-scored-median threshold inside
+    * `foreachBatch` — the production scoring loop. Judged row-level:
+    * (doc_id, n_bigrams, nll, kept) for every streamed document with
+    * ≥ 2 tokens; the oracle replays the frozen model, the calibration
+    * median, and the held-out left-join scores in one SQL pass.
+    */
+  private val q138: Q = (s, dir) => {
+    import graft.ops.LanguageModel
+    val root = scratchDir("q138")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val modelPath = new java.io.File(root, "model").toString
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 1 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 2000L)
+    }
+    // train + calibrate BEFORE the stream starts — the frozen model
+    LanguageModel.writeModel(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", modelPath)
+    var results = List.empty[DataFrame]
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q138_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q138_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // detach each scored frame from the staged source files
+          // before the finally removes them (q117's pattern)
+          results = LanguageModel
+            .scoreGated(s, modelPath, batch, "doc_id", "text")
+            .localCheckpoint() :: results
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.reduce(_ unionByName _).orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
@@ -448,6 +516,7 @@ object StreamingQueries {
     "q89_stream_archive" -> q89,
     "q117_stream_incr_dedup" -> q117,
     "q118_stream_ann_ingest" -> q118,
+    "q138_stream_lm_gate" -> q138,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -558,5 +627,44 @@ object StreamingQueries {
     // q27's oracle verbatim (via q116): neither the partitioned layout
     // nor the batch-append ingest path can change the top-5 answer
     "q118_stream_ann_ingest" -> ExtQueries.annTop5Sql,
+
+    // the streaming gate replayed in one pass: frozen counts + V from
+    // the doc_id % 4 = 0 train slice, the calibration threshold = the
+    // 6-decimal-rounded exact median of the train docs' SELF-scored
+    // nll, held-out bigrams LEFT-joined (Laplace floor for unseen),
+    // kept = nll <= threshold — micro-batching cannot change any row
+    "q138_stream_lm_gate" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |train AS (SELECT doc_id, w FROM w WHERE doc_id % 4 = 0),
+         |tbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |        FROM train, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |        WHERE len(w) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM tbg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT u.t) AS v
+         |          FROM train, UNNEST(train.w) AS u(t)),
+         |selfs AS (SELECT tbg.doc_id,
+         |                 CAST(round(-ln(CAST(cb.cb + 1 AS DOUBLE)
+         |                                / CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
+         |                      AS DECIMAL(28,10)) AS c
+         |          FROM tbg JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab),
+         |selfnll AS (SELECT doc_id,
+         |                   round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |            FROM selfs GROUP BY doc_id),
+         |calib AS (SELECT round(quantile_cont(nll, 0.5), 6) AS med FROM selfnll),
+         |sbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |        FROM w, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |        WHERE doc_id % 4 <> 0 AND len(w) >= 2),
+         |scored AS (SELECT sbg.doc_id,
+         |                  CAST(round(-ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+         |                                 / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE)), 9)
+         |                       AS DECIMAL(28,10)) AS c
+         |           FROM sbg LEFT JOIN cb USING (w1, w2)
+         |                    LEFT JOIN c1 USING (w1), vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll,
+         |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |         <= (SELECT med FROM calib) AS kept
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

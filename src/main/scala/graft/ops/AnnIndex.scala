@@ -391,15 +391,28 @@ object AnnIndex {
         k * overfetch, numPlanes, excludeId)
       else probeQuantized(spark, quantPath, idCol, queryVec,
         k * overfetch, numPlanes, excludeId)
-    val cand = tier1.select(col(idCol))
+    rerankExact(primary, idCol, vecCol, tier1.select(col(idCol)), queryVec, k)
+  }
+
+  /** The shared tier-2 exact re-rank: fetch ONLY the candidate ids'
+    * float vectors from the primary table (a broadcast LEFT SEMI
+    * lookup — |candidates| rows against the corpus) and rank by exact
+    * cosine. `private[ops]` so [[IvfIndex.probeTwoTier]] composes the
+    * identical tail over its cell-pruned tier 1 (one implementation,
+    * two candidate layouts). Zero-norm exclusion on the RAW column
+    * (same excluded set as the `nrm > 0` guard every ranked cosine
+    * carries, without the pushed-down norm re-evaluation): tier 1's
+    * qnrm > 0 already implies it while index and primary agree, but a
+    * drifted primary row with an all-zero vector would otherwise rank
+    * as 0/0 — NULL here, NaN-sorts-first in the oracle, the exact
+    * cross-engine flip.
+    */
+  private[ops] def rerankExact(primary: DataFrame, idCol: String,
+      vecCol: String, cand: DataFrame, queryVec: Array[Double],
+      k: Int): DataFrame = {
+    GraftFunctions.register(primary.sparkSession)
     val qv = typedlit(queryVec.toSeq)
     primary
-      // zero-norm exclusion on the RAW column (same excluded set as the
-      // `nrm > 0` guard every other ranked cosine carries, without the
-      // pushed-down norm re-evaluation): tier 1's qnrm > 0 already
-      // implies it while index and primary agree, but a drifted primary
-      // row with an all-zero vector would otherwise rank as 0/0 — NULL
-      // here, NaN-sorts-first in the oracle, the exact cross-engine flip
       .filter(exists(col(vecCol), x => x =!= 0.0))
       .select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
       .join(broadcast(cand), Seq(idCol), "left_semi")

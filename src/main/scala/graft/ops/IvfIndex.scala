@@ -193,6 +193,27 @@ object IvfIndex {
       idCol, queryVec, k, excludeId)
   }
 
+  /** The complete IVF serving path against storage — [[AnnIndex
+    * .probeTwoTier]]'s composition over the CELL-pruned candidate tier:
+    * tier 1 is [[probeQuantized]] (nprobe cells' int8 bytes, no floats
+    * stored) cut to the quantized top-(k·overfetch); tier 2 fetches
+    * ONLY those candidates' float vectors from the primary table and
+    * re-ranks by exact cosine ([[AnnIndex.rerankExact]] — the identical
+    * tail, shared). Per-query read at 100 TB: nprobe/numCentroids of
+    * the corpus in int8 (4× smaller), plus k·overfetch primary rows.
+    * Deterministic tier by tier, so the judged oracle composes the
+    * quantized-IVF cut CTEs with the exact re-rank tier exactly.
+    */
+  def probeTwoTier(spark: SparkSession, quantPath: String,
+      primary: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, overfetch: Int = 4,
+      nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    val tier1 = probeQuantized(spark, quantPath, idCol, queryVec,
+      k * overfetch, nprobe, excludeId)
+    AnnIndex.rerankExact(primary, idCol, vecCol,
+      tier1.select(col(idCol)), queryVec, k)
+  }
+
   /** REBUILD the index from its own stored rows: recompute the coarse
     * quantizer over the FULL at-rest corpus, re-assign every row, and
     * atomically swap the layout — the refresh half of the maintenance

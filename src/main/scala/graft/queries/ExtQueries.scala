@@ -311,6 +311,22 @@ object ExtQueries {
     graft.ops.IvfIndex.probeQuantized(s, ivfQuantIndexPath(s, dir),
       "vec_id", queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
 
+  /** The complete IVF serving path against storage
+    * ([[graft.ops.IvfIndex.probeTwoTier]]): tier 1 partition-prunes
+    * q134's quantized cell layout to the 2 best cells and cuts the
+    * quantized top-(10·4); tier 2 fetches ONLY those candidates' float
+    * vectors from the primary `embeddings` table (broadcast semi
+    * lookup) and re-ranks by exact cosine — q124's
+    * approximate-cut/exact-answer probe, on the cell side. Oracle =
+    * q134's CTEs (cell cut over the int8 form) composed with q121's
+    * re-rank tier.
+    */
+  private val q139: Q = (s, dir) =>
+    graft.ops.IvfIndex.probeTwoTier(s, ivfQuantIndexPath(s, dir),
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, nprobe = 2,
+      excludeId = Some(0L))
+
   /** Quantized-IVF ingest replay ([[graft.ops.IvfIndex
     * .appendQuantized]]): built from the first half (which contains the
     * 8 seed ids, so the frozen quantizer equals the full-corpus one),
@@ -847,6 +863,7 @@ object ExtQueries {
     "q134_ivf_quant_probe" -> q134,
     "q136_ivf_rebuild" -> q136,
     "q137_ivf_quant_ingest" -> q137,
+    "q139_ivf_two_tier" -> q139,
     "q76_image_decode" -> q76,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
@@ -1392,6 +1409,40 @@ object ExtQueries {
     // ... and the frozen-quantizer int8 ingest path is layout-only
     // too: same oracle, append-fragmented judged plan
     "q137_ivf_quant_ingest" -> ivfQuantTop5Sql,
+
+    // the end-to-end IVF two-tier serving probe: q134's CTEs produce
+    // the quantized cell-pruned tier-1 cut (10·4 — the q139 call
+    // site's constants), then q121's re-rank tier fetches exactly
+    // those candidates' float vectors — both cuts totally ordered by
+    // (sim desc, vec_id), so the storage-composed path is exact
+    "q139_ivf_two_tier" ->
+      s"""WITH $quantCtes,
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT en.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY en.vec_id
+         |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
+         |                      c.cid) AS rn
+         |    FROM en, c)
+         |  WHERE rn = 1),
+         |qf AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cid AS cell FROM c, qf
+         |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+         |  LIMIT 2),
+         |qq AS (SELECT qv AS pqv FROM s WHERE vec_id = 0),
+         |cand AS (SELECT s.vec_id, ${cosSql("s.qv", "qq.pqv")} AS simq
+         |         FROM assign a JOIN probe p ON a.cell = p.cell
+         |           JOIN s ON s.vec_id = a.vec_id, qq
+         |         WHERE s.vec_id <> 0 AND list_dot_product(s.qv, s.qv) > 0
+         |         ORDER BY simq DESC, s.vec_id LIMIT ${10 * 4}),
+         |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
+         |FROM e JOIN cand USING (vec_id), q0
+         |WHERE list_dot_product(e.v, e.v) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q78_decontamination" ->
       s"""WITH $tokensCte,

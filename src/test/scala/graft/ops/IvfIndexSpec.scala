@@ -162,6 +162,39 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pW)); rm(new java.io.File(pA))
   }
 
+  test("probeTwoTier == tier-1 quantized cell cut composed with an exact float re-rank") {
+    val p2 = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_twotier"
+    rm(new java.io.File(p2))
+    IvfIndex.writeQuantized(emb, "vec_id", "embedding", p2, numCentroids = 8)
+    val k = 7; val overfetch = 3
+    val fromIndex = IvfIndex
+      .probeTwoTier(spark, p2, emb, "vec_id", "embedding", qvec0,
+        k = k, overfetch = overfetch, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // expected: the tier-1 op's own cut, re-ranked by exact cosine
+    // in-plan — composition must equal its parts
+    val candIds = IvfIndex
+      .probeQuantized(spark, p2, "vec_id", qvec0, k = k * overfetch,
+        nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    val qv = typedlit(qvec0.toSeq)
+    val expected = emb
+      .filter(col("vec_id").isin(candIds.toSeq.map(x => x: Any): _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(ndot(col("v"), qv) /
+          (col("nrm") * sqrt(ndot(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == expected)
+    assert(fromIndex.size == k)
+    rm(new java.io.File(p2))
+  }
+
   test("rebuild after appends == fresh write on the union corpus") {
     val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
     rm(new java.io.File(pR))

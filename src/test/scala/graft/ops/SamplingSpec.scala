@@ -238,6 +238,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quotaCap/exactKPerStratum: bounded-heap result == the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // quotaCap vs row_number() OVER (PARTITION BY domain ORDER BY
+    // score DESC, id ASC) — ties exist (score = i*37 % 97 collides)
+    val wq = docs.withColumn("r",
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("id").asc)))
+      .filter(col("r") <= 7)
+      .select(col("id"), col("r")).as[(Long, Int)].collect().toMap
+    val hq = Sampling.quotaCap(docs, "domain", "score", "id", n = 7)
+      .select(col("id"), col("rank_in_domain")).as[(Long, Int)].collect().toMap
+    assert(hq == wq)
+    // exactKPerStratum vs the hash-order window
+    val we = docs.withColumn("r",
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(Sampling.hashUniform(col("id")).asc, col("id").asc)))
+      .filter(col("r") <= 11)
+      .select(col("id"), col("r")).as[(Long, Int)].collect().toMap
+    val he = Sampling.exactKPerStratum(docs, "domain", "id", k = 11)
+      .select(col("id"), col("sample_rank")).as[(Long, Int)].collect().toMap
+    assert(he == we)
+  }
+
   // ----------------------------------------------------- empty-input guards
 
   test("mixtureResample/temperatureResample: clear error on empty input") {

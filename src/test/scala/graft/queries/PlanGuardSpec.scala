@@ -195,6 +195,23 @@ class PlanGuardSpec extends SparkSpec {
         s"the audit must not read document text:\n$l"))
   }
 
+  test("q101/q104 per-group caps: bounded-heap aggregate, never a corpus window sort") {
+    Seq("q101_quota_cap", "q104_exact_k_sample").foreach { name =>
+      val p = planOf(name)
+      // the rank comes from the TopKAgg heap with MAP-SIDE partials
+      // (each partition ships ≤ n candidates per group), not from a
+      // row_number window that shuffles AND sorts every group's rows
+      assert(p.contains("graft_topk"),
+        s"$name must rank via the bounded-heap aggregate:\n$p")
+      assert(p.contains("partial_graft_topk"),
+        s"$name's heap must combine map-side:\n$p")
+      assert(!p.contains("Window"),
+        s"$name must not window-sort the corpus:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name: never a global exchange:\n$p")
+    }
+  }
+
   test("q110 cluster-safe split: cluster relation broadcast, split adds no corpus shuffle") {
     import org.apache.spark.sql.functions.col
     val p = graft.ops.Sampling.clusterSafeSplit(docs, "doc_id", litPairs)

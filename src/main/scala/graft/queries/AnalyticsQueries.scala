@@ -86,18 +86,37 @@ object AnalyticsQueries {
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
   /** Distribution windows: quartile (ntile), percent_rank, cume_dist per
-    * status — the ranking family q34 doesn't cover. round(×,6): both
-    * engines compute (rank-1)/(n-1) in doubles.
+    * status — the ranking family q34 doesn't cover, via
+    * [[graft.ops.Ranking]]'s DISTRIBUTED rank instead of
+    * `Window.partitionBy(status)`: o_orderstatus has THREE values, so
+    * the window form puts a third of the orders table on one task —
+    * and unlike q36/q101's capped cuts this family's output is
+    * corpus-sized, so the heap aggregate can't help either; the
+    * bucketed rank (price-value buckets, parallel local row_numbers,
+    * broadcast bucket offsets) is the only shape that survives 100×.
+    * The total (price, orderkey) order makes rank = row_number = its
+    * own peer group, so ntile/percent_rank/cume_dist are closed forms
+    * of (rn, n) — RankingSpec pins equality with the window
+    * formulation, and the oracle stays the plain window SQL.
+    * round(×,6): both engines compute (rank-1)/(n-1) in doubles.
     */
   private val q48: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders").select(
-      col("o_orderstatus").as("status"),
-      col("o_orderkey").as("order_id"),
-      ntile(4).over(w).cast("long").as("quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cume"),
+    import graft.ops.Ranking
+    val ranked = Ranking.bucketedRowNumber(
+      t(s, dir, "orders").select(
+        col("o_orderstatus").as("status"),
+        col("o_orderkey").as("order_id"),
+        col("o_totalprice")),
+      "status", "o_totalprice", "order_id", bucketWidth = 10000.0)
+    val counts = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), "status").select(
+      col("status"),
+      col("order_id"),
+      Ranking.ntileOf(col("rn"), col("__n"), 4).as("quartile"),
+      Ranking.percentRankOf(col("rn"), col("__n")).as("pct_rank"),
+      Ranking.cumeDistOf(col("rn"), col("__n")).as("cume"),
     ).orderBy("status", "order_id")
   }
 

@@ -110,16 +110,22 @@ object RefQueries {
       .orderBy("priority_class")
 
   /** D1: first-occurrence-wins dedup (the condition_data dict,
-    * reference: DataTransformation.py:69-73) — window row_number = 1.
+    * reference: DataTransformation.py:69-73) — `min_by` under the
+    * (ts, event_id) total order, NOT a per-type row_number window:
+    * event_type has single-digit cardinality, so the window form puts
+    * a whole type's events on ONE task (the q132/q101 skew defect).
+    * The argmin aggregate map-side-combines (each partition ships one
+    * candidate per type) and picks the identical row — first under a
+    * total order is unique, so the oracle stays the row_number SQL.
     */
-  private val q06: Q = (s, dir) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+  private val q06: Q = (s, dir) =>
     events(s, dir)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("event_type"), col("event_id").as("first_event_id"),
-        col("value").as("first_value"))
+      .groupBy(col("event_type"))
+      .agg(min_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("event_type"), col("f.event_id").as("first_event_id"),
+        col("f.value").as("first_value"))
       .orderBy("event_type")
-  }
 
   /** D2: SELECT DISTINCT dedup (condition.sql:34-39). */
   private val q07: Q = (s, dir) =>

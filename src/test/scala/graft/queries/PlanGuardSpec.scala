@@ -195,6 +195,19 @@ class PlanGuardSpec extends SparkSpec {
         s"the audit must not read document text:\n$l"))
   }
 
+  test("q48 distribution windows: rank windows keyed past the 3-value status column") {
+    val p = planOf("q48_distribution_windows")
+    // the corpus-sized row_number must window by (status, price-bucket),
+    // never by status alone (3 statuses = 3 tasks for the whole table)
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("__rb")),
+      s"the rank window must partition by (status, __rb):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"never a keyless/global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets and group counts must broadcast back:\n$p")
+  }
+
   test("q101/q104 per-group caps: bounded-heap aggregate, never a corpus window sort") {
     Seq("q101_quota_cap", "q104_exact_k_sample").foreach { name =>
       val p = planOf(name)

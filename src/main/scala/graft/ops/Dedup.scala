@@ -458,6 +458,93 @@ object Dedup {
       mergedDfs)
   }
 
+  /** The [[ShingleIndex]] AT REST — the parquet shape [[foldIn]]'s
+    * scaladoc promises for production: three relations under `path`
+    * (`postings/` (id, sh), `sizes/` (id, n), `dfs/` (sh, df)), ALL
+    * maintained by PURE APPENDS. The trick is `dfs`: per-shingle
+    * document frequency is a merge (existing counts grow), which a
+    * file format cannot do in place — so it is stored as APPEND-ONLY
+    * DELTAS summed at read time (the LSM compromise: writes stay
+    * appends, the read pays a vocabulary-sized aggregate, and
+    * [[compactStoredDfs]] is the OPTIMIZE that folds deltas back to
+    * one row per shingle whenever the delta count grows — semantics
+    * unchanged because addition is associative). `readStoredIndex`
+    * returns a [[ShingleIndex]] whose relations equal the in-session
+    * [[foldIn]] chain exactly, so every probe/fold law carries over.
+    */
+  def writeStoredIndex(index: ShingleIndex, idCol: String,
+      path: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    index.postings.write.mode(mode).parquet(s"$path/postings")
+    index.docSizes.write.mode(mode).parquet(s"$path/sizes")
+    index.dfs.write.mode(mode).parquet(s"$path/dfs")
+  }
+
+  /** Fold a batch's surviving documents into the STORED index — the
+    * at-rest [[foldIn]]: three partition APPENDS (kept postings, their
+    * per-doc sizes, their per-shingle df deltas); nothing existing is
+    * ever rewritten, so concurrent probes see a consistent prefix and
+    * ingest cost is batch-proportional at any index size.
+    */
+  def appendToStoredIndex(batchShingles: DataFrame, keepIds: DataFrame,
+      idCol: String, path: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Append
+    val keep = batchShingles
+      .join(keepIds.select(col(idCol)), Seq(idCol), "leftsemi")
+      .localCheckpoint()
+    keep.write.mode(mode).parquet(s"$path/postings")
+    keep.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/sizes")
+    keep.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$path/dfs")
+    keep.unpersist()
+    ()
+  }
+
+  /** Read the stored index back as a [[ShingleIndex]]: postings and
+    * sizes verbatim, dfs as the delta sum. A missing path (the very
+    * first batch of an ingest loop) reads as the EMPTY index, so the
+    * production loop needs no bootstrap special case.
+    */
+  def readStoredIndex(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, path: String, shingleK: Int = 3): ShingleIndex = {
+    val exists = new org.apache.hadoop.fs.Path(s"$path/postings")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
+    if (!exists) {
+      import spark.implicits._
+      val empty = Seq.empty[(Long, String)].toDF(idCol, "sh")
+      ShingleIndex(empty,
+        empty.groupBy(col(idCol)).agg(count(lit(1)).as("n")),
+        empty.groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    } else ShingleIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/sizes"),
+      spark.read.parquet(s"$path/dfs")
+        .groupBy(col("sh")).agg(sum(col("df")).as("df")))
+  }
+
+  /** Per-relation OPTIMIZE for the stored index's dfs deltas: fold the
+    * appended delta rows back to one row per shingle (write-tmp →
+    * swap, the [[graft.ops.AnnIndex.compactBuckets]] maintenance
+    * shape). Read-time semantics are unchanged — the read aggregate
+    * sums whatever granularity is on disk.
+    */
+  def compactStoredDfs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dfs = new Path(s"$path/dfs")
+    val fs = dfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/.dfs_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dfs.toString)
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+      .write.parquet(tmp.toString)
+    fs.delete(dfs, true)
+    fs.rename(tmp, dfs)
+    ()
+  }
+
   /** Directional n-gram CONTAINMENT near-duplicates over the same
     * inverted shingle index as [[jaccardNearDup]]: for a pair (A, B),
     * containment(A in B) = |A∩B| / |A|. Jaccard misses the

@@ -519,6 +519,84 @@ object StreamingQueries {
     }
   }
 
+  /** The STORED-index dedup loop — q117 with the maintained
+    * [[graft.ops.Dedup.ShingleIndex]] living AT REST as parquet
+    * appends ([[graft.ops.Dedup.appendToStoredIndex]]: postings/sizes/
+    * df-delta partition appends, nothing rewritten) instead of
+    * session-held checkpointed frames: the production shape the foldIn
+    * scaladoc promises, judged end to end. Each micro-batch reads the
+    * index back ([[graft.ops.Dedup.readStoredIndex]] — dfs summed from
+    * its deltas), dedups against it, and appends its survivors; after
+    * the SECOND batch the dfs deltas are OPTIMIZE-compacted
+    * ([[graft.ops.Dedup.compactStoredDfs]]) so the remaining batches
+    * judge the compaction's semantics-neutrality in-loop. Judged
+    * against q117's oracle VERBATIM: where the maintained state lives
+    * cannot change a keep decision.
+    */
+  private val q140: Q = (s, dir) => {
+    import graft.ops.Dedup
+    val root = scratchDir("q140")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val ixPath = new java.io.File(root, "index").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 0 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 2000L)
+    }
+    var results = List.empty[DataFrame]
+    var batchNo = 0
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q140_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q140_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sh = Dedup.shingleTable(batch, "doc_id", "text", 3).localCheckpoint()
+          val ix = Dedup.readStoredIndex(s, "doc_id", ixPath)
+          val pairs = Dedup.dedupAgainstIndex(sh, ix, "doc_id",
+            threshold = 0.5, maxShingleDf = 1000)
+          val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+          val decided = batch.select(col("doc_id"))
+            .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
+            .localCheckpoint()
+          Dedup.appendToStoredIndex(sh, decided.filter(col("kept")),
+            "doc_id", ixPath)
+          results = decided :: results
+          batchNo += 1
+          // mid-loop OPTIMIZE: batches 2 and 3 probe a compacted dfs —
+          // fold-to-one-row-per-shingle must be semantics-neutral
+          if (batchNo == 2) Dedup.compactStoredDfs(s, ixPath)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.reduce(_ unionByName _).orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
@@ -528,6 +606,7 @@ object StreamingQueries {
     "q117_stream_incr_dedup" -> q117,
     "q118_stream_ann_ingest" -> q118,
     "q138_stream_lm_gate" -> q138,
+    "q140_stored_dedup_index" -> q140,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -589,7 +668,20 @@ object StreamingQueries {
     // deduped against the survivors of batches < k, survivors folded
     // forward — q113's from-scratch pattern, three rounds (batch 0 meets
     // an empty index and is kept wholesale)
-    "q117_stream_incr_dedup" ->
+    "q117_stream_incr_dedup" -> incrDedupOracle,
+
+    // ... and the STORED-index loop must make the identical decisions:
+    // same oracle, the index living as parquet appends instead of
+    // session state (q118's layout-cannot-change-results argument, for
+    // the dedup index)
+    "q140_stored_dedup_index" -> incrDedupOracle,
+  ) ++ oracleTail
+
+  /** The from-scratch replay of the incremental dedup loop — shared
+    * verbatim by q117 (in-session index) and q140 (at-rest index):
+    * where the maintained state lives cannot change a keep decision.
+    */
+  private lazy val incrDedupOracle: String =
       s"""WITH ${ExtQueries.tokensCte},
          |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
          |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
@@ -633,8 +725,9 @@ object StreamingQueries {
          |       NOT (d.doc_id IN (SELECT new_id FROM d1)
          |         OR d.doc_id IN (SELECT new_id FROM d2)
          |         OR d.doc_id IN (SELECT new_id FROM d3)) AS kept
-         |FROM documents d ORDER BY doc_id""".stripMargin,
+         |FROM documents d ORDER BY doc_id""".stripMargin
 
+  private lazy val oracleTail: Map[String, String] = Map(
     // q27's oracle verbatim (via q116): neither the partitioned layout
     // nor the batch-append ingest path can change the top-5 answer
     "q118_stream_ann_ingest" -> ExtQueries.annTop5Sql,

@@ -41,9 +41,24 @@ class CacheLifecycleSpec extends SparkSpec {
     * deterministic under a full-suite run.
     */
   private def displaceAndDrain(before: Set[Int]): Set[Int] = {
-    def displace(): Unit = (1 to 8).foreach { _ =>
-      spark.range(8).toDF("k")
-        .join(broadcast(spark.range(3).toDF("k")), "k").count()
+    // CONCURRENT displacing jobs, not sequential: the broadcast-exchange
+    // pool reuses its most-recently-idle worker, so 8 sequential tiny
+    // joins displace ~1 thread while a full-suite session has dozens of
+    // pool threads each still referencing whatever execution last ran
+    // on it — the exact scatter that grew q115's surviving set past the
+    // escalation allowance (observed 7 → 10 over 5 runs in the
+    // 45-suite session; plateaued in isolation). Concurrency forces
+    // many workers active at once, so their stale references actually
+    // get replaced before the GC poll.
+    def displace(): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((1 to 16).map(_ => Future {
+        spark.range(8).toDF("k")
+          .join(broadcast(spark.range(3).toDF("k")), "k").count()
+      })), 120.seconds)
+      ()
     }
     displace()
     val deadline = System.currentTimeMillis() + 25000

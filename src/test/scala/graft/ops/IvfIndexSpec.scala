@@ -230,6 +230,16 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pR))
   }
 
+  test("probeCellsOf: a zero-norm query degrades to cid order, never a NaN throw") {
+    // qnrm = 0 makes every cell sim 0/0 = NaN; the probe must still
+    // return nprobe cells (ranked last = all tied -> cid ascending),
+    // matching ivfQuery's graceful NULL-sim degradation instead of
+    // BigDecimal(NaN) throwing
+    val cells = IvfIndex.probeCellsOf(spark, path, Array.fill(64)(0.0),
+      nprobe = 3)
+    assert(cells == Seq("c0", "c1", "c2"))
+  }
+
   test("probeCellsOf ranks cells exactly as the in-plan centroid pick") {
     // driver-side round/dot must reproduce the in-plan (qsim desc, cid)
     // order — nprobe = numCentroids makes the FULL ranking observable

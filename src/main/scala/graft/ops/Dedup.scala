@@ -483,8 +483,22 @@ object Dedup {
   /** Fold a batch's surviving documents into the STORED index — the
     * at-rest [[foldIn]]: three partition APPENDS (kept postings, their
     * per-doc sizes, their per-shingle df deltas); nothing existing is
-    * ever rewritten, so concurrent probes see a consistent prefix and
-    * ingest cost is batch-proportional at any index size.
+    * ever rewritten, and ingest cost is batch-proportional at any
+    * index size.
+    *
+    * Concurrency contract: SINGLE WRITER — the three appends commit
+    * independently (parquet has no cross-directory transaction), so
+    * two concurrent appends may interleave arbitrarily. A concurrent
+    * PROBE is safe in the candidate-undercount sense only: the write
+    * order below is dfs → sizes → postings, so a reader that catches
+    * the batch half-applied can see df/size rows for documents whose
+    * postings are not yet visible (those docs simply produce no
+    * candidates yet — under-counting), but never a posting whose
+    * Jaccard denominator (sizes) or stop-shingle cap input (dfs) is
+    * missing, which would MIS-SCORE a surviving pair rather than
+    * delay it. A consistent point-in-time view requires draining
+    * writers first (the maintenance-lock caveat [[compactStoredDfs]]
+    * documents).
     */
   def appendToStoredIndex(batchShingles: DataFrame, keepIds: DataFrame,
       idCol: String, path: String): Unit = {
@@ -492,11 +506,13 @@ object Dedup {
     val keep = batchShingles
       .join(keepIds.select(col(idCol)), Seq(idCol), "leftsemi")
       .localCheckpoint()
-    keep.write.mode(mode).parquet(s"$path/postings")
-    keep.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      .write.mode(mode).parquet(s"$path/sizes")
+    // dfs and sizes land BEFORE postings — a torn concurrent read can
+    // only under-count candidates, never mis-score one (see scaladoc)
     keep.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$path/dfs")
+    keep.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/sizes")
+    keep.write.mode(mode).parquet(s"$path/postings")
     keep.unpersist()
     ()
   }
@@ -529,6 +545,16 @@ object Dedup {
     * swap, the [[graft.ops.AnnIndex.compactBuckets]] maintenance
     * shape). Read-time semantics are unchanged — the read aggregate
     * sums whatever granularity is on disk.
+    *
+    * Requires EXCLUSIVE access to the index (the same maintenance-lock
+    * caveat as [[graft.ops.AnnIndex.compactBuckets]]): a delta appended
+    * by a concurrent [[appendToStoredIndex]] between the aggregate read
+    * and the swap would be destroyed unmerged — drain writers first.
+    * The swap itself is crash-recoverable: the live relation is renamed
+    * ASIDE (never deleted before its replacement is in place), so a
+    * crash leaves either the old `dfs/` intact, or the compacted one
+    * plus a stale `.dfs_compact_old/` to garbage-collect — at no point
+    * is the document-frequency relation missing or partial.
     */
   def compactStoredDfs(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
@@ -536,14 +562,86 @@ object Dedup {
     val dfs = new Path(s"$path/dfs")
     val fs = dfs.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/.dfs_compact_tmp")
+    val old = new Path(s"$path/.dfs_compact_old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     spark.read.parquet(dfs.toString)
       .groupBy(col("sh")).agg(sum(col("df")).as("df"))
       .write.parquet(tmp.toString)
-    fs.delete(dfs, true)
-    fs.rename(tmp, dfs)
+    // rename-aside swap: dfs → old, tmp → dfs, then drop old. A crash
+    // after the first rename but before the second leaves `old` as the
+    // recovery copy; one never deletes the only copy of the relation.
+    if (!fs.rename(dfs, old))
+      throw new java.io.IOException(s"compactStoredDfs: cannot move $dfs aside")
+    if (!fs.rename(tmp, dfs)) {
+      fs.rename(old, dfs) // restore the live relation before failing
+      throw new java.io.IOException(s"compactStoredDfs: cannot swap $tmp in")
+    }
+    fs.delete(old, true)
     ()
   }
+
+  /** Unordered candidate intersections computed from a
+    * [[ShingleIndex]]'s OWN relations — (id_a, id_b, n_inter) with
+    * id_a < id_b, postings capped by the index's stored `dfs` (the
+    * same stop-shingle semantics [[jaccardFromShingles]] computes from
+    * scratch). Shared by [[jaccardFromIndex]]/[[containmentFromIndex]].
+    */
+  private def interFromIndex(index: ShingleIndex, idCol: String,
+      maxShingleDf: Int): DataFrame = {
+    val posting =
+      if (maxShingleDf <= 0) index.postings
+      else {
+        val hot = index.dfs.filter(col("df") > maxShingleDf).select("sh")
+        index.postings.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    posting.select(col(idCol).as("id_a"), col("sh"))
+      .join(posting.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+  }
+
+  /** [[jaccardNearDup]]'s pair relation computed ENTIRELY from a
+    * [[ShingleIndex]] (typically [[readStoredIndex]]'s) — postings,
+    * set sizes, and the stop-shingle document frequencies all come
+    * from the index's stored relations, never from document text. This
+    * is the at-rest half of the production dedup loop: the index
+    * already persists everything the detector needs, so a maintenance
+    * pass (re-score after threshold change, periodic keep-best
+    * resolution) runs off the index alone. Identical relation to
+    * [[jaccardNearDup]] over the indexed corpus — where the index
+    * lives cannot change a similarity (judged against the from-text
+    * oracle verbatim).
+    */
+  def jaccardFromIndex(index: ShingleIndex, idCol: String,
+      threshold: Double = 0.5, maxShingleDf: Int = 0): DataFrame =
+    interFromIndex(index, idCol, maxShingleDf)
+      .join(index.docSizes.toDF("id_a", "n_a"), "id_a")
+      .join(index.docSizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** [[containmentNearDup]]'s directional pair relation computed
+    * ENTIRELY from a [[ShingleIndex]] — the quote/subset detector
+    * against storage, closing the at-rest loop for the one pair
+    * relation that still required document text. Same stop-shingle cap
+    * and lower-bound caveat as the from-text form; identical output
+    * over the indexed corpus (judged against the from-text oracle
+    * verbatim).
+    */
+  def containmentFromIndex(index: ShingleIndex, idCol: String,
+      threshold: Double = 0.8, maxShingleDf: Int = 0): DataFrame =
+    interFromIndex(index, idCol, maxShingleDf)
+      .join(index.docSizes.toDF("id_a", "n_a"), "id_a")
+      .join(index.docSizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / col("n_a").cast("double"))
+          .as("cont_a_in_b"),
+        (col("n_inter").cast("double") / col("n_b").cast("double"))
+          .as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
 
   /** Directional n-gram CONTAINMENT near-duplicates over the same
     * inverted shingle index as [[jaccardNearDup]]: for a pair (A, B),

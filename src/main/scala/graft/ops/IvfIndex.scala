@@ -38,17 +38,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IvfIndex {
 
+  /** The coarse quantizer's centroid table for a build:
+    *  - `kmeansIters = 0`: the `numCentroids` lowest-id VECTORS
+    *    ([[Similarity.ivfQuery]]'s convention — deterministic but
+    *    geometry-blind: the seeds are arbitrary corpus rows, so cell
+    *    populations skew with the data's shape);
+    *  - `kmeansIters > 0`: [[Similarity.kmeansCentroids]] — the same
+    *    lowest-id seeds REFINED by Lloyd rounds into cluster centers
+    *    (decimal-exact means, 6-decimal rounds, smaller-cid
+    *    tie-break: equally deterministic, equally oracle-replayable).
+    * Cell balance is the index's 100 TB argument — a probe reads
+    * nprobe/numCentroids of the corpus only if cells hold comparable
+    * populations, and a fat cell erodes exactly that ratio — so the
+    * refined quantizer is what a production build wants;
+    * `IvfIndexSpec` pins the measured balance improvement.
+    */
+  private def centroidsFor(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, kmeansIters: Int): DataFrame =
+    if (kmeansIters > 0)
+      Similarity.kmeansCentroids(embeddings, idCol, vecCol,
+        numCentroids, kmeansIters)
+    else {
+      val ndot = GraftFunctions.dotNative _
+      embeddings.select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+        .orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    }
+
   /** Rows (id, v, nrm, cell) with ivfQuery's assignment — shared by
     * [[write]] and the assignment-equality spec.
     */
   private def assigned(embeddings: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int): (DataFrame, DataFrame) = {
+      numCentroids: Int, kmeansIters: Int = 0): (DataFrame, DataFrame) = {
     GraftFunctions.register(embeddings.sparkSession)
     val ndot = GraftFunctions.dotNative _
     val e = embeddings.select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
-    val cents = e.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = centroidsFor(embeddings, idCol, vecCol, numCentroids, kmeansIters)
     val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
     val rows = e.crossJoin(broadcast(cents))
       .select(col(idCol), col("v"), col("nrm"), col("cid"), simToCent.as("csim"))
@@ -60,10 +87,16 @@ object IvfIndex {
   /** Write the cell-partitioned index plus its `_centroids` table.
     * The pre-write `repartition(cell)` gives the bounded-writers-per-
     * task dynamic-partition shape ([[AnnIndex.store]]'s argument).
+    * `kmeansIters > 0` seeds the coarse quantizer from the Lloyd-
+    * refined k-means ([[centroidsFor]]) — the geometry-aware build;
+    * everything downstream (probe, append, rebuild) reads the STORED
+    * `_centroids` table, so the seeding choice is made once here and
+    * every maintenance path inherits it automatically.
     */
   def write(embeddings: DataFrame, idCol: String, vecCol: String,
-      path: String, numCentroids: Int = 8): Unit = {
-    val (rows, cents) = assigned(embeddings, idCol, vecCol, numCentroids)
+      path: String, numCentroids: Int = 8, kmeansIters: Int = 0): Unit = {
+    val (rows, cents) =
+      assigned(embeddings, idCol, vecCol, numCentroids, kmeansIters)
     // partition values are 'c'-prefixed strings ("c3"), the [[AnnIndex]]
     // convention: partition type inference then can never re-type the
     // column, so the probe's isin literals always match the column type
@@ -226,33 +259,66 @@ object IvfIndex {
     * fresh-write on the union corpus EXACTLY (`IvfIndexSpec` pins probe
     * equality; the judged replay runs against the fresh-build oracle
     * verbatim), so a refresh can never change answers, only layout.
-    * The swap is write-to-tmp → delete-old → rename-in — at real scale
-    * this runs under the table's maintenance lock exactly like
-    * [[AnnIndex.compactBuckets]]'s in-place OPTIMIZE.
+    * The swap is write-to-tmp → move-old-ASIDE → move-tmp-in → drop-old
+    * (never delete the only copy of the live index: a crash mid-swap
+    * leaves either the old layout intact or the rebuilt one plus a
+    * stale `.<name>_rebuild_old` to garbage-collect — at no point does
+    * a probe see an empty or partial index) — at real scale this runs
+    * under the table's maintenance lock exactly like
+    * [[AnnIndex.compactBuckets]]'s in-place OPTIMIZE. `kmeansIters`
+    * picks the quantizer seeding for the refreshed layout exactly as
+    * in [[write]] (pass the build's value to preserve its geometry
+    * mode). Refuses the QUANTIZED layout loudly: [[writeQuantized]]
+    * stores no float `v` column, so a rebuild must re-quantize from
+    * the primary float table, not from the index's own lossy rows.
     */
   def rebuild(spark: SparkSession, path: String, idCol: String,
-      numCentroids: Int = 8): Unit = {
+      numCentroids: Int = 8, kmeansIters: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.parquet(path)
+    require(live.schema.fieldNames.contains("v"),
+      s"IvfIndex.rebuild: $path stores no float 'v' column — this is the " +
+        "quantized layout (writeQuantized), whose rows are lossy; rebuild " +
+        "it by re-running writeQuantized from the primary float table")
     val tmp = new Path(root.getParent, s".${root.getName}_rebuild_tmp")
+    val old = new Path(root.getParent, s".${root.getName}_rebuild_old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     // the stored rows carry the float vector — rebuild IS a fresh write
     // over the read-back corpus (readers never see `_centroids` or the
     // partition column as data; `v` is already array<double>, so the
     // assignment's toDoubleVec is a no-op on it)
-    write(spark.read.parquet(path).select(col(idCol), col("v")),
-      idCol, "v", tmp.toString, numCentroids)
-    fs.listStatus(root).foreach(f => fs.delete(f.getPath, true))
-    fs.listStatus(tmp).foreach(f =>
-      fs.rename(f.getPath, new Path(root, f.getPath.getName)))
+    write(live.select(col(idCol), col("v")),
+      idCol, "v", tmp.toString, numCentroids, kmeansIters)
+    fs.mkdirs(old)
+    val moved = fs.listStatus(root).map(_.getPath)
+    try {
+      moved.foreach(p => fs.rename(p, new Path(old, p.getName)))
+      fs.listStatus(tmp).foreach(f =>
+        fs.rename(f.getPath, new Path(root, f.getPath.getName)))
+    } catch {
+      case e: Throwable =>
+        // best-effort restore before surfacing the failure: move aside
+        // entries back unless a tmp child of the same name already
+        // landed (a crash that skips this block leaves `.{old,tmp}`
+        // dirs for manual recovery, never a deleted layout)
+        fs.listStatus(old).foreach { f =>
+          val dst = new Path(root, f.getPath.getName)
+          if (!fs.exists(dst)) fs.rename(f.getPath, dst)
+        }
+        throw e
+    }
+    fs.delete(old, true)
     fs.delete(tmp, true)
   }
 
   /** In-plan cell assignment for equality checks — (id, cell). */
   private[graft] def assignmentOf(embeddings: DataFrame, idCol: String,
-      vecCol: String, numCentroids: Int = 8): DataFrame =
-    assigned(embeddings, idCol, vecCol, numCentroids)._1
+      vecCol: String, numCentroids: Int = 8,
+      kmeansIters: Int = 0): DataFrame =
+    assigned(embeddings, idCol, vecCol, numCentroids, kmeansIters)._1
       .select(col(idCol), col("cell"))
 
   /** Spark's `round(double, 6)` semantics, reproduced driver-side —

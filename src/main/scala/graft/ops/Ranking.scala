@@ -28,18 +28,22 @@ object Ranking {
 
   /** `rnCol` = the 1-based global rank of each row within `groupCol`
     * under (`orderCol` asc, `tieCol` asc — a total order), computed as
-    * parallel per-bucket ranks + a broadcast bucket-offset join.
+    * parallel per-bucket ranks + a bucket-offset join (broadcast in
+    * the measured-small regime — [[bucketKeyOf]]/[[joinPrefixes]]).
     * `orderCol` must be numeric (exactly double-representable — every
-    * score/price/count here); rows with NULL order/tie keys rank
-    * nondeterministically in the window form and must be filtered
-    * upstream.
+    * score/price/count here) and NULL/NaN-free: a NULL or NaN order
+    * value has no well-defined bucket (the window form ranks such rows
+    * nondeterministically), so the bucket key FAILS FAST on one
+    * (`raise_error` inside the key expression — caught at execution,
+    * zero extra passes) instead of silently dropping the row at the
+    * join.
     */
   def bucketedRowNumber(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, bucketWidth: Double,
       rnCol: String = "rn"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val base = df.withColumn("__rb",
-      floor(col(orderCol).cast("double") / lit(bucketWidth)).cast("long"))
+      bucketKeyOf(col(orderCol), bucketWidth, "Ranking.bucketedRowNumber"))
     val wIn = Window.partitionBy(col(groupCol), col("__rb"))
       .orderBy(col(orderCol).asc, col(tieCol).asc)
     val local = base.withColumn("__lrn", row_number().over(wIn))
@@ -51,9 +55,40 @@ object Ranking {
       .agg(count(lit(1)).as("__bn"))
       .withColumn("__boff", coalesce(sum(col("__bn")).over(wTot), lit(0L)))
       .select(col(groupCol), col("__rb"), col("__boff"))
-    local.join(broadcast(prefixes), Seq(groupCol, "__rb"))
+    joinPrefixes(local, prefixes, groupCol)
       .withColumn(rnCol, col("__boff") + col("__lrn"))
       .drop("__rb", "__lrn", "__boff")
+  }
+
+  /** The bucket key `floor(order / width)`, failing FAST on NULL/NaN
+    * order values (shared with [[Sampling.tokenBudgetSelect]]): both
+    * operators' global-order stitch joins on this key, so a row whose
+    * key is NULL would silently vanish where the window form ranked it
+    * — an error the caller must see, not a dropped row.
+    */
+  private[ops] def bucketKeyOf(order: Column, width: Double,
+      op: String): Column = {
+    val d = order.cast("double")
+    when(d.isNull || isnan(d),
+        raise_error(lit(s"$op: NULL/NaN order value — rank is undefined; " +
+          "filter or impute upstream")))
+      .otherwise(floor(d / lit(width))).cast("long")
+  }
+
+  /** Join the corpus back to its |groups|·|buckets| summary relation —
+    * broadcast only in the MEASURED-small regime ([[Dedup
+    * .broadcastIfSmall]]'s discipline: the summary is materialized via
+    * `localCheckpoint`, counted once, and hinted only under the bound).
+    * A pathological `bucketWidth` (far smaller than the order value's
+    * spread) makes the summary corpus-sized; an unconditional hint
+    * would then build a driver-OOM broadcast silently — above the
+    * bound the hint is dropped and the planner/AQE picks a shuffle
+    * join, which is merely slower, never wrong.
+    */
+  private[ops] def joinPrefixes(local: DataFrame, prefixes: DataFrame,
+      groupCol: String, bucketCol: String = "__rb"): DataFrame = {
+    val p = prefixes.localCheckpoint()
+    local.join(Dedup.broadcastIfSmall(p), Seq(groupCol, bucketCol))
   }
 
   /** The distribution-window family derived from the distributed rank:

@@ -248,12 +248,22 @@ object Sampling {
     * Contracts inherited from [[graft.functions.TopKAgg]]'s
     * (double, bigint) heap entries: `sortVal` must be exactly
     * representable in double (integral |values| < 2⁵³ or already
-    * floating — every score here), `tieCol` castable to bigint, ties =
-    * smaller tie value wins, and rows with NULL sort/tie keys are
-    * excluded from the capped set (the window form ranked them past
-    * the non-null rows; a quota that admits NULL-scored rows is a bug
-    * upstream, so exclusion is the saner contract and the judged data
-    * has no such rows).
+    * floating — every score here), ties = smaller tie value wins, and
+    * rows with NULL sort/tie keys are excluded from the capped set
+    * (the window form ranked them past the non-null rows; a quota
+    * that admits NULL-scored rows is a bug upstream, so exclusion is
+    * the saner contract and the judged data has no such rows).
+    *
+    * `tieCol` must be a PER-GROUP-UNIQUE row identity, NON-NULL and
+    * LOSSLESSLY bigint-castable (every caller passes the table's id
+    * column) — the ranked ids join back to the full rows on
+    * (group, tie), so a tie value repeated within a group would fan
+    * that join out (more than `n` rows returned, ranks duplicated),
+    * and a null / lossy-cast tie key would silently drop its row.
+    * Uniqueness is also what makes the (sortVal desc, tie asc) cut a
+    * TOTAL order — without it the window form itself is
+    * nondeterministic, so the requirement is inherent to the
+    * operator's semantics, not an implementation artifact.
     */
   private def topPerGroup(df: DataFrame, groupCol: String, sortVal: Column,
       tieCol: String, n: Int, rankName: String): DataFrame = {
@@ -308,8 +318,13 @@ object Sampling {
       orderCol: String, tieCol: String, budget: Long,
       orderBucketWidth: Double = 0.05): DataFrame = {
     require(orderBucketWidth > 0, "orderBucketWidth must be positive")
+    // NULL/NaN order values fail fast inside the key expression
+    // ([[Ranking.bucketKeyOf]]): their cumulative position is
+    // undefined, and a silent drop at the stitch join would admit
+    // extra budget downstream of where the window form errs
     val base = df.withColumn("__ob",
-      floor(col(orderCol).cast("double") / lit(orderBucketWidth)).cast("long"))
+      Ranking.bucketKeyOf(col(orderCol), orderBucketWidth,
+        "Sampling.tokenBudgetSelect"))
     val wIn = Window.partitionBy(col(groupCol), col("__ob"))
       .orderBy(col(orderCol).desc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -323,7 +338,11 @@ object Sampling {
       .withColumn("__bucket_prefix",
         coalesce(sum(col("__btot")).over(wTot), lit(0L)))
       .select(col(groupCol), col("__ob"), col("__bucket_prefix"))
-    local.join(broadcast(prefixes), Seq(groupCol, "__ob"))
+    // measured broadcast ([[Ranking.joinPrefixes]]): hint only when the
+    // |domains|·|buckets| summary counts small; a pathological
+    // orderBucketWidth falls back to a planner-chosen join, not a
+    // silent driver-sized broadcast
+    Ranking.joinPrefixes(local, prefixes, groupCol, "__ob")
       .withColumn("cum_weight", col("__bucket_prefix") + col("__local_cum"))
       .filter(col("cum_weight") <= budget)
       .drop("__ob", "__local_cum", "__bucket_prefix")

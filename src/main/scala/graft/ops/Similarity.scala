@@ -215,16 +215,59 @@ object Similarity {
   def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 1): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val e = embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val e = normalizedFor(embeddings, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col(idCol), col("v"),
-          col("cid"), round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
-        .groupBy(col(idCol), col("v"))
-        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"),
-          max(col("csim")).as("sim"))
+    val cents = lloydCentroids(e, idCol, k, iters)
+    // materialize the final assignment (the operator's output — one
+    // narrow row per vector) and release the normalized-vector pin
+    // ([[CacheLifecycle]]'s un-persist-on-completion contract)
+    CacheLifecycle.resolveAndRelease(
+      lloydAssign(e, idCol, cents).select(col(idCol), col("cell"), col("sim")), e)
+  }
+
+  /** The REFINED CENTROID TABLE (cid, cv, cnrm) after `iters` Lloyd
+    * rounds — [[kmeans]]' internal quantizer state exposed as a
+    * relation, for callers that need the geometry rather than the
+    * assignment: [[graft.ops.IvfIndex]] seeds its coarse quantizer from
+    * it (cell balance IS the nprobe-pruning ratio at scale, and raw
+    * lowest-id seed vectors are geometry-blind where Lloyd means are
+    * cluster centers). Deterministic exactly as [[kmeans]] is (decimal
+    * means rounded to 6, smaller-cid tie-break), so an index seeded
+    * from it inherits the judged cross-engine reproducibility. The k
+    * rows are materialized ([[CacheLifecycle]] contract), so consuming
+    * them never re-runs the Lloyd scans.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = normalizedFor(embeddings, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheLifecycle.resolveAndRelease(lloydCentroids(e, idCol, k, iters), e)
+  }
+
+  /** (id, v, nrm) over the double form — the normalized relation every
+    * clustering path shares. */
+  private def normalizedFor(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings.select(col(idCol), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+
+  /** One cosine-argmax assignment pass against a broadcast centroid
+    * table — (id, v, cell, sim). */
+  private def lloydAssign(e: DataFrame, idCol: String,
+      cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"),
+        col("cid"), round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .groupBy(col(idCol), col("v"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"),
+        max(col("csim")).as("sim"))
+
+  /** `iters` Lloyd rounds from the lowest-id seed — the centroid table
+    * (cid, cv, cnrm) both [[kmeans]] and [[kmeansCentroids]] refine.
+    */
+  private def lloydCentroids(e: DataFrame, idCol: String, k: Int,
+      iters: Int): DataFrame = {
     // Seed = the k lowest EXISTING ids (orderBy + limit, a cheap
     // TakeOrdered over one narrow column), not `filter(id < k)`: a
     // sparse/non-dense id space would silently under-seed the latter to
@@ -233,7 +276,7 @@ object Similarity {
     var cents = e.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     for (_ <- 1 to iters) {
-      val assigned = assign(cents)
+      val assigned = lloydAssign(e, idCol, cents)
       // exact per-dimension mean: DECIMAL sum (order-independent) over
       // the exploded (cell, dim, val) relation, rounded to 6 so the
       // next assignment sees identical centroid literals in any engine
@@ -251,11 +294,7 @@ object Similarity {
           s => s.getField("m")).as("cv"))
         .withColumn("cnrm", sqrt(ndot(col("cv"), col("cv"))))
     }
-    // materialize the final assignment (the operator's output — one
-    // narrow row per vector) and release the normalized-vector pin
-    // ([[CacheLifecycle]]'s un-persist-on-completion contract)
-    CacheLifecycle.resolveAndRelease(
-      assign(cents).select(col(idCol), col("cell"), col("sim")), e)
+    cents
   }
 
   /** JUDGED RECALL CONTRACT for the approximate indexes — the first

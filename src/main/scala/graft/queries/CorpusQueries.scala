@@ -141,6 +141,58 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** The full-corpus [[Dedup.ShingleIndex]] AT REST, built once per
+    * (pid, dir) — shared by q143/q144, the at-rest counterparts of the
+    * q106/q111 from-text detectors.
+    */
+  private val storedShingleIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(storedShingleIndexes)
+  private def storedIndexPath(s: SparkSession, dir: String): String =
+    storedShingleIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_shingle_ix_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeStoredIndex(
+        Dedup.buildShingleIndex(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3),
+        "doc_id", p)
+      p
+    })
+
+  /** Containment detection against the STORED shingle index
+    * ([[Dedup.containmentFromIndex]] over [[Dedup.readStoredIndex]]):
+    * q106's quote/subset detector with postings, set sizes, AND the
+    * stop-shingle document frequencies all read from the at-rest
+    * relations — document text is never touched, so the production
+    * crawl loop can run (and re-run, e.g. after a threshold change)
+    * the detector off the index alone. Judged against q106's oracle
+    * VERBATIM: where the index lives cannot change a containment
+    * score.
+    */
+  private val q143: Q = (s, dir) =>
+    Dedup.containmentFromIndex(
+        Dedup.readStoredIndex(s, "doc_id", storedIndexPath(s, dir)),
+        "doc_id", threshold = 0.6, maxShingleDf = 1000)
+      .orderBy("id_a", "id_b")
+
+  /** Keep-best resolution against the STORED shingle index: q111's
+    * cluster/keeper relation with the near-dup pairs computed from the
+    * at-rest postings/sizes/dfs ([[Dedup.jaccardFromIndex]]) instead
+    * of re-shingled text — the periodic maintenance pass (pick one
+    * keeper per component) a production corpus runs off its index.
+    * Judged against q111's oracle VERBATIM: where the pairs came from
+    * cannot change a cluster or a keep decision.
+    */
+  private val q144: Q = (s, dir) => {
+    val pairs = Dedup.jaccardFromIndex(
+        Dedup.readStoredIndex(s, "doc_id", storedIndexPath(s, dir)),
+        "doc_id", threshold = 0.5, maxShingleDf = 1000)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(t(s, dir, "documents"), "doc_id", pairs, "n_chars")
+      .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** The cached per-(pid, dir) model dirs live under java.io.tmpdir —
     * reclaim them at JVM exit (the [[ExtQueries]] index-cache pattern).
     */
@@ -487,6 +539,8 @@ object CorpusQueries {
     "q112_ann_recall" -> q112,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
+    "q143_stored_containment" -> q143,
+    "q144_stored_keep_best" -> q144,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
@@ -583,6 +637,66 @@ object CorpusQueries {
        |SELECT id AS vec_id, rank FROM r3 ORDER BY vec_id""".stripMargin
   }
 
+  /** q106's oracle — shared verbatim by q143: the containment relation
+    * is a property of the corpus's shingle sets, never of whether the
+    * postings/sizes/dfs were computed in-session or read back from the
+    * stored index.
+    */
+  private lazy val containmentOracle: String =
+    s"""WITH ${ExtQueries.tokensCte},
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+       |       WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+       |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
+       |       CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE),
+       |               CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q111's oracle — shared verbatim by q144: cluster minima and keep
+    * decisions are a property of the pair relation, never of where the
+    * pairs' postings/sizes/dfs lived.
+    */
+  private lazy val keepBestOracle: String =
+    s"""WITH RECURSIVE ${ExtQueries.tokensCte},
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+       |       WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+       |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |r(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+       |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+       |lab AS (SELECT d.doc_id, d.n_chars, coalesce(cl.rep, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
@@ -602,26 +716,12 @@ object CorpusQueries {
         |       true AS within_p50, true AS within_p95
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
-    "q106_ngram_containment" ->
-      s"""WITH ${ExtQueries.tokensCte},
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
-         |       WHERE len(w) >= 3),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
-         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |       CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
-         |       CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a
-         |FROM inter
-         |JOIN sizes na ON na.doc_id = id_a
-         |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE),
-         |               CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.6
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q106_ngram_containment" -> containmentOracle,
+
+    // the STORED-index detector must return exactly what the from-text
+    // detector returns — one oracle string, two judged plans (the
+    // q125/q37 argument, for the shingle index)
+    "q143_stored_containment" -> containmentOracle,
 
     "q107_split_leakage" ->
       s"""WITH ${ExtQueries.tokensCte},
@@ -797,35 +897,11 @@ object CorpusQueries {
          |       quality
          |FROM u ORDER BY doc_id""".stripMargin,
 
-    "q111_keep_best" ->
-      s"""WITH RECURSIVE ${ExtQueries.tokensCte},
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
-         |       WHERE len(w) >= 3),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
-         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes na ON na.doc_id = id_a
-         |  JOIN sizes nb ON nb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |r(id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
-         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
-         |lab AS (SELECT d.doc_id, d.n_chars, coalesce(cl.rep, d.doc_id) AS cluster_id
-         |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
-         |SELECT doc_id, cluster_id,
-         |       (row_number() OVER (PARTITION BY cluster_id
-         |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper
-         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q111_keep_best" -> keepBestOracle,
+
+    // ... and neither can the keep-best pass care whether its pairs
+    // were re-shingled from text or read from the stored index
+    "q144_stored_keep_best" -> keepBestOracle,
 
     "q110_cluster_safe_split" ->
       s"""WITH RECURSIVE ${ExtQueries.tokensCte},

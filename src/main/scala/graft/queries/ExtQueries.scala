@@ -1455,7 +1455,7 @@ object ExtQueries {
          |FROM a2 a JOIN kprobe p ON a.cell = p.cell
          |  JOIN en ON en.vec_id = a.vec_id, qv q
          |WHERE en.vec_id <> 0
-         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+         |ORDER BY sim DESC, en.vec_id LIMIT 5""".stripMargin,
 
     // the quantized IVF layout: cell membership and the nprobe cut
     // from the FLOAT geometry (q125's CTEs), ranking from the int8

@@ -179,7 +179,15 @@ object Multimodal {
     * means divide exactly the same in any engine). One decoder pass per
     * partition, same batching contract as [[decodeFeatures]].
     */
-  def imageStatsTable(media: DataFrame): DataFrame = {
+  def imageStatsTable(media: DataFrame): DataFrame =
+    imageStatsVia(media, decodePpm)
+
+  /** The shared stats scan, parameterized by the payload decoder (PPM
+    * parser or the [[decodeImage]] compressed path) — one decode per
+    * row inside `mapPartitions`, integer channel sums.
+    */
+  private def imageStatsVia(media: DataFrame,
+      decode: Array[Byte] => RasterImage): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -191,7 +199,7 @@ object Multimodal {
     ))
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
-        val img = decodePpm(r.getAs[Array[Byte]](1))
+        val img = decode(r.getAs[Array[Byte]](1))
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < img.rgb.length) {
@@ -203,6 +211,85 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  // ---------------------------------------- compressed image codecs (JDK)
+
+  /** Decode a COMPRESSED image payload (PNG, JPEG, BMP, GIF — whatever
+    * the JDK's ImageIO registry speaks) to the same [[RasterImage]] the
+    * PPM codec produces — real multimodal corpora ship these formats,
+    * not PPM. Pure JVM: `javax.imageio` is part of the JDK, zero new
+    * dependencies, headless-safe (no display server touched). Pixels
+    * are read through `BufferedImage.getRGB`, which yields sRGB
+    * regardless of the file's internal layout, so every format lands in
+    * the one raster shape the stats/resize/feature paths already
+    * handle. PNG is LOSSLESS — decode(encodePng(img)) == img
+    * bit-for-bit (spec-pinned), which is what makes the judged q142
+    * stats exact cross-engine; JPEG is lossy and codec-dependent, so
+    * its contract is tolerance-based (spec-pinned), never judged for
+    * exact pixel values.
+    */
+  def decodeImage(payload: Array[Byte]): RasterImage = {
+    ensureHeadless()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      "undecodable image payload: no ImageIO reader matched")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      rgb(3 * i) = ((px(i) >> 16) & 0xff).toByte
+      rgb(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+      rgb(3 * i + 2) = (px(i) & 0xff).toByte
+      i += 1
+    }
+    RasterImage(w, h, rgb)
+  }
+
+  /** Encode a raster as PNG (lossless, deterministic decode). */
+  def encodePng(img: RasterImage): Array[Byte] =
+    encodeVia(img, "png")
+
+  /** Encode a raster as JPEG (LOSSY: round-trips approximate the
+    * source; see [[decodeImage]]'s contract note).
+    */
+  def encodeJpeg(img: RasterImage): Array[Byte] =
+    encodeVia(img, "jpg")
+
+  private def encodeVia(img: RasterImage, format: String): Array[Byte] = {
+    ensureHeadless()
+    require(img.rgb.length == img.width * img.height * 3,
+      s"rgb length ${img.rgb.length} != ${img.width}x${img.height}x3")
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    val n = img.width * img.height
+    val px = new Array[Int](n)
+    while (i < n) {
+      px(i) = ((img.rgb(3 * i) & 0xff) << 16) |
+        ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(bi, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** AWT must never try to reach a display server on an executor. */
+  private def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  /** [[imageStatsTable]] over COMPRESSED payloads: identical output
+    * schema and per-partition batching, [[decodeImage]] in place of the
+    * PPM parser — the stats scan a real (PNG/JPEG) corpus runs.
+    */
+  def imageStatsTableCompressed(media: DataFrame): DataFrame =
+    imageStatsVia(media, decodeImage)
 
   // ------------------------------------------------------------ PCM codec
 

@@ -642,6 +642,39 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** REAL-FORMAT image decode end to end ([[Multimodal.decodeImage]] —
+    * `javax.imageio`, the JDK's own PNG codec, zero new dependencies):
+    * each document's deterministic 16×12 gradient raster is encoded as
+    * an actual PNG (IDAT/zlib, not a toy header format) and the judged
+    * stats come from DECODING those compressed bytes on the executors —
+    * the q76 contract upgraded from PPM to the format a real multimodal
+    * corpus actually ships. PNG is lossless, so the decoded raster
+    * equals the generated one bit-for-bit and the oracle replays the
+    * gradient arithmetic exactly (a broken encoder, a broken decoder,
+    * or any sRGB channel-order slip breaks the match). JPEG rides the
+    * same [[Multimodal.decodeImage]] path but is lossy, so its
+    * round-trip contract is tolerance-pinned in `OpsSpec`, not judged.
+    */
+  private val q142: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.encodePng(
+          Multimodal.decodePpm(Multimodal.gradientPpm(id, n, 16, 12))))
+      }
+      .toDF("media_id", "payload")
+    Multimodal.imageStatsTableCompressed(media)
+      .select(col("media_id"),
+        col("img_w").cast("long").as("img_w"),
+        col("img_h").cast("long").as("img_h"),
+        round(col("sum_r").cast("double") / (col("img_w") * col("img_h")), 6).as("r_mean"),
+        round(col("sum_g").cast("double") / (col("img_w") * col("img_h")), 6).as("g_mean"),
+        round(col("sum_b").cast("double") / (col("img_w") * col("img_h")), 6).as("b_mean"))
+      .orderBy("media_id")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -901,6 +934,7 @@ object ExtQueries {
     "q137_ivf_quant_ingest" -> q137,
     "q139_ivf_two_tier" -> q139,
     "q76_image_decode" -> q76,
+    "q142_png_decode" -> q142,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
@@ -1364,6 +1398,27 @@ object ExtQueries {
         |       round(CAST(sum(r) AS DOUBLE) / 48, 6) AS r_mean,
         |       round(CAST(sum(g) AS DOUBLE) / 48, 6) AS g_mean,
         |       round(CAST(sum(b) AS DOUBLE) / 48, 6) AS b_mean
+        |FROM px GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // the PNG path decodes REAL compressed bytes, but PNG is lossless:
+    // the recovered raster equals the generated 16x12 gradient exactly,
+    // so the oracle is the same generative arithmetic as q76's at the
+    // larger dimensions — any codec/channel-order defect breaks it
+    "q142_png_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id + 3*x.x + 5*y.y) % 256 AS r,
+        |         (d.doc_id + d.n_chars + 7*x.x + 11*y.y) % 256 AS g,
+        |         (2*d.doc_id + 13*x.x + 17*y.y) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 15)) AS x(x),
+        |       UNNEST(generate_series(0, 11)) AS y(y))
+        |SELECT doc_id AS media_id,
+        |       CAST(16 AS BIGINT) AS img_w, CAST(12 AS BIGINT) AS img_h,
+        |       round(CAST(sum(r) AS DOUBLE) / 192, 6) AS r_mean,
+        |       round(CAST(sum(g) AS DOUBLE) / 192, 6) AS g_mean,
+        |       round(CAST(sum(b) AS DOUBLE) / 192, 6) AS b_mean
         |FROM px GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
 

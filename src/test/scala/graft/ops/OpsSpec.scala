@@ -339,6 +339,40 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII")))
   }
 
+  test("PNG codec: lossless roundtrip bit-for-bit; undecodable bytes rejected") {
+    // every byte value appears across channels — a channel-order or
+    // sign-extension slip cannot hide
+    val rgb = (0 until 16 * 12 * 3).map(i => ((i * 7) % 256).toByte).toArray
+    val img = Multimodal.RasterImage(16, 12, rgb)
+    val png = Multimodal.encodePng(img)
+    // actual PNG container, not a renamed raster
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val decoded = Multimodal.decodeImage(png)
+    assert(decoded.width == 16 && decoded.height == 12)
+    assert(decoded.rgb.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage("not an image".getBytes("US-ASCII")))
+  }
+
+  test("JPEG codec: lossy roundtrip within tolerance, dimensions exact") {
+    // smooth gradient (JPEG's best case) — per-channel MEAN must land
+    // within a few counts of the source; dimensions must be exact
+    val w = 16; val h = 12
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (8 * x).toByte; rgb(i + 1) = (10 * y).toByte; rgb(i + 2) = 64.toByte
+    }
+    val decoded = Multimodal.decodeImage(
+      Multimodal.encodeJpeg(Multimodal.RasterImage(w, h, rgb)))
+    assert(decoded.width == w && decoded.height == h)
+    def mean(a: Array[Byte], c: Int): Double =
+      a.indices.collect { case i if i % 3 == c => (a(i) & 0xff).toDouble }.sum / (w * h)
+    for (c <- 0 until 3)
+      assert(math.abs(mean(decoded.rgb, c) - mean(rgb, c)) <= 4.0,
+        s"channel $c mean drifted past JPEG tolerance")
+  }
+
   test("resizeImage: nearest-neighbor downscale picks source pixels") {
     // 4x4 image whose quadrants are solid colors
     val rgb = new Array[Byte](4 * 4 * 3)

@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.DataFrame
+
+/** Product quantization — the 16–64× compression tier AFTER
+  * [[Quantize]]'s int8 (4×): each vector is split into `m` contiguous
+  * subvectors and each subvector is replaced by the id of its nearest
+  * codeword in a per-subspace codebook (k-means in L2, the
+  * FAISS-lineage scheme). Storage per vector drops from dim floats to
+  * `m` small integers (m=4, k=8 → 4 codes of 3 bits against 64 floats:
+  * ~170× in principle, bounded here by parquet's byte-per-code floor),
+  * which at 100 TB is the difference between an ANN candidate sweep
+  * that reads tens of terabytes and one that reads hundreds of
+  * gigabytes.
+  *
+  * Serving is ASYMMETRIC distance computation (ADC): the query stays
+  * float, and each (subspace, codeword) pair contributes a PRECOMPUTED
+  * dot product from an m·k-row lookup table, so scoring a row is `m`
+  * table hits and one division — no per-row vector arithmetic at all.
+  * The ADC cosine approximates cos(q, reconstruction(v)); like the int8
+  * tier it is a CANDIDATE metric, served under the same
+  * approximate-cut → exact-re-rank contract as [[AnnIndex.probeTwoTier]]
+  * ([[topKTwoTier]] here — identical [[AnnIndex.rerankExact]] tail).
+  *
+  * Determinism (the judged cross-engine discipline):
+  *  - codebooks seed from the k lowest-id rows' subvectors
+  *    ([[Similarity.kmeans]]'s convention) and refine by Lloyd rounds
+  *    whose means are DECIMAL sums rounded to 6 — order-independent;
+  *  - assignment is argmin of ROUND(L2², 6) with a smaller-cid
+  *    tie-break — L2² = dot(sv,sv) − 2·dot(sv,cv) + dot(cv,cv) uses no
+  *    division, so degenerate (zero) subvectors need no special case;
+  *  - ADC sums per-subspace lookups as ROUND(·, 9) DECIMAL partials
+  *    (exact, order-independent — the q95/q108 ln-sum discipline), and
+  *    the final score is ROUND(adot / (|q|·|recon|), 6) with rows whose
+  *    reconstructed norm is zero excluded on both engines.
+  *
+  * Scale shape: training is one corpus scan per Lloyd round (ALL
+  * subspaces ride one exploded (id, sub, sv) relation — not m separate
+  * jobs); codebooks and the ADC lookup table are m·k-row broadcasts;
+  * encoding is a broadcast argmin; an ADC sweep is one broadcast join +
+  * one map-side-combined groupBy(id) whose shuffle rows carry decimal
+  * partial sums. Nothing corpus-sized is ever collected or re-shuffled
+  * wide.
+  */
+object ProductQuantize {
+
+  private def ndot = GraftFunctions.dotNative _
+
+  /** (id, sub, sv): the exploded subvector relation — `m` rows per
+    * vector, `sv` the `dim/m`-length contiguous slice.
+    */
+  private def subvectors(embeddings: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
+    val e = embeddings.select(col(idCol),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    // Column `/` is double division — keep the slice bounds integral
+    val d = (size(col("v")) / lit(m)).cast("int")
+    e.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col(idCol), col("sub"),
+        slice(col("v"), col("sub") * d + 1, d).as("sv"))
+  }
+
+  /** Rounded squared L2 distance — the assignment metric (6-decimal
+    * round, then smaller-cid tie-break, matching the oracle's
+    * row_number ordering bit-for-bit).
+    */
+  private def dist2(sv: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(ndot(sv, sv) - lit(2.0) * ndot(sv, cv) + ndot(cv, cv), 6)
+
+  /** One L2 argmin pass of the subvector relation against a broadcast
+    * codebook (sub, cid, cv) — (id, sub, code).
+    */
+  private def assign(sub: DataFrame, idCol: String,
+      codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"), col("cid"), dist2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+
+  /** Train the per-subspace codebooks: (sub, cid, cv), `m`·`k` rows.
+    * Seeds are the `k` lowest-id rows' subvectors; `iters` Lloyd rounds
+    * refine them (decimal-exact means rounded to 6). Materialized
+    * ([[CacheLifecycle]]'s contract), so consumers never re-run the
+    * training scans.
+    */
+  def train(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 8, iters: Int = 1): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val sub = subvectors(embeddings, idCol, vecCol, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: the k lowest EXISTING ids' subvectors (one TakeOrdered over
+    // the narrow id column, then a semi join — not filter(id < k), the
+    // sparse-id-space argument of Similarity.kmeans)
+    val seedIds = sub.select(col(idCol)).distinct()
+      .orderBy(col(idCol)).limit(k)
+    var codebook = sub.join(broadcast(seedIds), Seq(idCol))
+      .select(col("sub"), col(idCol).as("cid"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(sub, idCol, codebook)
+      // decimal-exact per-dimension means over the exploded
+      // (sub, code, dim, val) relation, rounded to 6 so the next
+      // assignment sees identical codeword literals in any engine
+      val means = sub.join(assigned, Seq(idCol, "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "val")))
+        .groupBy("sub", "code", "dim")
+        .agg((sum(col("val").cast(DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("mraw"))
+        .select(col("sub"), col("code"), col("dim"), round(col("mraw"), 6).as("mv"))
+      codebook = means
+        .groupBy(col("sub"), col("code").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+          s => s.getField("mv")).as("cv"))
+    }
+    CacheLifecycle.resolveAndRelease(codebook, sub)
+  }
+
+  /** Encode the corpus against a trained codebook: (id, sub, code) —
+    * the stored form (plus whatever metadata the caller keeps). One
+    * broadcast argmin over the exploded subvector relation.
+    */
+  def encode(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int = 4): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    assign(subvectors(embeddings, idCol, vecCol, m), idCol, codebook)
+  }
+
+  /** ADC cosine top-`k` around `queryVec` over an encoded corpus: the
+    * m·k lookup table (per-codeword query dot + codeword norm², both
+    * round-9) broadcasts, each row's score assembles from its `m`
+    * codes by DECIMAL partial sums, and the ranking is
+    * (sim desc, id asc). Rows with a zero reconstructed norm are
+    * excluded (no defined cosine) — mirrored by the oracle.
+    */
+  def adcTopK(codes: DataFrame, codebook: DataFrame, idCol: String,
+      queryVec: Array[Double], k: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val m = codebook.select(max(col("sub"))).head().getInt(0) + 1
+    val d = queryVec.length / m
+    // the m·k lookup table: per (subspace, codeword), the query
+    // subvector's dot with the codeword and the codeword's norm² —
+    // both round-9 so the decimal partial sums below are exact
+    val lut = codebook.select(col("sub"), col("cid"),
+      round(ndot(slice(typedlit(queryVec.toSeq), col("sub") * d + 1, lit(d)),
+        col("cv")), 9).as("lutv"),
+      round(ndot(col("cv"), col("cv")), 9).as("cvn2"))
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    val base = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(codes(idCol))
+      .agg(sum(col("lutv").cast(DecimalType(28, 12))).cast("double").as("adot"),
+        sum(col("cvn2").cast(DecimalType(28, 12))).cast("double").as("rn2"))
+      .filter(col("rn2") > 0)
+    excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+      .select(col(idCol),
+        round(col("adot") / (sqrt(col("rn2")) * lit(qnrm)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The complete PQ serving path: tier 1 cuts the ADC top-(k·overfetch)
+    * from the encoded corpus (`m` lookup hits per row, no vector math),
+    * tier 2 fetches only those candidates' float vectors from the
+    * primary table and re-ranks by exact cosine — the identical
+    * [[AnnIndex.rerankExact]] tail every two-tier layout here shares.
+    */
+  def topKTwoTier(codes: DataFrame, codebook: DataFrame,
+      primary: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, overfetch: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val tier1 = adcTopK(codes, codebook, idCol, queryVec,
+      k * overfetch, excludeId)
+    AnnIndex.rerankExact(primary, idCol, vecCol,
+      tier1.select(col(idCol)), queryVec, k)
+  }
+
+  /** Mean squared reconstruction error of an encoding — the
+    * quality-of-fit diagnostic (`QuantizeSpec`-style bound target):
+    * E[ ||v − recon(v)||² ] over the corpus, exact decimal mean.
+    */
+  def reconstructionMse(embeddings: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, m: Int = 4): Double = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val sub = subvectors(embeddings, idCol, vecCol, m)
+    val coded = assign(sub, idCol, codebook)
+    val joined = sub.join(coded, Seq(idCol, "sub"))
+    joined
+      .join(broadcast(codebook),
+        joined("sub") === codebook("sub") && joined("code") === codebook("cid"))
+      .select((ndot(col("sv"), col("sv")) - lit(2.0) * ndot(col("sv"), col("cv"))
+        + ndot(col("cv"), col("cv"))).as("d2"))
+      .agg((sum(col("d2").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("mse"))
+      .head().getDouble(0)
+  }
+}

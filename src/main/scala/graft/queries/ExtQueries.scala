@@ -442,6 +442,42 @@ object ExtQueries {
     graft.ops.Quantize.topKTwoTier(t(s, dir, "embeddings"), "vec_id",
       "embedding", queryId = 0L, k = 10, overfetch = 4)
 
+  /** PRODUCT QUANTIZATION ([[graft.ops.ProductQuantize]]) — the
+    * compression tier after int8's 4×: 4 subspaces × 8-codeword
+    * codebooks (per-subspace L2 k-means, lowest-id seeds + one
+    * decimal-exact Lloyd round), each vector stored as 4 small codes.
+    * q146 judges the codebook + encoding itself (every vector's 4
+    * codes pinned cross-engine — the training determinism claim);
+    * q147 the ADC cosine sweep (the m-lookup candidate scan a 100 TB
+    * corpus runs instead of vector math); q148 the complete ADC-cut →
+    * exact-re-rank serving path (q121's contract over the PQ tier).
+    * Codebook trained once per (pid, dir); encoding re-runs per call —
+    * it IS the benched sweep cost.
+    */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebooks.computeIfAbsent(dir, _ =>
+      graft.ops.ProductQuantize.train(t(s, dir, "embeddings"), "vec_id",
+        "embedding", m = 4, k = 8, iters = 1))
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ProductQuantize.encode(t(s, dir, "embeddings"), "vec_id",
+      "embedding", pqCodebook(s, dir), m = 4)
+
+  private val q146: Q = (s, dir) =>
+    pqCodes(s, dir)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+      .orderBy("vec_id", "sub")
+
+  private val q147: Q = (s, dir) =>
+    graft.ops.ProductQuantize.adcTopK(pqCodes(s, dir), pqCodebook(s, dir),
+      "vec_id", queryVec0(s, dir), k = 10, excludeId = Some(0L))
+
+  private val q148: Q = (s, dir) =>
+    graft.ops.ProductQuantize.topKTwoTier(pqCodes(s, dir),
+      pqCodebook(s, dir), t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, excludeId = Some(0L))
+
   /** The assembled serving layout ([[graft.ops.AnnIndex.writeQuantized]]):
     * bucket-partitioned AND int8-quantized at rest — q116's partition
     * pruning × q119's 4×-smaller scan, floats not stored at all. The
@@ -918,6 +954,9 @@ object ExtQueries {
     "q119_quantized_ann" -> q119,
     "q120_compacted_probe" -> q120,
     "q121_two_tier_rerank" -> q121,
+    "q146_pq_codes" -> q146,
+    "q147_pq_adc_topk" -> q147,
+    "q148_pq_two_tier" -> q148,
     "q122_quant_index_probe" -> q122,
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
@@ -1281,6 +1320,39 @@ object ExtQueries {
          |FROM e JOIN cand USING (vec_id), q0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // product quantization: the codebook training (per-subspace L2
+    // k-means, decimal-exact Lloyd means) and every vector's 4 codes,
+    // replayed relationally — a drift anywhere in seed choice, distance
+    // rounding, tie-break, or mean arithmetic moves some row's code
+    "q146_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, sub, code FROM pqa
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // the ADC sweep: scores assembled from the m·k lookup table by
+    // exact decimal sums, ranked (sim desc, id); rows with a zero
+    // reconstructed norm have no defined cosine and are excluded on
+    // both engines
+    "q147_pq_adc_topk" ->
+      s"""WITH $pqAdcCtes
+         |SELECT vec_id, round(adot / (sqrt(rn2) * q.qnrm), 6) AS sim
+         |FROM psc, qn q WHERE vec_id <> 0 AND rn2 > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the two-tier composition over the PQ tier: ADC top-(10·4) cut,
+    // then exact cosine over ONLY those candidates (q121's pattern;
+    // the zero-vector guard mirrors rerankExact's nonzero filter)
+    "q148_pq_two_tier" ->
+      s"""WITH $pqAdcCtes,
+         |cand AS (SELECT vec_id, round(adot / (sqrt(rn2) * q.qnrm), 6) AS sima
+         |         FROM psc, qn q WHERE vec_id <> 0 AND rn2 > 0
+         |         ORDER BY sima DESC, vec_id LIMIT ${10 * 4}),
+         |q0 AS (SELECT v AS qv0 FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.v", "q0.qv0")} AS sim
+         |FROM e JOIN cand USING (vec_id), q0
+         |WHERE list_dot_product(e.v, e.v) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
     // the at-rest multi-probe: the 1-ball bucket union, enumerated
     // relationally — rows whose recomputed bucket string is within
     // Hamming distance 1 of the query's (the same 9 buckets probeMulti
@@ -1635,6 +1707,69 @@ object ExtQueries {
          |SELECT doc_id, quality, dup_token_frac
          |FROM gate ORDER BY doc_id""".stripMargin,
   )
+
+  /** The product-quantization training + encoding as a CTE block ending
+    * in `cb(sub, cid, cv)` (the per-subspace codebooks after one
+    * decimal-exact Lloyd round in L2) and `pqa(vec_id, sub, code)` (the
+    * final assignment) — mirrors [[graft.ops.ProductQuantize]]'s
+    * train/encode exactly: 4 subspaces of 16 dims, 8 codewords seeded
+    * from the lowest-id rows' subvectors, argmin of round(L2², 6) with
+    * a smaller-cid tie-break. Shared verbatim by q146/q147/q148.
+    */
+  private[queries] lazy val pqCtes: String =
+    s"""$embCte,
+       |sv AS (SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+       |       FROM e, UNNEST(generate_series(0, 3)) AS s(s)),
+       |pc0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+       |pa1 AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT sv.vec_id, sv.sub, pc0.cid,
+       |           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |             ORDER BY round(list_dot_product(sv.sv, sv.sv)
+       |                          - 2*list_dot_product(sv.sv, pc0.cv)
+       |                          + list_dot_product(pc0.cv, pc0.cv), 6) ASC,
+       |                      pc0.cid ASC) AS rn
+       |    FROM sv JOIN pc0 ON pc0.sub = sv.sub)
+       |  WHERE rn = 1),
+       |pd1 AS (SELECT s.sub, a.code, g.i - 1 AS dim, s.sv[g.i] AS val
+       |        FROM sv s JOIN pa1 a ON a.vec_id = s.vec_id AND a.sub = s.sub,
+       |             UNNEST(generate_series(1, len(s.sv))) AS g(i)),
+       |pm1 AS (SELECT sub, code, dim,
+       |               round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+       |                     / count(*), 6) AS mv
+       |        FROM pd1 GROUP BY 1, 2, 3),
+       |cb AS (SELECT sub, code AS cid, list(mv ORDER BY dim) AS cv
+       |       FROM pm1 GROUP BY 1, 2),
+       |pqa AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT s.vec_id, s.sub, cb.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |             ORDER BY round(list_dot_product(s.sv, s.sv)
+       |                          - 2*list_dot_product(s.sv, cb.cv)
+       |                          + list_dot_product(cb.cv, cb.cv), 6) ASC,
+       |                      cb.cid ASC) AS rn
+       |    FROM sv s JOIN cb ON cb.sub = s.sub)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The ADC scoring tail over [[pqCtes]] — `psc(vec_id, adot, rn2)`:
+    * per-row reconstructed dot and norm² assembled from round-9
+    * DECIMAL partial sums of the m·k lookup table (the q95/q108
+    * exact-sum discipline). Shared by q147 (direct ranking) and q148
+    * (candidate cut).
+    */
+  private[queries] lazy val pqAdcCtes: String =
+    s"""$pqCtes,
+       |qsub AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = 0),
+       |plut AS (SELECT cb.sub, cb.cid,
+       |                round(list_dot_product(q.qsv, cb.cv), 9) AS lutv,
+       |                round(list_dot_product(cb.cv, cb.cv), 9) AS cvn2
+       |         FROM cb JOIN qsub q ON q.sub = cb.sub),
+       |qn AS (SELECT sqrt(list_dot_product(v, v)) AS qnrm FROM e WHERE vec_id = 0),
+       |psc AS (SELECT a.vec_id,
+       |               CAST(sum(CAST(l.lutv AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+       |               CAST(sum(CAST(l.cvn2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2
+       |        FROM pqa a JOIN plut l ON l.sub = a.sub AND l.cid = a.code
+       |        GROUP BY 1)""".stripMargin
 
   /** q82's one-Lloyd-round k-means as a CTE block ending in
     * `a2(vec_id, cell, sim)` — reused verbatim by the q115 SemDeDup

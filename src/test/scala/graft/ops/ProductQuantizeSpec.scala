@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The product-quantization contracts ([[ProductQuantize]] scaladoc):
+  * codebook shape, Lloyd-round fit improvement, the reconstruction
+  * bound q146's oracle (which pins the scheme, not its quality) cannot
+  * express, determinism of training, and the two-tier composition law.
+  */
+class ProductQuantizeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private val M = 4
+  private val K = 8
+  private lazy val cb = ProductQuantize.train(emb, "vec_id", "embedding",
+    m = M, k = K, iters = 1)
+
+  private def qvec0 = emb.filter(col("vec_id") === 0L)
+    .select(Similarity.toDoubleVec(col("embedding")))
+    .head().getSeq[Double](0).toArray
+
+  test("codebook shape: m subspaces x k codewords of dim/m values each") {
+    val rows = cb.collect()
+    assert(rows.length == M * K)
+    assert(rows.map(r => (r.getInt(r.fieldIndex("sub")),
+      r.getLong(r.fieldIndex("cid")))).distinct.length == M * K)
+    assert(rows.forall(_.getSeq[Double](2).length == 64 / M))
+  }
+
+  test("every vector gets exactly m codes, each a valid codeword id") {
+    val codes = ProductQuantize.encode(emb, "vec_id", "embedding", cb, m = M)
+    val n = emb.count()
+    assert(codes.count() == n * M)
+    assert(codes.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= M).count() == 0L)
+    // codes reference existing (sub, cid) codebook entries only
+    assert(codes.join(cb.select(col("sub"), col("cid").as("code")),
+      Seq("sub", "code"), "left_anti").count() == 0L)
+  }
+
+  test("one Lloyd round strictly improves reconstruction over the raw seeds") {
+    val seedCb = ProductQuantize.train(emb, "vec_id", "embedding",
+      m = M, k = K, iters = 0)
+    val mseSeed = ProductQuantize.reconstructionMse(emb, "vec_id",
+      "embedding", seedCb, m = M)
+    val mseLloyd = ProductQuantize.reconstructionMse(emb, "vec_id",
+      "embedding", cb, m = M)
+    assert(mseLloyd < mseSeed,
+      s"Lloyd MSE $mseLloyd !< seed MSE $mseSeed")
+    // and the fit is nontrivial: better than encoding everything to a
+    // single shared codeword per subspace (k = 1 collapses the
+    // codebook to the per-subspace seed row)
+    val oneCw = ProductQuantize.train(emb, "vec_id", "embedding",
+      m = M, k = 1, iters = 1)
+    val mseOne = ProductQuantize.reconstructionMse(emb, "vec_id",
+      "embedding", oneCw, m = M)
+    assert(mseLloyd < mseOne, s"k=$K no better than k=1")
+  }
+
+  test("training is deterministic: identical codebooks across runs") {
+    val again = ProductQuantize.train(emb, "vec_id", "embedding",
+      m = M, k = K, iters = 1)
+    val a = cb.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Double](2))).sortBy(t => (t._1, t._2))
+    val b = again.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Double](2))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("two-tier == ADC cut composed with the exact re-rank (composition law)") {
+    val codes = ProductQuantize.encode(emb, "vec_id", "embedding", cb, m = M)
+    val k = 7; val overfetch = 3
+    val fromOp = ProductQuantize.topKTwoTier(codes, cb, emb, "vec_id",
+        "embedding", qvec0, k = k, overfetch = overfetch,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val candIds = ProductQuantize.adcTopK(codes, cb, "vec_id", qvec0,
+        k = k * overfetch, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    val qv = typedlit(qvec0.toSeq)
+    val expected = emb
+      .filter(col("vec_id").isin(candIds.toSeq.map(x => x: Any): _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(ndot(col("v"), qv) /
+          (col("nrm") * sqrt(ndot(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromOp == expected)
+    assert(fromOp.size == k)
+  }
+
+  test("ADC candidate quality: the exact top-1 neighbor survives the overfetched cut") {
+    // the serving claim: an ADC cut at k*overfetch keeps what the exact
+    // re-rank needs — pin the minimal version (the true top-1 is in the
+    // top-40 ADC candidates) so a broken LUT/assignment cannot hide
+    val codes = ProductQuantize.encode(emb, "vec_id", "embedding", cb, m = M)
+    val adcIds = ProductQuantize.adcTopK(codes, cb, "vec_id", qvec0,
+        k = 40, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val exactTop1 = Similarity.knnBrute(emb, "vec_id", "embedding",
+        queryId = 0L, k = 1)
+      .collect().map(_.getLong(0)).head
+    assert(adcIds.contains(exactTop1),
+      s"exact top-1 $exactTop1 missing from the ADC top-40")
+  }
+}

@@ -455,11 +455,23 @@ object ExtQueries {
     * it IS the benched sweep cost.
     */
   private val pqCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    pqCodebooks.computeIfAbsent(dir, _ =>
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(pqCodebooks)
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    // the codebook lives AT REST (m·k rows of parquet) — the production
+    // shape: training is a build step, serving reads the artifact; also
+    // keeps the cross-call cache a path, never a checkpointed frame
+    // whose blocks linger in executor storage between queries
+    val p = pqCodebooks.computeIfAbsent(dir, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pq_codebook_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
       graft.ops.ProductQuantize.train(t(s, dir, "embeddings"), "vec_id",
-        "embedding", m = 4, k = 8, iters = 1))
+          "embedding", m = 4, k = 8, iters = 1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
     graft.ops.ProductQuantize.encode(t(s, dir, "embeddings"), "vec_id",
       "embedding", pqCodebook(s, dir), m = 4)

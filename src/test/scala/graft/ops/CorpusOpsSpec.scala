@@ -270,6 +270,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!score.contains(4L) && out.length == 3)
   }
 
+  test("bm25 stored index: serve-from-index == from-text; append == write on the union") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = Seq("vector", "stream", "window")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val pW = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_w"
+    val pA = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_a"
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", pW)
+    // ingest shape: half written, half appended — postings/lens/stats
+    // all pure appends, stats as delta rows summed at read
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", pA)
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", pA)
+    assert(spark.read.parquet(s"$pA/stats").count() == 2) // two delta rows
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromText = top(Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 20))
+    val fromIx = top(Retrieval.bm25FromIndex(spark, pW, "doc_id", query, k = 20))
+    val fromIngest = top(Retrieval.bm25FromIndex(spark, pA, "doc_id", query, k = 20))
+    assert(fromIx == fromText)
+    assert(fromIngest == fromText)
+    assert(fromText.nonEmpty)
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+  }
+
   test("bm25TopK: duplicate query terms count once (term-set semantics)") {
     val docs = Seq(
       (1L, "spark spark spark spark filler filler filler filler"),

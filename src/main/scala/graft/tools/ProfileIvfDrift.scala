@@ -95,6 +95,15 @@ object ProfileIvfDrift {
     cellBalance("rebuilt")
     val rebuiltRecall = meanRecall("rebuilt")
     println(f"[drift] recall delta (rebuilt - frozen) = ${rebuiltRecall - frozenRecall}%.4f")
+
+    // the SEEDING comparison (round 14): rebuild the same at-rest corpus
+    // with the Lloyd-refined quantizer and report what geometry-aware
+    // seeding buys over the lowest-id layout just measured
+    IvfIndex.rebuild(spark, path, "vec_id", numCentroids = 8,
+      kmeansIters = 1)
+    cellBalance("kmeans ")
+    val kmeansRecall = meanRecall("kmeans ")
+    println(f"[seed] recall delta (kmeans - lowest-id) = ${kmeansRecall - rebuiltRecall}%.4f")
     rm(new java.io.File(path))
     spark.stop()
   }

@@ -538,6 +538,61 @@ class PlanGuardSpec extends SparkSpec {
       s"no wide vector column may be read (none is even stored):\n${rs.get}")
   }
 
+  test("q149 ivf-pq probe: cell-pruned AND codes-only — the scan reads m codes, no vectors exist") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_guard"
+    graft.ops.IvfIndex.writePq(emb, "vec_id", "embedding", path,
+      numCentroids = 8, m = 4, k = 8, pqIters = 1)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(graft.ops.Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val cells = graft.ops.IvfIndex.probeCellsOf(spark, path, qvec, nprobe = 2)
+    val p = graft.ops.IvfIndex
+      .probePq(spark, path, "vec_id", qvec, k = 5, nprobe = 2,
+        excludeId = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the nprobe-cell choice must prune partitions, exactly as q125's
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, s"no PartitionFilters entry in the probe scan:\n$p")
+    assert(scan.get.contains("cell") && scan.get.contains(" IN (") &&
+      cells.forall(scan.get.contains),
+      s"the nprobe cells must prune partitions (IN over $cells):\n${scan.get}")
+    // ... and the bytes are CODES ONLY: the scan schema carries the
+    // (sub, code) integers, and no vector column of any width exists
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(rs.isDefined, s"no ReadSchema in the probe scan:\n$p")
+    assert(rs.get.contains("sub") && rs.get.contains("code"),
+      s"the probe must scan the code columns:\n${rs.get}")
+    assert(!rs.get.contains("array<"),
+      s"no vector column may be read (none is even stored):\n${rs.get}")
+    // the m·k lookup table broadcasts; the codes side never does
+    assert(p.contains("BroadcastHashJoin"),
+      s"the LUT join must be a broadcast hash join:\n$p")
+  }
+
+  test("q152 bm25 stored index: the query terms' filter pushes into the postings scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_guard"
+    graft.ops.Retrieval.writeBm25Index(docs, "doc_id", "text", path)
+    val p = graft.ops.Retrieval
+      .bm25FromIndex(spark, path, "doc_id",
+        query = Seq("vector", "stream", "window"), k = 20)
+      .queryExecution.executedPlan.toString
+    // only the query terms' postings are read: the In filter must reach
+    // the parquet scan (at 100 TB the same predicate prunes term
+    // buckets), and the scan must stay narrow — never the text
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      s"the term isin must push into the postings scan:\n$p")
+    assert(!p.contains("text"),
+      s"document text must never be read by the stored-index path:\n$p")
+    // df and the stats delta-sum are broadcast back; the postings side
+    // never shuffles wide for them
+    assert(p.contains("BroadcastHashJoin"),
+      s"df must broadcast onto the matched postings:\n$p")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

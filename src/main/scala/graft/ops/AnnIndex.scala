@@ -267,14 +267,14 @@ object AnnIndex {
     * Returns the compacted bucket values, sorted.
     */
   def compactBuckets(spark: SparkSession, path: String,
-      maxFilesPerBucket: Int = 4): Seq[String] = {
+      maxFilesPerBucket: Int = 4, partCol: String = "bucket"): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val over = fs.listStatus(root)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath)
       .filter(d => partFiles(d).length > maxFilesPerBucket)
       .sortBy(_.getName)
@@ -287,12 +287,14 @@ object AnnIndex {
       // per-bucket-sequential rewrite would be driver-bound at hundreds
       // of flagged buckets (q118's post-ingest pass flags ~256) — the
       // distributed single job is what a real OPTIMIZE runs.
+      // `partCol` generalizes the pass to any bucket-partitioned
+      // at-rest relation ([[Retrieval.compactBm25Index]]'s `tb`).
       val tmp = new Path(root, ".compact_tmp")
       spark.read.option("basePath", path)
         .parquet(over.map(_.toString).toIndexedSeq: _*)
-        .repartition(col("bucket"))
+        .repartition(col(partCol))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(tmp.toString)
+        .partitionBy(partCol).parquet(tmp.toString)
       over.foreach { dir =>
         partFiles(dir).foreach(f => fs.delete(f.getPath, false))
         partFiles(new Path(tmp, dir.getName)).foreach(f =>
@@ -300,7 +302,7 @@ object AnnIndex {
       }
       fs.delete(tmp, true)
     }
-    over.map(_.getName.stripPrefix("bucket=")).toSeq
+    over.map(_.getName.stripPrefix(s"$partCol=")).toSeq
   }
 
   /** Probe the at-rest index for the cosine top-k around `queryVec`.

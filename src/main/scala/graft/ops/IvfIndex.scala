@@ -391,16 +391,37 @@ object IvfIndex {
       idCol, "v", tmp.toString, numCentroids, kmeansIters)
     fs.mkdirs(old)
     val moved = fs.listStatus(root).map(_.getPath)
+    // Hadoop FileSystems report rename failure by RETURNING FALSE, not
+    // throwing (the compactStoredDfs lesson) — an unchecked rename would
+    // sail past a failed move and the catch-based recovery below would
+    // never trigger
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"IvfIndex.rebuild: cannot rename $src -> $dst")
+    var asideDone = false
     try {
-      moved.foreach(p => fs.rename(p, new Path(old, p.getName)))
+      moved.foreach(p => renameOrThrow(p, new Path(old, p.getName)))
+      asideDone = true
       fs.listStatus(tmp).foreach(f =>
-        fs.rename(f.getPath, new Path(root, f.getPath.getName)))
+        renameOrThrow(f.getPath, new Path(root, f.getPath.getName)))
     } catch {
       case e: Throwable =>
-        // best-effort restore before surfacing the failure: move aside
-        // entries back unless a tmp child of the same name already
-        // landed (a crash that skips this block leaves `.{old,tmp}`
-        // dirs for manual recovery, never a deleted layout)
+        // COMPLETE restore before surfacing the failure. Two cases:
+        //  - move-aside failed (asideDone false): nothing rebuilt has
+        //    landed, root holds only not-yet-moved OLD children — move
+        //    the aside ones back (names are disjoint by construction);
+        //  - move-in failed (asideDone true): every root child is
+        //    tmp-origin — DELETE them all first (they are reproducible
+        //    by re-running rebuild; the only live copy is under `old`),
+        //    then move every old child back. Restoring without the
+        //    delete would leave a MIXED old/new layout whenever the
+        //    rebuild changed parameters (different cell names),
+        //    contradicting the never-a-partial-index contract.
+        // A crash that skips this block leaves `.{old,tmp}` dirs for
+        // manual recovery, never a deleted layout.
+        if (asideDone)
+          fs.listStatus(root).foreach(f => fs.delete(f.getPath, true))
         fs.listStatus(old).foreach { f =>
           val dst = new Path(root, f.getPath.getName)
           if (!fs.exists(dst)) fs.rename(f.getPath, dst)

@@ -56,6 +56,15 @@ object ProductQuantize {
       vecCol: String, m: Int): DataFrame = {
     val e = embeddings.select(col(idCol),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
+      // a vector length not divisible by m must fail LOUDLY, not
+      // silently truncate the trailing dim % m dimensions — the guard
+      // is in-plan (no extra driver-side job on this hot path)
+      .withColumn("v",
+        when(size(col("v")) % lit(m) =!= 0,
+          raise_error(concat(lit("ProductQuantize: vector length "),
+            size(col("v")).cast("string"),
+            lit(s" is not divisible by m=$m"))))
+          .otherwise(col("v")))
     // Column `/` is double division — keep the slice bounds integral
     val d = (size(col("v")) / lit(m)).cast("int")
     e.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
@@ -139,8 +148,21 @@ object ProductQuantize {
       queryVec: Array[Double], k: Int = 10,
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(codes.sparkSession)
-    val m = codebook.select(max(col("sub"))).head().getInt(0) + 1
-    val d = queryVec.length / m
+    // subspace count AND width both come from the STORED codebook (one
+    // m·k-row aggregate) — deriving d from the query's length would
+    // mis-slice a wrong-dimensionality query SILENTLY instead of
+    // failing; now a mismatched query is rejected up front
+    val shape = codebook
+      .agg(max(col("sub")).as("maxSub"), max(size(col("cv"))).as("d"),
+        min(size(col("cv"))).as("dMin"))
+      .head()
+    val m = shape.getInt(0) + 1
+    val d = shape.getInt(1)
+    require(d == shape.getInt(2),
+      s"adcTopK: ragged codebook (codeword widths ${shape.getInt(2)}..$d)")
+    require(queryVec.length == m * d,
+      s"adcTopK: query dimension ${queryVec.length} != m*d = ${m * d} " +
+        "of the stored codebook")
     // the m·k lookup table: per (subspace, codeword), the query
     // subvector's dot with the codeword and the codeword's norm² —
     // both round-9 so the decimal partial sums below are exact
@@ -181,6 +203,10 @@ object ProductQuantize {
   /** Mean squared reconstruction error of an encoding — the
     * quality-of-fit diagnostic (`QuantizeSpec`-style bound target):
     * E[ ||v − recon(v)||² ] over the corpus, exact decimal mean.
+    * Per-VECTOR normalization: the m per-subspace squared distances of
+    * a vector are summed per id BEFORE the mean (an average over the
+    * exploded (id, sub) rows would be m× smaller than the documented
+    * per-vector MSE).
     */
   def reconstructionMse(embeddings: DataFrame, idCol: String,
       vecCol: String, codebook: DataFrame, m: Int = 4): Double = {
@@ -191,10 +217,12 @@ object ProductQuantize {
     joined
       .join(broadcast(codebook),
         joined("sub") === codebook("sub") && joined("code") === codebook("cid"))
-      .select((ndot(col("sv"), col("sv")) - lit(2.0) * ndot(col("sv"), col("cv"))
-        + ndot(col("cv"), col("cv"))).as("d2"))
-      .agg((sum(col("d2").cast(DecimalType(28, 12))).cast("double") /
-        count(lit(1))).as("mse"))
+      .select(joined(idCol),
+        (ndot(col("sv"), col("sv")) - lit(2.0) * ndot(col("sv"), col("cv"))
+          + ndot(col("cv"), col("cv"))).as("d2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("d2").cast(DecimalType(28, 12))).as("vd2"))
+      .agg((sum(col("vd2")).cast("double") / count(lit(1))).as("mse"))
       .head().getDouble(0)
   }
 }

@@ -520,7 +520,7 @@ object AnalyticsQueries {
       sum(col("n")).as("n_events"),
       count(lit(1)).cast("long").as("n_days"))
     val exact = ev.agg(count_distinct(col("user_id")).as("exact_distinct_users"))
-    merged.crossJoin(exact)
+    merged.crossJoin(broadcast(exact))
       .select(col("n_events"), col("n_days"), col("exact_distinct_users"),
         (abs(col("est") - col("exact_distinct_users")).cast("double")
           <= col("exact_distinct_users").cast("double") * 0.05).as("within_bound"))

@@ -221,6 +221,66 @@ object CorpusQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** The TERM-BUCKETED BM25 index ([[Retrieval.writeBm25Index]] with
+    * `termBuckets = 16`): the postings relation partitioned by the
+    * frozen md5 term→bucket map, so the query's 3 terms become a
+    * driver-computed `tb IN (...)` PARTITION filter and the serve-time
+    * read prunes to the terms' buckets' FILES — q152's layout upgraded
+    * from row-group pruning to the file pruning [[graft.ops.AnnIndex]]
+    * buckets and [[graft.ops.IvfIndex]] cells already get (the gap
+    * `Retrieval`'s scaladoc named). Judged against q95's oracle
+    * VERBATIM: a layout cannot change a score; `PlanGuardSpec` pins the
+    * PartitionFilters entry. Built once per (pid, dir).
+    */
+  private val bm25BucketedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(bm25BucketedIndexes)
+  private def bm25BucketedPath(s: SparkSession, dir: String): String =
+    bm25BucketedIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_tb_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Retrieval.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", p,
+        termBuckets = 16)
+      p
+    })
+  private val q154: Q = (s, dir) =>
+    Retrieval.bm25FromIndex(s, bm25BucketedPath(s, dir), "doc_id",
+        query = Seq("vector", "stream", "window"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** BM25 index OPTIMIZE ([[Retrieval.compactBm25Index]]): the bucketed
+    * index built the way an ingest loop leaves it — half written, two
+    * quarter-batches appended, so bucket dirs hold up to 3 files and
+    * `stats/` holds 3 delta rows — then compacted (one file per hot
+    * bucket, lens rewritten behind a rename-aside swap, stats deltas
+    * folded back to ONE row) and probed for q95's exact question.
+    * Judged against q95's oracle VERBATIM: ingest, layout, and
+    * compaction are each score-invariant by construction
+    * (`RetrievalSpec` pins the file-count postconditions and probe
+    * equality separately). Built once per (pid, dir).
+    */
+  private val bm25CompactIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(bm25CompactIndexes)
+  private val q155: Q = (s, dir) => {
+    val path = bm25CompactIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_opt_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", p, termBuckets = 16)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", p)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", p)
+      Retrieval.compactBm25Index(s, p, maxFilesPerBucket = 1)
+      p
+    })
+    Retrieval.bm25FromIndex(s, path, "doc_id",
+        query = Seq("vector", "stream", "window"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Keep-best resolution against the STORED shingle index: q111's
     * cluster/keeper relation with the near-dup pairs computed from the
     * at-rest postings/sizes/dfs ([[Dedup.jaccardFromIndex]]) instead
@@ -589,6 +649,8 @@ object CorpusQueries {
     "q144_stored_keep_best" -> q144,
     "q152_bm25_stored" -> q152,
     "q153_bm25_stored_ingest" -> q153,
+    "q154_bm25_bucketed" -> q154,
+    "q155_bm25_optimize" -> q155,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
@@ -646,6 +708,16 @@ object CorpusQueries {
        |bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
        |       FROM scored GROUP BY doc_id
        |       ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+
+  /** q95's complete oracle SQL — the from-text BM25 top-20. Shared
+    * verbatim by every stored-layout/ingest/OPTIMIZE replay (q152–q155
+    * here, q159 in [[StreamingQueries]]): where and how the statistics
+    * live cannot change a score.
+    */
+  private[queries] lazy val bm25TopSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score FROM bm
+       |ORDER BY score DESC, doc_id""".stripMargin
 
   /** u(key)·2²⁴ in DuckDB: the first 6 md5 hex chars of the doc id as
     * an exact integer — the replay of [[graft.ops.Sampling.hashUniform]].
@@ -1021,23 +1093,16 @@ object CorpusQueries {
          |FROM tok GROUP BY 1
          |ORDER BY exact_n DESC, term LIMIT 20""".stripMargin,
 
-    "q95_bm25" ->
-      s"""WITH $bm25Ctes
-         |SELECT doc_id, score FROM bm
-         |ORDER BY score DESC, doc_id""".stripMargin,
+    "q95_bm25" -> bm25TopSql,
 
-    // the stored-index serving path and its ingest replay must return
-    // exactly what the from-text scorer returns — one oracle string,
-    // three judged plans (the q125/q143 argument, for retrieval)
-    "q152_bm25_stored" ->
-      s"""WITH $bm25Ctes
-         |SELECT doc_id, score FROM bm
-         |ORDER BY score DESC, doc_id""".stripMargin,
-
-    "q153_bm25_stored_ingest" ->
-      s"""WITH $bm25Ctes
-         |SELECT doc_id, score FROM bm
-         |ORDER BY score DESC, doc_id""".stripMargin,
+    // the stored-index serving path, its ingest replay, the
+    // term-bucketed layout, and its OPTIMIZE must each return exactly
+    // what the from-text scorer returns — ONE oracle string, five
+    // judged plans (the q125/q143 argument, for retrieval)
+    "q152_bm25_stored" -> bm25TopSql,
+    "q153_bm25_stored_ingest" -> bm25TopSql,
+    "q154_bm25_bucketed" -> bm25TopSql,
+    "q155_bm25_optimize" -> bm25TopSql,
 
     // hybrid retrieval: the bm25 CTEs (q95's, verbatim) and the dense
     // cosine cut (q26's shape at poolK=20) ranked independently, fused

@@ -493,6 +493,85 @@ object StreamingQueries {
     streamAnnProbe(s, dir, path)
   }
 
+  /** Streaming BM25 ingest — the q118 crawl-loop shape for RETRIEVAL:
+    * a checkpointed file source replays the corpus in 4 mtime-ordered
+    * micro-batches, each folded into the stored BM25 index by
+    * `foreachBatch ∘` [[graft.ops.Retrieval.appendToBm25Index]] — the
+    * first batch BOOTSTRAPS the index (term-bucketed, 16 buckets), the
+    * rest are pure partition appends against the frozen bucket map.
+    * Serving answers q95's exact question from the stream-built store,
+    * judged against the from-text oracle VERBATIM: neither the ingest
+    * path, the micro-batch boundaries, nor the layout can change a
+    * score. With q154 (bucketed layout) and q155 (OPTIMIZE) this
+    * completes the retrieval crawl loop at rest. Index built once per
+    * (pid, dir) — benched iterations measure the pruned serve.
+    */
+  private val streamBm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    streamBm25Indexes.values().forEach(p => rm(new java.io.File(p)))
+  }))
+  private def streamBm25IndexPath(s: SparkSession, dir: String): String =
+    streamBm25Indexes.computeIfAbsent(dir, _ => {
+      import graft.ops.Retrieval
+      val root = scratchDir("q159stage")
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val ixBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val indexPath = s"$ixBase/graft_stream_bm25_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (k <- 0 to 3) {
+        val tmp = new java.io.File(root, s"tmp$k")
+        docs.filter(col("doc_id") % 4 === k).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      val ckRoot =
+        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q159_${runSeq.get()}"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q159_${runSeq.get()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckRoot))
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ckRoot)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Retrieval.appendToBm25Index(batch, "doc_id", "text",
+              indexPath, termBucketsIfNew = 16)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        rm(new java.io.File(ckRoot))
+        rm(root)
+      }
+      indexPath
+    })
+
+  private val q159: Q = (s, dir) =>
+    graft.ops.Retrieval.bm25FromIndex(s, streamBm25IndexPath(s, dir),
+        "doc_id", query = Seq("vector", "stream", "window"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+
   /** Streaming LM quality gate — q117's maintained-state loop for the
     * perplexity filter ([[graft.ops.LanguageModel]]): the bigram model
     * is trained + calibrated ONCE on the doc_id % 4 = 0 slice and
@@ -648,6 +727,7 @@ object StreamingQueries {
     "q117_stream_incr_dedup" -> q117,
     "q118_stream_ann_ingest" -> q118,
     "q145_ann_stream_optimize" -> q145,
+    "q159_stream_bm25_ingest" -> q159,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
   )
@@ -779,6 +859,11 @@ object StreamingQueries {
     // cannot change the probe either — same oracle, split judged plan
     // (the q120 argument, over the streaming ingest's fragmentation)
     "q145_ann_stream_optimize" -> ExtQueries.annTop5Sql,
+
+    // streaming BM25 ingest serves q95's exact question from the
+    // stream-built store — ingest path and layout are score-invariant,
+    // so the oracle is q95's from-text SQL verbatim
+    "q159_stream_bm25_ingest" -> CorpusQueries.bm25TopSql,
 
     // the streaming gate replayed in one pass: frozen counts + V from
     // the doc_id % 4 = 0 train slice, the calibration threshold = the

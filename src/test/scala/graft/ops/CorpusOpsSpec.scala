@@ -302,6 +302,111 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(pW)); rm(new java.io.File(pA))
   }
 
+  test("bm25 bucketed index: serve == from-text; append routes through the frozen bucket map") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = Seq("vector", "stream", "window")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val pB = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_tb"
+    rm(new java.io.File(pB))
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", pB, termBuckets = 16)
+    // append must read the bucket count from _layout, not a parameter
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", pB)
+    assert(Retrieval.layoutOf(spark, pB) == 16)
+    // the postings tree is tb=-partitioned, every term row in its
+    // md5-mapped bucket (write AND append paths)
+    val misrouted = spark.read.parquet(s"$pB/postings")
+      .select(col("term"), col("tb").cast("string").as("tb")).distinct()
+      .collect()
+      .filter(r => Retrieval.termBucketOf(r.getString(0), 16) != r.getString(1))
+    assert(misrouted.isEmpty, s"misrouted terms: ${misrouted.take(5).mkString(",")}")
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromText = top(Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 20))
+    assert(top(Retrieval.bm25FromIndex(spark, pB, "doc_id", query, k = 20))
+      == fromText)
+    rm(new java.io.File(pB))
+  }
+
+  test("bm25 append: re-appending indexed docs is an idempotent no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = Seq("vector", "stream", "window")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_idem"
+    rm(new java.io.File(p))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", p)
+    val before = Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the whole corpus again: without the anti-join guard this would
+    // double every dl/df/tf and fan out the serve-time tf join
+    Retrieval.appendToBm25Index(docs, "doc_id", "text", p)
+    val after = Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "duplicate re-append must not change scores")
+    // the duplicate batch added no lens rows and a zero stats delta
+    assert(spark.read.parquet(s"$p/lens").count() == docs.count())
+    val st = spark.read.parquet(s"$p/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(st.getLong(0) == docs.count())
+    rm(new java.io.File(p))
+  }
+
+  test("bm25 OPTIMIZE: one file per relation after compaction, scores unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = Seq("vector", "stream", "window")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_opt"
+    rm(new java.io.File(p))
+    // bootstrap through append (the streaming loop's first batch), then
+    // three more appends — every relation fragmented
+    for (k <- 0 to 3)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 4 === k),
+        "doc_id", "text", p, termBucketsIfNew = 16)
+    assert(spark.read.parquet(s"$p/stats").count() == 4)
+    val before = Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Retrieval.compactBm25Index(spark, p, maxFilesPerBucket = 1)
+    // postconditions: every tb= dir one part file, stats folded to 1 row
+    def partFiles(f: java.io.File) = f.listFiles match {
+      case null => Array.empty[java.io.File]
+      case kids => kids.filter(k => k.isFile && k.getName.startsWith("part-"))
+    }
+    val tbDirs = new java.io.File(s"$p/postings").listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("tb="))
+    assert(tbDirs.nonEmpty)
+    tbDirs.foreach(d => assert(partFiles(d).length <= 1,
+      s"${d.getName} still fragmented: ${partFiles(d).length} files"))
+    assert(partFiles(new java.io.File(s"$p/lens")).length == 1)
+    assert(spark.read.parquet(s"$p/stats").count() == 1)
+    val after = Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "OPTIMIZE is layout-only")
+    // idempotent: a second pass finds nothing to compact
+    Retrieval.compactBm25Index(spark, p, maxFilesPerBucket = 1)
+    assert(Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+    rm(new java.io.File(p))
+  }
+
   test("bm25TopK: duplicate query terms count once (term-set semantics)") {
     val docs = Seq(
       (1L, "spark spark spark spark filler filler filler filler"),

@@ -593,6 +593,30 @@ class PlanGuardSpec extends SparkSpec {
       s"df must broadcast onto the matched postings:\n$p")
   }
 
+  test("q154 bucketed bm25: the terms' buckets are a PARTITION filter on the postings scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_tb_guard"
+    graft.ops.Retrieval.writeBm25Index(docs, "doc_id", "text", path,
+      termBuckets = 16)
+    val terms = Seq("vector", "stream", "window")
+    val p = graft.ops.Retrieval
+      .bm25FromIndex(spark, path, "doc_id", query = terms, k = 20)
+      .queryExecution.executedPlan.toString
+    // the driver-computed tb IN-list must land in PartitionFilters —
+    // FILE pruning (the read touches only the terms' bucket dirs),
+    // strictly stronger than q152's pushed row-group filter
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("tb"))
+    assert(scan.isDefined, s"no tb PartitionFilters entry in the scan:\n$p")
+    assert(scan.get.contains("tb#") || scan.get.contains("tb IN") ||
+      scan.get.contains("In(tb"), s"tb must be filtered as a partition:\n${scan.get}")
+    // the term filter still pushes within the pruned buckets
+    assert(p.contains("In(term"), s"term isin must still push down:\n$p")
+    assert(!p.contains("text"),
+      s"document text must never be read by the stored-index path:\n$p")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

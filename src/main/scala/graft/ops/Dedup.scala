@@ -766,18 +766,33 @@ object Dedup {
     * near-identical docs, which is exactly the output.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hammingNearDupFromSig(simhashTable(df, idCol, textCol, bits),
+      idCol, "simhash", bits, bands, maxHamming)
+
+  /** The pigeonhole Hamming-banding pair search over an ALREADY-COMPUTED
+    * signature relation — [[simhashNearDup]]'s machinery with the
+    * signature source factored out, so any ≤ 60-bit fingerprint family
+    * rides the same scale shape (SimHash over text, [[Multimodal.aHash]]
+    * over decoded rasters, ...): split the signature into `bands` equal
+    * bit-slices, self-join on slice value (by pigeonhole any pair
+    * within `maxHamming < bands` flips agrees on ≥ 1 slice — a
+    * candidate SUPERSET), then keep exactly the pairs the
+    * `bit_count(xor)` filter verifies. The shuffle carries
+    * (band, slice-value) groups, never the n² pair space.
+    */
+  def hammingNearDupFromSig(sig: DataFrame, idCol: String, sigCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
-    val sig = simhashTable(df, idCol, textCol, bits)
-    val banded = sig.select(col(idCol).as("id"), col("simhash"),
+    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * bandBits)
+            shiftright(col(sigCol), b * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.toDF("id_a", "sig_a", "band", "bkey")
     val b = banded.toDF("id_b", "sig_b", "band", "bkey")
     a.join(b, Seq("band", "bkey"))

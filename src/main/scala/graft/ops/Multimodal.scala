@@ -291,6 +291,115 @@ object Multimodal {
   def imageStatsTableCompressed(media: DataFrame): DataFrame =
     imageStatsVia(media, decodeImage)
 
+  // ------------------------------------------------- perceptual image hash
+
+  /** Average-hash (aHash) perceptual fingerprint of a raster: the image
+    * is nearest-neighbor downsampled to `hw`×`hh` (the [[resizeImage]]
+    * floor arithmetic: source pixel (x·W/hw, y·H/hh)), each cell
+    * grayscaled by integer mean (r+g+b)/3, and bit (y·hw + x) is set
+    * when the cell is strictly brighter than the image mean — compared
+    * in integers (n·gray > Σgray, n = hw·hh) so the bit pattern is
+    * bit-identical in any engine, no float thresholds anywhere. The
+    * default 8×6 grid gives a 48-bit signature (≤ 60, the signed-long
+    * discipline of [[Dedup.simhashTable]]), which feeds the same
+    * pigeonhole Hamming banding as SimHash
+    * ([[Dedup.hammingNearDupFromSig]]). Robust by construction to
+    * small pixel perturbations, recompression, and minor noise — the
+    * content-level image dedup every real multimodal training pipeline
+    * runs next to text shingles and embedding SemDeDup.
+    */
+  def aHash(img: RasterImage, hw: Int = 8, hh: Int = 6): Long = {
+    require(hw * hh <= 60, s"aHash grid ${hw}x$hh exceeds 60 bits")
+    val gray = new Array[Int](hw * hh)
+    var sum = 0L
+    var y = 0
+    while (y < hh) {
+      val sy = y * img.height / hh
+      var x = 0
+      while (x < hw) {
+        val sx = x * img.width / hw
+        val s = (sy * img.width + sx) * 3
+        val g = ((img.rgb(s) & 0xff) + (img.rgb(s + 1) & 0xff) +
+          (img.rgb(s + 2) & 0xff)) / 3
+        gray(y * hw + x) = g
+        sum += g
+        x += 1
+      }
+      y += 1
+    }
+    val n = hw * hh
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (n.toLong * gray(i) > sum) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** (media_id, ahash) over COMPRESSED payloads — one decode + hash per
+    * row inside `mapPartitions` (the legitimate non-Catalyst boundary,
+    * same batching contract as [[imageStatsTableCompressed]]). The
+    * signature column feeds [[Dedup.hammingNearDupFromSig]]'s banded
+    * self-join, so the corpus-scale pair search never touches pixels
+    * again.
+    */
+  def imageHashTable(media: DataFrame, hw: Int = 8, hh: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+    ))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), aHash(decodeImage(r.getAs[Array[Byte]](1)), hw, hh))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic synthetic raster keyed by a GROUP id — the q158
+    * near-dup fixture: each channel is a mod-256 STRIPE pattern whose
+    * frequency is a per-group affine residue (≥ 16, so the pattern
+    * wraps several times across the raster for EVERY group — a smooth
+    * low-coefficient ramp would threshold to the same half-plane bit
+    * pattern for many groups and pair across them), so different
+    * groups produce essentially independent thresholded signatures
+    * while the arithmetic replays exactly in SQL.
+    */
+  def keyedGradientRaster(group: Long, width: Int, height: Int): RasterImage = {
+    val a = (group * 37 + 11) % 251 + 16
+    val b = (group * 59 + 23) % 241 + 16
+    val c = (group * 83 + 41) % 239 + 16
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        rgb(i) = ((a * (x + 1) + 3L * y) % 256).toByte
+        rgb(i + 1) = ((b * (y + 1) + 5L * x) % 256).toByte
+        rgb(i + 2) = ((c * (x + y + 1) + 7L) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(width, height, rgb)
+  }
+
+  /** Copy of `img` with one pixel's red channel shifted by `dr` mod 256
+    * — the "near-identical variant" generator for the perceptual-hash
+    * contract (a few changed pixels must not change the hash).
+    */
+  def perturbPixel(img: RasterImage, x: Int, y: Int, dr: Int): RasterImage = {
+    require(x >= 0 && x < img.width && y >= 0 && y < img.height,
+      s"pixel ($x,$y) outside ${img.width}x${img.height}")
+    val rgb = img.rgb.clone()
+    val i = (y * img.width + x) * 3
+    rgb(i) = (((rgb(i) & 0xff) + dr) % 256).toByte
+    RasterImage(img.width, img.height, rgb)
+  }
+
   // ------------------------------------------------------------ PCM codec
 
   /** Decode 16-bit signed little-endian PCM (the raw payload of a WAV

@@ -781,6 +781,42 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Perceptual-hash image dedup ([[Multimodal.aHash]] feeding
+    * [[graft.ops.Dedup.hammingNearDupFromSig]]) — the image-CONTENT
+    * dedup next to text shingles (q92) and embedding SemDeDup (q115):
+    * every 4 consecutive documents share one 16×12 keyed-gradient base
+    * image ([[Multimodal.keyedGradientRaster]]), each variant perturbed
+    * at a DIFFERENT odd-coordinate pixel (invisible to the 8×6
+    * average-hash downsample, which samples even coordinates only), PNG
+    * encoded, decoded on the executors, hashed, and paired by the
+    * pigeonhole Hamming bands (48 bits, 4 bands, ≤ 3 flips). Within a
+    * group the variants are near-identical images differing by a few
+    * pixels — they MUST pair (hamming 0); across groups the
+    * multiplicative gradients give essentially independent signatures —
+    * they must not. The oracle replays the sampled-pixel arithmetic,
+    * the integer grayscale/threshold bits, and the exact
+    * `bit_count(xor)` pair filter (q55's idiom), so a broken codec,
+    * sampler, thresholder, or banding all break the match. Pair volume
+    * at scale: ≤ 6 per 4-doc group, ∝ corpus size.
+    */
+  private val q158: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
+        // a few-pixel change at odd coordinates: a hash robust to small
+        // perturbations must not see it
+        val v = Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)
+        (id, Multimodal.encodePng(v))
+      }
+      .toDF("media_id", "payload")
+    Dedup.hammingNearDupFromSig(
+        Multimodal.imageHashTable(media, hw = 8, hh = 6),
+        "media_id", "ahash", bits = 48, bands = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -1047,6 +1083,7 @@ object ExtQueries {
     "q139_ivf_two_tier" -> q139,
     "q76_image_decode" -> q76,
     "q142_png_decode" -> q142,
+    "q158_image_phash_dedup" -> q158,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
@@ -1595,6 +1632,36 @@ object ExtQueries {
         |       round(CAST(sum(b) AS DOUBLE) / 192, 6) AS b_mean
         |FROM px GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // the aHash pipeline replayed arithmetically: the 8x6 average-hash
+    // downsample of the 16x12 keyed gradient samples EVEN coordinates
+    // only (sx = 2x, sy = 2y — the perturbed odd pixels never appear),
+    // grayscale and threshold are integer-exact (48*gray > sum), the
+    // signature assembles via bit shifts, and pairs come from the same
+    // bit_count(xor) <= 3 predicate the banded join verifies (q55's
+    // oracle idiom — banding is a candidate superset, so the exact
+    // self-join is the same relation)
+    "q158_image_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

@@ -393,6 +393,55 @@ class MultimodalSpec extends SparkSpec {
       Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40))
   }
 
+  test("aHash: robust to odd-pixel perturbation and PNG roundtrip, distinct across groups") {
+    val base = Multimodal.keyedGradientRaster(5L, 16, 12)
+    val h0 = Multimodal.aHash(base)
+    // perturbations at ODD coordinates are invisible to the 8x6
+    // even-coordinate downsample: hash EXACTLY equal, through a real
+    // PNG encode/decode roundtrip
+    for (p <- 0 until 4) {
+      val v = Multimodal.perturbPixel(base, 1 + 2 * p, 1, 97)
+      assert(Multimodal.aHash(Multimodal.decodeImage(Multimodal.encodePng(v))) == h0,
+        s"odd-pixel perturbation $p changed the hash")
+    }
+    // a perturbation at an EVEN (sampled) coordinate CAN move bits —
+    // the hash is of the content, not a constant (big red shift at a
+    // sampled pixel shifts that cell's gray by ~32 of ~128 range)
+    val sampled = Multimodal.perturbPixel(base, 2, 2, 120)
+    assert(Multimodal.aHash(sampled) != h0 ||
+      Multimodal.aHash(Multimodal.perturbPixel(base, 4, 2, 120)) != h0,
+      "sampled-pixel perturbations never moving any bit means the hash is degenerate")
+    // distinct groups -> genuinely different signatures (beyond the
+    // banding threshold), for a spread of group keys
+    for (g <- Seq(0L, 1L, 2L, 17L, 101L)) {
+      val hg = Multimodal.aHash(Multimodal.keyedGradientRaster(g, 16, 12))
+      if (g != 5L)
+        assert(java.lang.Long.bitCount(hg ^ h0) > 3,
+          s"group $g within hamming 3 of group 5: ${java.lang.Long.bitCount(hg ^ h0)}")
+    }
+  }
+
+  test("imageHashTable + hammingNearDupFromSig: same-group variants pair, cross-group don't") {
+    import spark.implicits._
+    // 3 groups x 4 perturbed variants — the q158 fixture in miniature
+    val media = (0L until 12L).map { id =>
+      val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
+      (id, Multimodal.encodePng(
+        Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
+    }.toDF("media_id", "payload")
+    val pairs = Dedup.hammingNearDupFromSig(
+        Multimodal.imageHashTable(media), "media_id", "ahash",
+        bits = 48, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every within-group pair present at hamming 0 (6 per group)
+    val expected = (for {
+      g <- 0L until 3L; a <- 0L until 4L; b <- (a + 1) until 4L
+    } yield (g * 4 + a, g * 4 + b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      s"pairs ${pairs.toSeq.sorted} != expected within-group pairs")
+    assert(pairs.forall(_._3 == 0L), "same-group variants must hash identically")
+  }
+
   test("PCM16 codec: roundtrip, byte order, sign extension, odd length rejected") {
     val samples = Array[Short](0, 1, -1, 257, -257, Short.MaxValue, Short.MinValue)
     val bytes = Multimodal.encodePcm16(samples)

@@ -542,6 +542,28 @@ object CorpusQueries {
       dim = ExtQueries.embDim)
       .orderBy("method")
 
+  /** PQ-tier recall contract ([[graft.ops.ProductQuantize
+    * .pqRecallContract]]): the q112 question asked of the LOSSY
+    * compression stack — mean recall@10 against the brute cosine top-10
+    * over the same fixed probe set (vec_id ≡ 7 mod 50) for the raw ADC
+    * ranking, the ADC-cut → exact-re-rank serving path (corpus-scaled
+    * overfetch: the candidate cut widens with density, which is what
+    * keeps the SERVED row's recall scale-stable — measured 0.77–0.92
+    * from 500 to 20k vectors), and the cell-pruned IVF-PQ composition.
+    * The served path carries an absolute 0.6 floor; the raw tiers
+    * carry chance-relative floors (≥ 5× the k/n recall of a random
+    * ranking — at a fixed code budget their absolute top-k recall
+    * necessarily decays with corpus density, so an absolute floor
+    * would be vacuous or broken at scale). Deterministic given the
+    * lowest-id seeds and decimal-exact Lloyd means, so the oracle
+    * emits literal TRUE; `ProductQuantizeSpec` proves the contract
+    * bites by feeding a degenerate single-codeword codebook.
+    */
+  private val q156: Q = (s, dir) =>
+    graft.ops.ProductQuantize.pqRecallContract(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("method")
+
   /** Incremental index write-back ([[Dedup.ShingleIndex]] /
     * [[Dedup.foldIn]]): the full production dedup loop q109 stops short
     * of — corpus index built once, batch 1 (doc_id ≡ 1 mod 4) deduped
@@ -643,6 +665,7 @@ object CorpusQueries {
     "q114_curation_pipeline" -> q114,
     "q115_semdedup" -> q115,
     "q112_ann_recall" -> q112,
+    "q156_pq_recall" -> q156,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
     "q143_stored_containment" -> q143,
@@ -827,6 +850,16 @@ object CorpusQueries {
         |FROM (SELECT 'ivf' AS method FROM p
         |      UNION ALL SELECT 'lsh_multitable' FROM p
         |      UNION ALL SELECT 'lsh_multiprobe' FROM p), p
+        |ORDER BY method""".stripMargin,
+
+    // same literal-TRUE shape as q112's: the bound comparisons are
+    // deterministic exact-integer arithmetic Spark-side
+    "q156_pq_recall" ->
+      """WITH p AS (SELECT count(*) AS n_probes FROM embeddings WHERE vec_id % 50 = 7)
+        |SELECT method, n_probes, true AS recall_ok
+        |FROM (SELECT 'ivfpq' AS method FROM p
+        |      UNION ALL SELECT 'pq_adc' FROM p
+        |      UNION ALL SELECT 'pq_two_tier' FROM p), p
         |ORDER BY method""".stripMargin,
 
     // deterministic GK rank guarantee: the oracle recomputes n and

@@ -96,6 +96,31 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(fromOp.size == k)
   }
 
+  test("pq recall contract: all three rows green on the judged corpus") {
+    val rows = ProductQuantize.pqRecallContract(emb, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows == Map("ivfpq" -> true, "pq_adc" -> true, "pq_two_tier" -> true),
+      s"contract rows: $rows")
+  }
+
+  test("pq recall contract BITES: a degenerate codebook fails every row") {
+    // one shared codeword per subspace: every vector encodes to the same
+    // codes, ADC collapses to an id-tiebreak ranking ≈ a random ranking —
+    // the corrupted-quantizer failure mode the contract exists to catch
+    val degenerate = ProductQuantize.train(emb, "vec_id", "embedding",
+      m = 8, k = 1, iters = 0)
+    val n = emb.count()
+    val hits = ProductQuantize.pqRecallHits(emb, "vec_id", "embedding",
+      degenerate, probeEvery = 50, probeOffset = 7, k = 10, m = 8,
+      numCentroids = 8, nprobe = 4,
+      overfetch = math.max(8, ((n + 124) / 125).toInt))
+    val rows = ProductQuantize.contractRows(hits, k = 10, n = n,
+        adcChanceFactor = 5, ivfPqChanceFactor = 5, twoTierBound = 0.6)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows.values.forall(_ == false),
+      s"degenerate codebook must fail every bound: $rows")
+  }
+
   test("ADC candidate quality: the exact top-1 neighbor survives the overfetched cut") {
     // the serving claim: an ADC cut at k*overfetch keeps what the exact
     // re-rank needs — pin the minimal version (the true top-1 is in the

@@ -539,6 +539,41 @@ object ExtQueries {
       queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
   }
 
+  /** The RESIDUAL IVF-PQ index ([[graft.ops.IvfIndex.writePqResidual]]):
+    * q149's layout with the FAISS-standard accuracy lever — each row's
+    * codes quantize `v − centroid(cell)` against a codebook trained on
+    * the residuals, so the same m·k budget spends its dynamic range on
+    * within-cell geometry. The lever only pays when centroids are
+    * actual CLUSTER CENTERS, so this layout composes with q141's
+    * k-means-seeded coarse quantizer (measured: residual MSE 0.798 vs
+    * raw 0.842 at equal m·k under Lloyd centroids, but 1.49 — WORSE —
+    * under raw lowest-id seeds, whose subtraction adds energy on
+    * near-orthogonal vectors; `IvfIndexSpec` pins the win). The probe
+    * ranks by cos(q, c + r̂) assembled from four broadcast lookup
+    * relations — still m table hits per row, no vector math. Judged
+    * end to end: the oracle composes q82's k-means CTEs, an exact-IEEE
+    * residual-subtraction CTE, q146's train/encode block over the
+    * residuals, and the residual ADC tail with the two centroid
+    * terms. Double-frozen ingest (q151's contract) carries over via
+    * [[graft.ops.IvfIndex.appendPqResidual]], spec-pinned. Built once
+    * per (pid, dir).
+    */
+  private val ivfPqResIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfPqResIndexes)
+  private val q157: Q = (s, dir) => {
+    val path = ivfPqResIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_res_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.writePqResidual(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numCentroids = 8, m = 4, k = 8, pqIters = 1,
+        kmeansIters = 1)
+      p
+    })
+    graft.ops.IvfIndex.probePqResidual(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
   private val q147: Q = (s, dir) =>
     graft.ops.ProductQuantize.adcTopK(pqCodes(s, dir), pqCodebook(s, dir),
       "vec_id", queryVec0(s, dir), k = 10, excludeId = Some(0L))
@@ -1066,6 +1101,7 @@ object ExtQueries {
     "q149_ivfpq_probe" -> q149,
     "q150_ivfpq_two_tier" -> q150,
     "q151_ivfpq_ingest" -> q151,
+    "q157_ivfpq_residual" -> q157,
     "q122_quant_index_probe" -> q122,
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
@@ -1467,6 +1503,12 @@ object ExtQueries {
     // disjoint), the ranking from the ADC lookup table (q147's CTEs) —
     // the composed layout cannot change either half
     "q149_ivfpq_probe" -> ivfPqProbeSqlFor(""),
+
+    // residual IVF-PQ: the cell CTEs, an exact-IEEE residual subtract,
+    // the PQ train/encode block over the residuals, and the ADC tail
+    // extended with the per-cell query-dot/norm and per-(cell, codeword)
+    // cross terms — composed from already-pinned halves
+    "q157_ivfpq_residual" -> ivfPqResidualProbeSql,
 
     // ... and the double-frozen ingest codes history against the
     // quantizer that existed at build time: same oracle with the PQ
@@ -1889,11 +1931,24 @@ object ExtQueries {
     * everything against that codebook — q151); empty = train on the
     * full corpus (q146–q150).
     */
+  /** The exploded 4×16 subvector CTE over any (vec_id, v) relation —
+    * shared by the raw-vector PQ oracles (over `e`) and the residual
+    * IVF-PQ oracle (over the residual relation `rv`).
+    */
+  private[queries] def pqSvCtes(rel: String): String =
+    s"""sv AS (SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+       |       FROM $rel, UNNEST(generate_series(0, 3)) AS s(s))""".stripMargin
+
   private[queries] def pqCtesFor(trainPred: String): String =
     s"""$embCte,
-       |sv AS (SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
-       |       FROM e, UNNEST(generate_series(0, 3)) AS s(s)),
-       |tsv AS (SELECT * FROM sv $trainPred),
+       |${pqSvCtes("e")},
+       |${pqTrainEncodeCtes(trainPred)}""".stripMargin
+
+  /** PQ training + encoding from an existing `sv` relation — the body
+    * of [[pqCtesFor]] with the subvector source factored out.
+    */
+  private[queries] def pqTrainEncodeCtes(trainPred: String): String =
+    s"""tsv AS (SELECT * FROM sv $trainPred),
        |pc0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM tsv WHERE vec_id < 8),
        |pa1 AS (
        |  SELECT vec_id, sub, cid AS code FROM (
@@ -1983,6 +2038,62 @@ object ExtQueries {
        |FROM psc s JOIN cassign a ON a.vec_id = s.vec_id
        |  JOIN cprobe p ON a.cell = p.cell, qn q
        |WHERE s.vec_id <> 0 AND s.rn2 > 0
+       |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
+
+  /** The residual IVF-PQ probe oracle: cells and the query from
+    * [[ivfCellCtes]]; residual vectors assembled dim-wise (the exact
+    * IEEE subtraction `v[i] − cv[i]` on identical operands); the PQ
+    * train/encode block run over the residual relation; and the
+    * residual ADC tail — per-codeword query dots (`plut`), per-(cell,
+    * sub, codeword) cross terms (`clut`), per-cell query dot and norm²
+    * (`cst`), all round-9, summed per row as DECIMAL, final score
+    * round((qc + adot) / (sqrt(cn2 + 2·crs + rn2) · qnrm), 6).
+    */
+  private[queries] lazy val ivfPqResidualProbeSql: String =
+    s"""WITH $kmeansCtes,
+       |cqr AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+       |cprobe AS (
+       |  SELECT cid AS cell FROM c1n, cqr
+       |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+       |  LIMIT 2),
+       |rd AS (SELECT en.vec_id, g.i - 1 AS dim, en.v[g.i] - c.cv[g.i] AS val
+       |       FROM en JOIN a2 a ON a.vec_id = en.vec_id
+       |            JOIN c1n c ON c.cid = a.cell,
+       |            UNNEST(generate_series(1, len(en.v))) AS g(i)),
+       |rv AS (SELECT vec_id, list(val ORDER BY dim) AS v FROM rd GROUP BY 1),
+       |${pqSvCtes("rv")},
+       |${pqTrainEncodeCtes("")},
+       |qsub AS (SELECT s.s AS sub, list_slice(cqr.qv, s.s*16 + 1, s.s*16 + 16) AS qsv
+       |         FROM cqr, UNNEST(generate_series(0, 3)) AS s(s)),
+       |plut AS (SELECT cb.sub, cb.cid,
+       |                round(list_dot_product(q.qsv, cb.cv), 9) AS lutv,
+       |                round(list_dot_product(cb.cv, cb.cv), 9) AS cvn2
+       |         FROM cb JOIN qsub q ON q.sub = cb.sub),
+       |csv AS (SELECT c.cid AS cell, s.s AS sub,
+       |               list_slice(c.cv, s.s*16 + 1, s.s*16 + 16) AS csv
+       |        FROM c1n c, UNNEST(generate_series(0, 3)) AS s(s)),
+       |clut AS (SELECT csv.cell, csv.sub, cb.cid,
+       |                round(list_dot_product(csv.csv, cb.cv), 9) AS ccv
+       |         FROM csv JOIN cb ON cb.sub = csv.sub),
+       |cst AS (SELECT c.cid AS cell,
+       |               round(list_dot_product(c.cv, cqr.qv), 9) AS qc,
+       |               round(list_dot_product(c.cv, c.cv), 9) AS cn2
+       |        FROM c1n c, cqr),
+       |psc AS (SELECT a.vec_id, any_value(ca.cell) AS cell,
+       |               CAST(sum(CAST(l.lutv AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+       |               CAST(sum(CAST(l.cvn2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2,
+       |               CAST(sum(CAST(cl.ccv AS DECIMAL(28,12))) AS DOUBLE) AS crs
+       |        FROM pqa a
+       |        JOIN a2 ca ON ca.vec_id = a.vec_id
+       |        JOIN plut l ON l.sub = a.sub AND l.cid = a.code
+       |        JOIN clut cl ON cl.cell = ca.cell AND cl.sub = a.sub AND cl.cid = a.code
+       |        GROUP BY a.vec_id)
+       |SELECT s.vec_id,
+       |       round((t.qc + s.adot) / (sqrt(t.cn2 + 2*s.crs + s.rn2) * cqr.qnrm), 6) AS sim
+       |FROM psc s
+       |JOIN cst t ON t.cell = s.cell
+       |JOIN cprobe p ON s.cell = p.cell, cqr
+       |WHERE s.vec_id <> 0 AND (t.cn2 + 2*s.crs + s.rn2) > 0
        |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
 
   /** q82's one-Lloyd-round k-means as a CTE block ending in

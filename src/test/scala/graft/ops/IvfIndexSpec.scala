@@ -302,6 +302,105 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pP))
   }
 
+  test("residual PQ under Lloyd centroids beats raw PQ at equal m*k; raw seeds would NOT") {
+    // raw: codebook over the vectors themselves
+    val rawCb = ProductQuantize.train(emb, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    val rawMse = ProductQuantize.reconstructionMse(emb, "vec_id",
+      "embedding", rawCb, m = 4)
+    // residual: the same m*k budget over v - centroid(cell); its
+    // residual-space MSE IS the composed scheme's reconstruction error
+    // (||v - (c + r_hat)||^2 = ||r - r_hat||^2)
+    def resMseFor(kmeansIters: Int): Double = {
+      val assign = IvfIndex.assignmentOf(emb, "vec_id", "embedding",
+        numCentroids = 8, kmeansIters = kmeansIters)
+      val cents =
+        if (kmeansIters == 0)
+          emb.select(col("vec_id").as("cid"),
+              Similarity.toDoubleVec(col("embedding")).as("cv"))
+            .orderBy(col("cid")).limit(8)
+        else Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          8, kmeansIters).select(col("cid"), col("cv"))
+      val res = emb
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .join(assign, "vec_id")
+        .join(broadcast(cents), col("cell") === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      val resCb = ProductQuantize.train(res, "vec_id", "rv",
+        m = 4, k = 8, iters = 1)
+      ProductQuantize.reconstructionMse(res, "vec_id", "rv", resCb, m = 4)
+    }
+    // the FAISS lever pays under cluster-center centroids...
+    assert(resMseFor(1) < rawMse,
+      s"residual MSE ${resMseFor(1)} !< raw MSE $rawMse under Lloyd centroids")
+    // ...and is a measured ANTI-pattern under raw lowest-id seeds
+    // (subtracting a near-orthogonal vector adds energy) — the reason
+    // writePqResidual's contract requires the refined quantizer
+    assert(resMseFor(0) > rawMse,
+      "if raw seeds ever beat raw PQ here, the scaladoc caveat is stale")
+  }
+
+  test("appendPqResidual codes history against BOTH frozen quantizers; append == write") {
+    val pW = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pqres_w"
+    val pA = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pqres_a"
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+    IvfIndex.writePqResidual(emb, "vec_id", "embedding", pW,
+      numCentroids = 8, m = 4, k = 8, pqIters = 1, kmeansIters = 1)
+    // slice-built: both frozen artifacts (the slice's Lloyd centroids
+    // AND the slice-trained residual codebook) genuinely differ from
+    // the full-corpus ones — the append contract is exactly that rows
+    // are coded against the STORED artifacts, whatever they are
+    IvfIndex.writePqResidual(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", pA, numCentroids = 8, m = 4, k = 8, pqIters = 1,
+      kmeansIters = 1)
+    val frozenCb = spark.read.parquet(s"$pA/_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    IvfIndex.appendPqResidual(spark, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding", pA)
+    // neither side table rewritten; every row present exactly once
+    val cbAfter = spark.read.parquet(s"$pA/_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(cbAfter == frozenCb)
+    val data = spark.read.parquet(pA)
+    assert(data.count() == emb.count() * 4)
+    assert(data.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+    // probe equality on the FULL-build index: layout == in-plan answer
+    // is covered by the judged oracle; here pin that a probe of the
+    // ingest-built index returns k rows deterministically twice
+    val p1 = IvfIndex.probePqResidual(spark, pA, "vec_id", qvec0,
+      k = 5, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p2 = IvfIndex.probePqResidual(spark, pA, "vec_id", qvec0,
+      k = 5, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 == p2 && p1.size == 5)
+    // two-tier tail: composition law against the tier-1 cut
+    val k = 6; val overfetch = 3
+    val fromOp = IvfIndex.probeTwoTierPqResidual(spark, pW, emb, "vec_id",
+        "embedding", qvec0, k = k, overfetch = overfetch, nprobe = 2,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val candIds = IvfIndex.probePqResidual(spark, pW, "vec_id", qvec0,
+        k = k * overfetch, nprobe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val ndot = graft.functions.GraftFunctions.dotNative _
+    val qv = typedlit(qvec0.toSeq)
+    val expected = emb
+      .filter(col("vec_id").isin(candIds.toSeq.map(x => x: Any): _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(ndot(col("v"), qv) /
+          (col("nrm") * sqrt(ndot(qv, qv))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromOp == expected)
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+  }
+
   test("rebuild after appends == fresh write on the union corpus") {
     val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
     rm(new java.io.File(pR))

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Byte-pair-encoding subword training — the canonical LLM-data
+  * tokenizer op (Sennrich et al. 2016, arXiv:1508.07909 — reference for
+  * the method only): start from characters, repeatedly merge the
+  * corpus-wide most-frequent adjacent symbol pair, emit the learned
+  * merge table and the corpus tokenized under it.
+  *
+  * Scale shape — the standard trainer trick: training runs on the
+  * WORD-FREQUENCY table, never the corpus. The corpus is scanned once
+  * to aggregate `(word, freq)` (|vocab| rows — millions where the
+  * corpus is terabytes), each merge round is one grouped pair-count +
+  * one 1-row driver argmax + one positional rewrite of that |vocab|
+  * relation, and the trained tokenization rejoins documents by word at
+  * the end. Rounds localCheckpoint the word relation (the [[Dedup]]
+  * iterative-loop discipline: O(1) planning per round, blocks released
+  * as rounds advance).
+  *
+  * Determinism (the judged cross-engine discipline): pair counts are
+  * exact long sums; the merge choice is argmax with a total
+  * (count desc, left asc, right asc) tie-break; merge APPLICATION is
+  * greedy left-to-right non-overlapping, expressed RELATIONALLY so the
+  * oracle replays it operator for operator: a match position `p` is
+  * kept iff it sits at an even offset within its maximal run of
+  * consecutive match positions (runs longer than 1 only exist for
+  * left == right, where greedy scanning consumes alternate positions —
+  * "aaaa" under (a,a) → "aa","aa"). Kept matches emit the concatenated
+  * symbol and consume position p+1. No same-round chaining: a symbol
+  * formed this round never re-matches this round, exactly the textbook
+  * semantics.
+  *
+  * Simplification vs production BPE (documented, deliberate): no
+  * end-of-word marker and no byte fallback — merges never cross word
+  * boundaries (true of the real thing too) and the alphabet is the
+  * corpus's character set.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** The corpus word-frequency relation: ONE corpus scan, then
+    * everything downstream is |vocab|-sized.
+    */
+  def wordTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.tokenTable(docs, idCol, textCol)
+      .groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** (word, freq, syms) with the initial character split. */
+  private def initial(words: DataFrame): DataFrame =
+    words.select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+
+  /** (word, freq, p, s, nxt) — 0-based position relation with the next
+    * symbol (NULL at the word end); the shared base of pair counting
+    * and merge application.
+    */
+  private def positions(w: DataFrame): DataFrame =
+    w.select(col("word"), col("freq"),
+        posexplode(col("syms")).as(Seq("p", "s")), col("syms"))
+      .withColumn("nxt", try_element_at(col("syms"), col("p") + 2))
+      .drop("syms")
+
+  /** One greedy merge application of (lhs, rhs) over the symbolized
+    * word relation — the relational rewrite both engines share.
+    */
+  private[graft] def applyMerge(w: DataFrame, lhs: String,
+      rhs: String): DataFrame = {
+    val pos = positions(w)
+    val mm = pos.filter(col("s") === lhs && col("nxt") === rhs)
+      .select(col("word"), col("p"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("word")).orderBy(col("p"))))
+    val kept = mm
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("word"), col("p") - col("rn")).orderBy(col("p"))))
+      .filter(col("k") % 2 === 1)
+      .select(col("word"), col("p"))
+    val k1 = kept.withColumn("m1", lit(1))
+    val k2 = kept.select(col("word"), (col("p") + 1).as("p"), lit(1).as("m2"))
+    pos
+      .join(k1, Seq("word", "p"), "left")
+      .join(k2, Seq("word", "p"), "left")
+      .filter(col("m2").isNull)
+      .select(col("word"), col("freq"), col("p"),
+        when(col("m1").isNotNull, concat(col("s"), col("nxt")))
+          .otherwise(col("s")).as("s2"))
+      .groupBy(col("word"))
+      .agg(min(col("freq")).as("freq"),
+        transform(array_sort(collect_list(struct(col("p"), col("s2")))),
+          x => x.getField("s2")).as("syms"))
+  }
+
+  /** Train `numMerges` merges over a word-frequency relation. Returns
+    * the learned merge list AND the final symbolized word table
+    * (word, freq, syms) — the tokenization the merges induce, which
+    * [[docTokenCounts]] joins back onto documents. Each round is one
+    * pair-count aggregate, one 1-ROW driver fetch (the argmax — the
+    * only driver exchange), and one positional rewrite; rounds
+    * checkpoint so planning stays O(1) and earlier rounds' blocks
+    * release as the loop advances.
+    */
+  def train(words: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    var w = initial(words).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to numMerges) {
+      val best = positions(w).filter(col("nxt").isNotNull)
+        .groupBy(col("s").as("lhs"), col("nxt").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"Bpe.train: corpus exhausted after ${r - 1} merges — no adjacent " +
+          "pairs remain (every word is a single symbol)")
+      val (l, rh, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += Merge(r, l, rh, c)
+      w = applyMerge(w, l, rh).localCheckpoint()
+    }
+    (merges.result(), w)
+  }
+
+  /** The learned merge table as a judged relation. */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Per-document BPE token counts under a trained tokenization: the
+    * corpus's token relation joined with the |vocab|-sized
+    * word → symbol-count map (broadcast-sized in practice; Spark
+    * decides) — one corpus scan, one narrow join, exact long sums.
+    */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      finalWords: DataFrame): DataFrame =
+    TextAnalysis.tokenTable(docs, idCol, textCol)
+      .join(finalWords.select(col("word"), size(col("syms")).as("nt")),
+        col("tok") === col("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nt")).as("n_bpe"), count(lit(1)).as("n_words"))
+}

@@ -378,6 +378,66 @@ object Retrieval {
       .limit(k)
   }
 
+  /** BM25 for a BATCH of queries served from the stored index in ONE
+    * postings read — the eval-harness shape: a retrieval benchmark
+    * scores hundreds of queries, and per-query serving would re-list
+    * and re-scan the index per query. Here the union of all queries'
+    * terms prunes the postings once (bucket partition filter on the
+    * bucketed layout, pushed term IN-list either way), per-term df and
+    * the global stats are computed once and shared across queries, and
+    * the per-query fan-out happens on the already-matched (doc, term)
+    * relation via a broadcast (query_id, term) join — batch cost is
+    * ONE index read + work proportional to Σ matched postings, not
+    * |queries| × index. Per-query top-k is a window WITHIN a query's
+    * scored docs (bounded by one query's matches, never the corpus).
+    * Scoring arithmetic is [[rankFromStats]]'s bit-for-bit, so each
+    * query's ranking equals its own [[bm25TopK]] — the oracle is the
+    * per-query SQL union.
+    *
+    * Returns (query_id, idCol, score), top-`k` rows per query.
+    */
+  def bm25BatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queries: Seq[(Long, Seq[String])],
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+    val qterms = qt.toDF("query_id", "term")
+    val terms = qt.map(_._2).distinct
+    val buckets = layoutOf(spark, path)
+    val postings = spark.read.parquet(s"$path/postings")
+    val pruned =
+      if (buckets > 0) {
+        val tbs = terms.map(t => termBucketOf(t, buckets)).distinct
+        postings.filter(col("tb").isin(tbs.map(x => x: Any): _*))
+      } else postings
+    val tfRaw = pruned.filter(col("term").isin(terms.map(x => x: Any): _*))
+    val lens = spark.read.parquet(s"$path/lens")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val tf = tfRaw.join(lens, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val contrib = (idf * (tfd * lit(k1 + 1.0))) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col(idCol),
+        round(contrib, 9).cast(DecimalType(28, 10)).as("c"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of two
     * already-cut ranked lists: `rrf(d) = Σ_lists 1/(kRrf + rank_d)`,
     * with a list contributing 0 for documents it does not contain.

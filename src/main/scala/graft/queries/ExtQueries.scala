@@ -574,6 +574,27 @@ object ExtQueries {
       queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
   }
 
+  /** The complete residual-IVF-PQ serving path ([[graft.ops.IvfIndex
+    * .probeTwoTierPqResidual]]): q157's cell-pruned residual-ADC cut to
+    * the top-(10·4), exact float re-rank of only those candidates —
+    * q150's contract over the residual tier. Oracle = q157's CTEs with
+    * the cut widened to 40 composed with q121's re-rank tier.
+    */
+  private val q160: Q = (s, dir) => {
+    val path = ivfPqResIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_res_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.writePqResidual(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, numCentroids = 8, m = 4, k = 8, pqIters = 1,
+        kmeansIters = 1)
+      p
+    })
+    graft.ops.IvfIndex.probeTwoTierPqResidual(s, path,
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec0(s, dir), k = 10, overfetch = 4, nprobe = 2,
+      excludeId = Some(0L))
+  }
+
   private val q147: Q = (s, dir) =>
     graft.ops.ProductQuantize.adcTopK(pqCodes(s, dir), pqCodebook(s, dir),
       "vec_id", queryVec0(s, dir), k = 10, excludeId = Some(0L))
@@ -1102,6 +1123,7 @@ object ExtQueries {
     "q150_ivfpq_two_tier" -> q150,
     "q151_ivfpq_ingest" -> q151,
     "q157_ivfpq_residual" -> q157,
+    "q160_ivfpq_res_two_tier" -> q160,
     "q122_quant_index_probe" -> q122,
     "q123_multiprobe_index" -> q123,
     "q124_two_tier_index" -> q124,
@@ -1509,6 +1531,7 @@ object ExtQueries {
     // extended with the per-cell query-dot/norm and per-(cell, codeword)
     // cross terms — composed from already-pinned halves
     "q157_ivfpq_residual" -> ivfPqResidualProbeSql,
+    "q160_ivfpq_res_two_tier" -> ivfPqResidualTwoTierSql,
 
     // ... and the double-frozen ingest codes history against the
     // quantizer that existed at build time: same oracle with the PQ
@@ -2050,7 +2073,38 @@ object ExtQueries {
     * round((qc + adot) / (sqrt(cn2 + 2·crs + rn2) · qnrm), 6).
     */
   private[queries] lazy val ivfPqResidualProbeSql: String =
-    s"""WITH $kmeansCtes,
+    s"""WITH $ivfPqResidualCtes
+       |SELECT s.vec_id,
+       |       round((t.qc + s.adot) / (sqrt(t.cn2 + 2*s.crs + s.rn2) * cqr.qnrm), 6) AS sim
+       |FROM psc s
+       |JOIN cst t ON t.cell = s.cell
+       |JOIN cprobe p ON s.cell = p.cell, cqr
+       |WHERE s.vec_id <> 0 AND (t.cn2 + 2*s.crs + s.rn2) > 0
+       |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
+
+  /** q160: q157's residual-ADC ranking widened to the top-40 candidate
+    * cut, then the exact float re-rank tier (q121's shape) over only
+    * those ids.
+    */
+  private[queries] lazy val ivfPqResidualTwoTierSql: String =
+    s"""WITH $ivfPqResidualCtes,
+       |rcut AS (
+       |  SELECT s.vec_id
+       |  FROM psc s
+       |  JOIN cst t ON t.cell = s.cell
+       |  JOIN cprobe p ON s.cell = p.cell, cqr
+       |  WHERE s.vec_id <> 0 AND (t.cn2 + 2*s.crs + s.rn2) > 0
+       |  ORDER BY round((t.qc + s.adot) / (sqrt(t.cn2 + 2*s.crs + s.rn2) * cqr.qnrm), 6) DESC,
+       |           s.vec_id
+       |  LIMIT 40)
+       |SELECT en.vec_id,
+       |       round(list_dot_product(en.v, cqr.qv) / (en.nrm * cqr.qnrm), 6) AS sim
+       |FROM en JOIN rcut USING (vec_id), cqr
+       |WHERE list_dot_product(en.v, en.v) > 0
+       |ORDER BY sim DESC, en.vec_id LIMIT 10""".stripMargin
+
+  private[queries] lazy val ivfPqResidualCtes: String =
+    s"""$kmeansCtes,
        |cqr AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
        |cprobe AS (
        |  SELECT cid AS cell FROM c1n, cqr
@@ -2087,14 +2141,7 @@ object ExtQueries {
        |        JOIN a2 ca ON ca.vec_id = a.vec_id
        |        JOIN plut l ON l.sub = a.sub AND l.cid = a.code
        |        JOIN clut cl ON cl.cell = ca.cell AND cl.sub = a.sub AND cl.cid = a.code
-       |        GROUP BY a.vec_id)
-       |SELECT s.vec_id,
-       |       round((t.qc + s.adot) / (sqrt(t.cn2 + 2*s.crs + s.rn2) * cqr.qnrm), 6) AS sim
-       |FROM psc s
-       |JOIN cst t ON t.cell = s.cell
-       |JOIN cprobe p ON s.cell = p.cell, cqr
-       |WHERE s.vec_id <> 0 AND (t.cn2 + 2*s.crs + s.rn2) > 0
-       |ORDER BY sim DESC, s.vec_id LIMIT 5""".stripMargin
+       |        GROUP BY a.vec_id)""".stripMargin
 
   /** q82's one-Lloyd-round k-means as a CTE block ending in
     * `a2(vec_id, cell, sim)` — reused verbatim by the q115 SemDeDup

@@ -407,6 +407,45 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(p))
   }
 
+  test("bm25BatchFromIndex: per-query slices == each query own bm25TopK; scan count batch-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_batch"
+    rm(new java.io.File(p))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", p, termBuckets = 16)
+    val batch = Seq(
+      7L -> Seq("vector", "stream", "window"),
+      9L -> Seq("spark", "join"))
+    val out = Retrieval.bm25BatchFromIndex(spark, p, "doc_id", batch, k = 20)
+    val byQ = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q ->
+        rows.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq }
+    for ((qid, terms) <- batch) {
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byQ(qid) == single, s"batch slice for query $qid diverged")
+    }
+    // batching cost: postings scan count is a CONSTANT of the plan
+    // shape (one scan feeds df, one the scoring join — same as the
+    // single-query path), NOT |queries| scans
+    def postingsScans(qs: Seq[(Long, Seq[String])]) =
+      Retrieval.bm25BatchFromIndex(spark, p, "doc_id", qs, k = 20)
+        .queryExecution.executedPlan.toString
+        .linesIterator.count(l => l.contains("FileScan") && l.contains("postings"))
+    assert(postingsScans(batch) == postingsScans(batch.take(1)),
+      "postings scan count must not grow with the batch")
+    assert(postingsScans(batch) <= 2)
+    rm(new java.io.File(p))
+  }
+
   test("bm25TopK: duplicate query terms count once (term-set semantics)") {
     val docs = Seq(
       (1L, "spark spark spark spark filler filler filler filler"),

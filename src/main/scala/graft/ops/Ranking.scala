@@ -84,6 +84,19 @@ object Ranking {
     * would then build a driver-OOM broadcast silently — above the
     * bound the hint is dropped and the planner/AQE picks a shuffle
     * join, which is merely slower, never wrong.
+    *
+    * Cost note (a deliberate tradeoff, kept): the measured regime makes
+    * this call EAGER — the checkpoint plus the count run two small jobs
+    * at plan-construction time even when the summary is trivially
+    * tiny, and a checkpointed block is lost on executor failure
+    * (recomputed from lineage... which a localCheckpoint severs, so a
+    * mid-pipeline executor loss fails the query). Both costs are paid
+    * knowingly: the summary is |groups|·|buckets| rows (the two jobs
+    * are milliseconds), while the alternative — an unconditional
+    * broadcast hint — turns a mis-sized `bucketWidth` into a silent
+    * driver OOM. A caller-asserted fast path was considered and
+    * rejected: the summary's size depends on the order column's spread,
+    * which callers don't reliably know.
     */
   private[ops] def joinPrefixes(local: DataFrame, prefixes: DataFrame,
       groupCol: String, bucketCol: String = "__rb"): DataFrame = {

@@ -873,6 +873,36 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image dedup DECISIONS — q158's perceptual-hash pairs composed with
+    * the judged graph/keeper machinery ([[Dedup.duplicateClusters]] +
+    * [[Dedup.keepBest]]): connected components over the Hamming-banded
+    * pair relation, one keeper per component (no quality signal on raw
+    * media ⇒ the deterministic lowest-id convention — a constant score
+    * with the id tiebreak), singletons keep themselves. The multimodal
+    * counterpart of q111's text keep-best: a real image pipeline drops
+    * the non-keepers, not just lists pairs. Oracle = q158's signature
+    * CTEs + the recursive closure + the same keeper window.
+    */
+  private val q164: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
+        (id, Multimodal.encodePng(
+          Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
+      }
+      .toDF("media_id", "payload")
+    val pairs = Dedup.hammingNearDupFromSig(
+        Multimodal.imageHashTable(media, hw = 8, hh = 6),
+        "media_id", "ahash", bits = 48, bands = 4, maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(media.select(col("media_id"), lit(0L).as("score")),
+        "media_id", pairs, "score")
+      .select(col("media_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("media_id")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -1142,6 +1172,7 @@ object ExtQueries {
     "q76_image_decode" -> q76,
     "q142_png_decode" -> q142,
     "q158_image_phash_dedup" -> q158,
+    "q164_image_keep_best" -> q164,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
@@ -1727,6 +1758,43 @@ object ExtQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q158's signature CTEs + the recursive closure (the keepBestOracle
+    // pattern) + the lowest-id keeper window — cluster minima and keep
+    // decisions are a property of the pair relation
+    "q164_image_keep_best" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |r(id, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+        |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+        |lab AS (SELECT d.doc_id AS media_id, coalesce(cl.rep, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+        |SELECT media_id, cluster_id,
+        |       (row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY media_id ASC) = 1) AS is_keeper
+        |FROM lab ORDER BY media_id""".stripMargin,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

@@ -237,9 +237,17 @@ object ProductQuantize {
     // measured with this rule: two-tier mean recall@10 0.77–0.92 from
     // 500 to 20k vectors, where a FIXED overfetch collapsed to 0.13
     val overfetch = math.max(8, ((n + 124) / 125).toInt)
+    // the probe set, by contrast, must NOT scale with the corpus: the
+    // raw-ADC tier is inherently a probes×corpus sweep (that is what
+    // is being measured), and a mod-50 probe set made the contract's
+    // cost quadratic-ish in n (measured 47 s at 20k vectors vs 5.6 s
+    // at 2k). Statistical power is flat past a few dozen probes, so
+    // the stride widens deterministically to cap the sample at ~40 —
+    // the oracle replays greatest(probeEvery, n/40) exactly
+    val stride = math.max(probeEvery, n / 40)
     val codebook = train(embeddings, idCol, vecCol, m, kCw, pqIters)
     contractRows(
-      pqRecallHits(embeddings, idCol, vecCol, codebook, probeEvery,
+      pqRecallHits(embeddings, idCol, vecCol, codebook, stride,
         probeOffset, k, m, numCentroids, nprobe, overfetch),
       k, n, adcChanceFactor, ivfPqChanceFactor, twoTierBound)
   }

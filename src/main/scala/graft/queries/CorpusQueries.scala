@@ -968,9 +968,13 @@ object CorpusQueries {
         |ORDER BY method""".stripMargin,
 
     // same literal-TRUE shape as q112's: the bound comparisons are
-    // deterministic exact-integer arithmetic Spark-side
+    // deterministic exact-integer arithmetic Spark-side. The probe
+    // stride is corpus-capped (greatest(50, n//40) — the contract's
+    // raw-ADC tier is a probes×corpus sweep, so the sample stays ~40)
     "q156_pq_recall" ->
-      """WITH p AS (SELECT count(*) AS n_probes FROM embeddings WHERE vec_id % 50 = 7)
+      """WITH c AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT count(*) AS n_probes FROM embeddings, c
+        |      WHERE vec_id % greatest(50, c.n // 40) = 7)
         |SELECT method, n_probes, true AS recall_ok
         |FROM (SELECT 'ivfpq' AS method FROM p
         |      UNION ALL SELECT 'pq_adc' FROM p

@@ -988,11 +988,15 @@ object CorpusQueries {
         |       true AS within_p50, true AS within_p95
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // pair_freq is CAST: DuckDB widens sum(BIGINT) to HUGEINT, Spark
+    // emits BIGINT, and the driver's hash is type-sensitive — the
+    // repo-wide integer-results-as-BIGINT rule (RefQueries.scala) that
+    // tools/check_oracle.py now enforces mechanically
     "q161_bpe_train" ->
       s"""WITH $bpeCtes
          |SELECT * FROM (
          |  ${(1 to 10).map(r =>
-              s"SELECT $r AS merge_rank, lhs, rhs, cnt AS pair_freq FROM best$r")
+              s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS pair_freq FROM best$r")
               .mkString("\n  UNION ALL ")})
          |ORDER BY merge_rank""".stripMargin,
 

@@ -105,7 +105,19 @@ def _compare_inline(sf_dir, out_dir, name, sql):
         con.sql(f"CREATE TEMP TABLE __edges AS {edges_sql}")
         _propagate_closure(con)
         sql = final_sql
-    oracle_df = con.sql(sql).fetchdf()
+    rel = con.sql(sql)
+    # Type-discipline guard (the q161 lesson): the driver's value hash is
+    # TYPE-sensitive, while this comparator's float-coercion branch below
+    # is not — a DuckDB HUGEINT (sum over BIGINT, uncast) fetches as
+    # float64 and silently "matches" a Spark BIGINT here while failing
+    # the driver's hash. Enforce the repo rule (integer-valued oracle
+    # outputs CAST to BIGINT) mechanically before comparing values.
+    bad = [f"{n}:{t}" for n, t in zip(rel.columns, map(str, rel.types))
+           if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")]
+    if bad:
+        return ("fail", f"oracle emits non-portable integer type(s) {bad}: "
+                        "CAST to BIGINT (driver hash is type-sensitive)")
+    oracle_df = rel.fetchdf()
     spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
     oracle_df = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
     if list(spark_df.columns) != list(oracle_df.columns):
@@ -114,6 +126,13 @@ def _compare_inline(sf_dir, out_dir, name, sql):
         return ("fail", f"shape {spark_df.shape} vs {oracle_df.shape}")
     for c in spark_df.columns:
         a, b = spark_df[c], oracle_df[c]
+        # integer-vs-float dtype split = the two engines disagree on the
+        # column's TYPE; the driver hash fails this even when every value
+        # coincides numerically — so fail it here too instead of coercing
+        if (pd.api.types.is_integer_dtype(a) != pd.api.types.is_integer_dtype(b)
+                and (pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b))):
+            return ("fail", f"col {c} dtype mismatch: {a.dtype} vs {b.dtype} "
+                            "(driver hash is type-sensitive)")
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             eq = (a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)).all()
         else:

@@ -134,12 +134,67 @@ object Bpe {
     * corpus's token relation joined with the |vocab|-sized
     * word → symbol-count map (broadcast-sized in practice; Spark
     * decides) — one corpus scan, one narrow join, exact long sums.
+    *
+    * Out-of-vocabulary words (docs outside the training corpus) are a
+    * LEFT join with the character-count fallback — the symbol count of
+    * a word no merge has touched — instead of being silently dropped
+    * (the pre-r16 inner join under-counted BOTH n_bpe and n_words for
+    * held-out text). The fallback is conservative: stored merges that
+    * WOULD apply to an unseen word are not applied here; tokenizing
+    * genuinely new text under a frozen tokenizer is [[encode]] (judged
+    * on a held-out split as q165).
     */
   def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       finalWords: DataFrame): DataFrame =
     TextAnalysis.tokenTable(docs, idCol, textCol)
       .join(finalWords.select(col("word"), size(col("syms")).as("nt")),
-        col("tok") === col("word"))
+        col("tok") === col("word"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("nt")).as("n_bpe"), count(lit(1)).as("n_words"))
+      .agg(sum(coalesce(col("nt").cast("long"), length(col("tok")).cast("long")))
+          .as("n_bpe"),
+        count(lit(1)).as("n_words"))
+
+  /** ENCODE under a frozen tokenizer — apply a stored merge sequence to
+    * a batch of UNSEEN text, the deployment half of BPE the trainer's
+    * own word table cannot cover (every real pipeline tokenizes
+    * held-out/new data with merges learned earlier). Exactly the
+    * textbook encode semantics: each word splits to characters, then
+    * the merges apply IN TRAINING-RANK ORDER, each with [[applyMerge]]'s
+    * greedy left-to-right non-overlap — the same shared relational
+    * rewrite training used, so train-corpus words re-encode to their
+    * trained symbolization verbatim (`BpeSpec` pins encode(train-words)
+    * ≡ trained word table).
+    *
+    * Scale shape: the batch is aggregated to ITS OWN word-frequency
+    * relation first (one scan; |batch-vocab| rows), each merge rank is
+    * one positional rewrite of that relation, rounds localCheckpoint
+    * with the training loop's O(1)-planning discipline. The merge list
+    * itself is driver-resident (|merges| is tokenizer-sized: thousands
+    * — never data-sized).
+    */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var w = initial(words).localCheckpoint()
+    for (mrg <- merges.sortBy(_.rank))
+      w = applyMerge(w, mrg.lhs, mrg.rhs).localCheckpoint()
+    w
+  }
+
+  /** [[docTokenCounts]] for a batch of unseen documents under a STORED
+    * merge table ((merge_rank, lhs, rhs, pair_freq) — [[mergeTable]]'s
+    * at-rest shape): encode the batch's own word table with the frozen
+    * merges, then count per document. The merge table is a driver
+    * fetch by design — it IS the tokenizer, thousands of rows at
+    * production vocabulary sizes, never data-sized.
+    */
+  def docTokenCountsEncoded(docs: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val merges = mergesDf
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_freq").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    docTokenCounts(docs, idCol, textCol,
+      encode(wordTable(docs, idCol, textCol), merges))
+  }
 }

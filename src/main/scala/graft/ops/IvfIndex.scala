@@ -445,9 +445,15 @@ object IvfIndex {
         col("cv").as("centv"))
     val codebook = spark.read.parquet(s"$path/_codebook")
     val shape = codebook
-      .agg(max(col("sub")).as("maxSub"), max(size(col("cv"))).as("d")).head()
+      .agg(max(col("sub")).as("maxSub"), max(size(col("cv"))).as("d"),
+        min(size(col("cv"))).as("dMin")).head()
     val m = shape.getInt(0) + 1
     val d = shape.getInt(1)
+    // the adcTopK consistency guard: a corrupted codebook with mixed
+    // codeword widths would otherwise mis-slice the query SILENTLY
+    // (slice() just reads short/overlapping windows)
+    require(d == shape.getInt(2),
+      s"probePqResidual: ragged codebook (codeword widths ${shape.getInt(2)}..$d)")
     require(queryVec.length == m * d,
       s"probePqResidual: query dimension ${queryVec.length} != m*d = ${m * d}")
     val qv = typedlit(queryVec.toSeq)

@@ -251,7 +251,20 @@ object Retrieval {
     // one frozen relation; a persist is NOT enough (an evicted or
     // re-planned partition re-executes the scan).
     val tok = TextAnalysis.tokenTable(fresh, idCol, textCol).localCheckpoint()
-    writePostings(tok, idCol, path, layoutOf(spark, path), mode)
+    // WRITE ORDER = crash-safety order: the GUARD KEY (lens) lands
+    // first, postings LAST. The three appends commit independently
+    // (parquet has no cross-directory transaction), so a crash between
+    // them leaves a torn batch — the order decides which tear. With
+    // postings-first (the pre-r16 order), a crash before lens left
+    // docs with postings but no guard row, so a RETRIED append
+    // re-appended their postings and permanently DOUBLED their tf.
+    // With lens-first, every crash window is one-sided: a retry
+    // anti-joins the half-landed docs away, so the failure mode is
+    // "batch docs missing from the index" (lens-only: invisible to
+    // scoring — tf joins from the postings side; lens+stats: counted
+    // in n_docs/avgdl only), never a double-count. Recovery is
+    // re-ingest: tombstone the batch's ids ([[deleteFromBm25Index]])
+    // and re-append — both batch-proportional.
     val lens = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     lens.write.mode(mode).parquet(s"$path/lens")
     // coalesce keeps the delta row's sum NON-NULL when the whole batch
@@ -260,6 +273,7 @@ object Retrieval {
     lens.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
+    writePostings(tok, idCol, path, layoutOf(spark, path), mode)
     ()
   }
 

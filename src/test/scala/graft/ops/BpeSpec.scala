@@ -68,6 +68,54 @@ class BpeSpec extends SparkSpec {
     assert(m == Map(1L -> ((3L, 2L)), 2L -> ((5L, 3L))), s"got $m")
   }
 
+  test("docTokenCounts: OOV words fall back to character counts, never dropped") {
+    // train on docs 1-2 only; doc 3 carries one trained word and one
+    // word training never saw — the pre-r16 inner join dropped "zzq"
+    // from BOTH counts
+    val train = Seq((1L, "aaaa abab"), (2L, "aab aab aaaa")).toDF("doc_id", "text")
+    val held = Seq((3L, "aaaa zzq")).toDF("doc_id", "text")
+    val (_, fin) = Bpe.train(Bpe.wordTable(train, "doc_id", "text"), 3)
+    val m = Bpe.docTokenCounts(held, "doc_id", "text", fin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // aaaa -> 1 trained token; zzq -> OOV, char fallback 3 symbols
+    assert(m == Map(3L -> ((4L, 2L))), s"got $m")
+  }
+
+  test("encode: train-corpus words re-encode to the trained symbolization verbatim") {
+    val docs = Seq((1L, "aaaa abab"), (2L, "aab aab aaaa")).toDF("doc_id", "text")
+    val words = Bpe.wordTable(docs, "doc_id", "text")
+    val (merges, fin) = Bpe.train(words, 3)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2).toList)).toMap
+    assert(toMap(Bpe.encode(words, merges)) == toMap(fin))
+  }
+
+  test("encode: stored merges apply to UNSEEN words in rank order") {
+    // merges learned from the BpeSpec toy corpus: (a,a), (a,b), (aa,b)
+    val merges = Seq(Bpe.Merge(1, "a", "a", 5L), Bpe.Merge(2, "a", "b", 2L),
+      Bpe.Merge(3, "aa", "b", 2L))
+    // "aabab": rank1 -> [aa,b,a,b]; rank2 -> a,b at tail merges -> [aa,b,ab];
+    // rank3 -> aa+b merges -> [aab, ab]. "ba": no merge applies -> [b,a]
+    val unseen = Seq(("aabab", 1L), ("ba", 1L)).toDF("word", "freq")
+    val enc = Bpe.encode(unseen, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(enc == Map("aabab" -> List("aab", "ab"), "ba" -> List("b", "a")),
+      s"got $enc")
+  }
+
+  test("docTokenCountsEncoded: held-out docs under the stored merge table") {
+    val train = Seq((1L, "aaaa abab"), (2L, "aab aab aaaa")).toDF("doc_id", "text")
+    val held = Seq((3L, "aabab ba aaaa")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(Bpe.wordTable(train, "doc_id", "text"), 3)
+    val out = Bpe.docTokenCountsEncoded(held, "doc_id", "text",
+        Bpe.mergeTable(spark, merges))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // merges on this corpus: (a,a)8, (a,b)2, (aa,aa)2 — aabab encodes
+    // rank1 [aa,b,a,b] rank2 [aa,b,ab] (rank3 aa+aa never adjacent) = 3
+    // tokens; ba = 2; aaaa = rank1 [aa,aa] rank3 [aaaa] = 1 -> 6 / 3
+    assert(out == Map(3L -> ((6L, 3L))), s"got $out")
+  }
+
   test("training reads the word table only — |vocab| rows per round, corpus untouched") {
     // shape pin: wordTable aggregates the corpus once; train's per-round
     // relations derive from the checkpointed word relation (scan count

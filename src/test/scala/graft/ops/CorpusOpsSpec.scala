@@ -364,6 +364,47 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(p))
   }
 
+  test("bm25 append: torn batch (guard rows landed, postings not) — retry never double-counts") {
+    // the crash window the r16 write order leaves: lens (the guard key)
+    // commits first, so a crash before postings leaves a batch whose
+    // retry is anti-joined away. The invariant under ANY tear+retry is
+    // "no document's tf/dl is ever counted twice" — the old
+    // postings-first order violated it (retry re-appended postings for
+    // docs with no lens row, permanently doubling their tf)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_torn"
+    rm(new java.io.File(p))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    Retrieval.writeBm25Index(a, "doc_id", "text", p)
+    // simulate the crash: batch b's lens rows land, nothing else does
+    graft.ops.TextAnalysis.tokenTable(b, "doc_id", "text")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$p/lens")
+    // the retry: the guard sees b as indexed and must no-op
+    Retrieval.appendToBm25Index(b, "doc_id", "text", p)
+    val postDocs = spark.read.parquet(s"$p/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(postDocs.forall(_ % 2 == 0),
+      "torn batch must stay out of postings after a retry — never half in")
+    // lens rows counted exactly once per doc (no doubling either side)
+    val lensDup = spark.read.parquet(s"$p/lens")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(lensDup == 0, "a retried torn batch must not duplicate lens rows")
+    // scoring still works and only sees the fully-committed half
+    val top = Retrieval.bm25FromIndex(spark, p, "doc_id",
+      Seq("vector", "stream", "window"), k = 20).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(0) % 2 == 0))
+    rm(new java.io.File(p))
+  }
+
   test("bm25 OPTIMIZE: one file per relation after compaction, scores unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val query = Seq("vector", "stream", "window")

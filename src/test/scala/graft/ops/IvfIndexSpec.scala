@@ -401,6 +401,35 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pW)); rm(new java.io.File(pA))
   }
 
+  test("probePqResidual refuses a ragged codebook loudly") {
+    // adcTopK's consistency guard, mirrored: mixed codeword widths mean
+    // a corrupted codebook, and slicing the query by max-width would
+    // mis-score silently
+    val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_pqres_ragged"
+    rm(new java.io.File(pR))
+    IvfIndex.writePqResidual(emb.filter(col("vec_id") < 300), "vec_id",
+      "embedding", pR, numCentroids = 8, m = 4, k = 8, pqIters = 1,
+      kmeansIters = 1)
+    // corrupt ONE codeword to a shorter width
+    val cb = spark.read.parquet(s"$pR/_codebook")
+    val ragged = cb.withColumn("cv",
+      when(col("sub") === 0 && col("cid") === 0L, slice(col("cv"), 1, 2))
+        .otherwise(col("cv")))
+    ragged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$pR/_codebook_ragged")
+    // swap in the corrupted codebook
+    val fs = new org.apache.hadoop.fs.Path(pR)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pR/_codebook"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$pR/_codebook_ragged"),
+      new org.apache.hadoop.fs.Path(s"$pR/_codebook"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.probePqResidual(spark, pR, "vec_id", qvec0, k = 5, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("ragged codebook"))
+    rm(new java.io.File(pR))
+  }
+
   test("rebuild after appends == fresh write on the union corpus") {
     val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
     rm(new java.io.File(pR))

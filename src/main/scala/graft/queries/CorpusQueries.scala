@@ -179,6 +179,41 @@ object CorpusQueries {
         s.read.parquet(s"${bpeModelPath(s, dir)}/words"))
       .orderBy("doc_id")
 
+  /** The ENCODE half of the tokenizer ([[graft.ops.Bpe.encode]]) —
+    * deployment under a FROZEN tokenizer: 10 merges trained on the
+    * doc_id % 4 ≠ 3 split only (the q135 held-out convention), the
+    * merge table stored at rest, then the held-out quarter tokenized
+    * by APPLYING the stored merges to its own word table (words
+    * training never saw split to characters and merge in rank order —
+    * the path [[graft.ops.Bpe.docTokenCounts]]'s trained-word join
+    * cannot cover). Judged per document; the oracle replays the
+    * 10-round training unroll on the train split AND the 10-round
+    * rank-order application to the held-out vocabulary, operator for
+    * operator.
+    */
+  private val bpeSplitModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(bpeSplitModels)
+  private val q165: Q = (s, dir) => {
+    val path = bpeSplitModels.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bpe_split_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val (merges, _) = graft.ops.Bpe.train(
+        graft.ops.Bpe.wordTable(
+          t(s, dir, "documents").filter(col("doc_id") % 4 =!= 3),
+          "doc_id", "text"),
+        numMerges = 10)
+      graft.ops.Bpe.mergeTable(s, merges).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$p/merges")
+      p
+    })
+    graft.ops.Bpe.docTokenCountsEncoded(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", s.read.parquet(s"$path/merges"))
+      .orderBy("doc_id")
+  }
+
   /** The full-corpus [[Dedup.ShingleIndex]] AT REST, built once per
     * (pid, dir) — shared by q143/q144, the at-rest counterparts of the
     * q106/q111 from-text detectors.
@@ -725,6 +760,7 @@ object CorpusQueries {
     "q156_pq_recall" -> q156,
     "q161_bpe_train" -> q161,
     "q162_bpe_tokens" -> q162,
+    "q165_bpe_encode" -> q165,
     "q111_keep_best" -> q111,
     "q106_ngram_containment" -> q106,
     "q143_stored_containment" -> q143,
@@ -856,6 +892,44 @@ object CorpusQueries {
        |wt AS (SELECT tok AS word, count(*) AS freq FROM tok GROUP BY 1),
        |w1 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM wt),
        |${(1 to 10).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+
+  /** One ENCODE round: [[bpeRoundCte]]'s application half (match →
+    * greedy non-overlap keep → positional rewrite) over the held-out
+    * word relation `h$r`, with the pair coming from the TRAIN split's
+    * `best$r` instead of being re-chosen — merges frozen, applied in
+    * rank order: the relational replay of [[graft.ops.Bpe.encode]].
+    */
+  private def bpeApplyCte(r: Int): String =
+    s"""hpos$r AS MATERIALIZED (
+       |          SELECT word, freq, g.i AS p, syms[g.i] AS s, syms[g.i + 1] AS nxt
+       |          FROM h$r, UNNEST(generate_series(1, len(syms))) AS g(i)),
+       |hmm$r AS (SELECT p.word, p.p, row_number() OVER (PARTITION BY p.word ORDER BY p.p) AS rn
+       |         FROM hpos$r p, best$r b WHERE p.s = b.lhs AND p.nxt = b.rhs),
+       |hkept$r AS MATERIALIZED (SELECT word, p FROM (
+       |             SELECT word, p, row_number() OVER (PARTITION BY word, p - rn ORDER BY p) AS k
+       |             FROM hmm$r) WHERE k % 2 = 1),
+       |h${r + 1} AS MATERIALIZED (
+       |  SELECT p.word, min(p.freq) AS freq,
+       |         list(CASE WHEN k1.p IS NOT NULL THEN p.s || p.nxt ELSE p.s END ORDER BY p.p) AS syms
+       |  FROM hpos$r p
+       |  LEFT JOIN hkept$r k1 ON k1.word = p.word AND k1.p = p.p
+       |  LEFT JOIN hkept$r k2 ON k2.word = p.word AND k2.p = p.p - 1
+       |  WHERE k2.p IS NULL
+       |  GROUP BY p.word)""".stripMargin
+
+  /** q165's unroll: train 10 rounds on the doc_id % 4 ≠ 3 split
+    * (best1..best10), then apply them in rank order to the HELD-OUT
+    * quarter's own word table (h1..h11).
+    */
+  private lazy val bpeEncodeCtes: String =
+    s"""${ExtQueries.tokensCte},
+       |tok AS (SELECT doc_id, u.t AS tok FROM w, UNNEST(w.w) AS u(t)),
+       |wt AS (SELECT tok AS word, count(*) AS freq FROM tok WHERE doc_id % 4 <> 3 GROUP BY 1),
+       |w1 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM wt),
+       |${(1 to 10).map(bpeRoundCte).mkString(",\n")},
+       |hwt AS (SELECT tok AS word, count(*) AS freq FROM tok WHERE doc_id % 4 = 3 GROUP BY 1),
+       |h1 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM hwt),
+       |${(1 to 10).map(bpeApplyCte).mkString(",\n")}""".stripMargin
 
   /** u(key)·2²⁴ in DuckDB: the first 6 md5 hex chars of the doc id as
     * an exact integer — the replay of [[graft.ops.Sampling.hashUniform]].
@@ -1006,6 +1080,15 @@ object CorpusQueries {
          |       CAST(sum(len(w11.syms)) AS BIGINT) AS n_bpe,
          |       count(*) AS n_words
          |FROM tok JOIN w11 ON w11.word = tok.tok
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q165_bpe_encode" ->
+      s"""WITH $bpeEncodeCtes
+         |SELECT tok.doc_id,
+         |       CAST(sum(len(h11.syms)) AS BIGINT) AS n_bpe,
+         |       count(*) AS n_words
+         |FROM tok JOIN h11 ON h11.word = tok.tok
+         |WHERE tok.doc_id % 4 = 3
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q106_ngram_containment" -> containmentOracle,

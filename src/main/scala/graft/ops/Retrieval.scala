@@ -277,6 +277,68 @@ object Retrieval {
     ()
   }
 
+  /** The tombstone relation of the stored index: `tombstones/` (one id
+    * column, named by the index's own id column) — None when absent or
+    * empty-by-construction. Deleted ids are distinct by the delete
+    * guard; a missing directory reads as "nothing deleted".
+    */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** DELETE documents from the stored BM25 index — the eviction a
+    * production crawl loop needs (keep-best losers, takedowns, expired
+    * docs) that pure append+compact cannot express. LSM semantics: the
+    * delete is TWO APPENDS, nothing existing rewritten —
+    *  - `tombstones/` gains the ids (the GUARD KEY, written first: the
+    *    crash-safety discipline of [[appendToBm25Index]]);
+    *  - `stats/` gains ONE NEGATIVE delta row (the deleted docs'
+    *    -count/-Σdl, read from their lens rows), so serve-time global
+    *    statistics stay exact without touching `lens/`.
+    * Serving anti-joins matched postings against the tombstones, so a
+    * deleted document can never match a query again; its physical rows
+    * go away at the next [[compactBm25Index]] (which also clears the
+    * tombstones). Cost is delete-batch-proportional: one narrow
+    * semi-join against `lens/`, two appends.
+    *
+    * Contracts: ids not in the index, and ids already tombstoned, are
+    * no-ops (the semi/anti joins below — a double delete must not
+    * double the negative stats delta). A tombstoned id stays deleted
+    * until the purge: re-ingesting it is blocked by the append guard
+    * (its lens row is still on disk), so the recovery cycle for a
+    * corrupted doc is delete → OPTIMIZE → re-append. Crash window
+    * (tombstones landed, stats delta not): the docs are already
+    * invisible to every query — only n_docs/avgdl run slightly stale,
+    * and the purge recomputes stats exactly from the surviving lens
+    * rows, healing any such drift.
+    */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    val lensPath = new org.apache.hadoop.fs.Path(s"$path/lens")
+    val fs = lensPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(lensPath),
+      s"deleteFromBm25Index: no BM25 index at $path")
+    val indexed = spark.read.parquet(lensPath.toString)
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "leftsemi")
+    val doomed = tombstonesOf(spark, path)
+      .map(ts => indexed.join(ts, Seq(idCol), "left_anti"))
+      .getOrElse(indexed)
+      // freeze before the first write: the anti-join above reads the
+      // very tombstones/ the first write appends to (the
+      // appendToBm25Index self-read argument)
+      .localCheckpoint()
+    val mode = org.apache.spark.sql.SaveMode.Append
+    doomed.select(col(idCol)).write.mode(mode).parquet(s"$path/tombstones")
+    doomed.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
+    ()
+  }
+
   /** OPTIMIZE for the BM25 index at rest — the maintenance pass that
     * bounds what appends fragment, [[AnnIndex.compactBuckets]] +
     * [[Dedup.compactStoredDfs]] composed for the three relations:
@@ -304,21 +366,15 @@ object Retrieval {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    // whole-relation rename-aside rewrite (the compactStoredDfs swap):
-    // never delete the only copy — aside, swap, drop. The rewritten
-    // file count is sized from the relation's BYTES (⌈size/128 MiB⌉),
-    // not its fragment count — many tiny appended files fold to one,
-    // a genuinely large relation stays distributed.
-    def rewrite(rel: String, plan: DataFrame => DataFrame): Unit = {
+    // rename-aside swap (the compactStoredDfs discipline): never delete
+    // the only copy — write tmp, live → old, tmp → live, drop old.
+    def swapIn(rel: String)(writeTmp: Path => Unit): Unit = {
       val live = new Path(s"$path/$rel")
       val tmp = new Path(s"$path/.${rel}_compact_tmp")
       val old = new Path(s"$path/.${rel}_compact_old")
       fs.delete(tmp, true)
       fs.delete(old, true)
-      val bytes = partFiles(live).map(_.getLen).sum
-      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-      plan(spark.read.parquet(live.toString)).coalesce(nFiles)
-        .write.parquet(tmp.toString)
+      writeTmp(tmp)
       if (!fs.rename(live, old))
         throw new java.io.IOException(s"compactBm25Index: cannot move $live aside")
       if (!fs.rename(tmp, live)) {
@@ -326,6 +382,45 @@ object Retrieval {
         throw new java.io.IOException(s"compactBm25Index: cannot swap $tmp in")
       }
       fs.delete(old, true)
+      ()
+    }
+    // whole-relation rewrite. The rewritten file count is sized from
+    // the relation's BYTES (⌈size/128 MiB⌉), not its fragment count —
+    // many tiny appended files fold to one, a genuinely large relation
+    // stays distributed.
+    def rewrite(rel: String, plan: DataFrame => DataFrame): Unit =
+      swapIn(rel) { tmp =>
+        val bytes = partFiles(new Path(s"$path/$rel")).map(_.getLen).sum
+        val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+        plan(spark.read.parquet(s"$path/$rel")).coalesce(nFiles)
+          .write.parquet(tmp.toString)
+      }
+    // tb-partitioned rewrite preserving the frozen bucket layout
+    // (writePostings' repartition(tb) bounded-writers shape).
+    def rewriteBucketed(rel: String, plan: DataFrame => DataFrame): Unit =
+      swapIn(rel) { tmp =>
+        plan(spark.read.parquet(s"$path/$rel"))
+          .repartition(col("tb"))
+          .write.partitionBy("tb").parquet(tmp.toString)
+      }
+    // PURGE: physically remove tombstoned documents, then clear the
+    // tombstones — the major-compaction half of [[deleteFromBm25Index]]'s
+    // LSM delete. Order is crash-safe: tombstones/ is dropped LAST, so
+    // a crash anywhere mid-purge leaves the mask in place (serving
+    // stays correct over half-purged relations, and a re-run finishes
+    // the job). stats/ is RECOMPUTED exactly from the purged lens —
+    // not delta-folded — healing any torn-delete stats drift.
+    tombstonesOf(spark, path).filter(_.head(1).nonEmpty).foreach { ts =>
+      val tcol = ts.columns.head
+      val t = ts.select(col(tcol)).distinct().localCheckpoint()
+      def purge(df: DataFrame) = df.join(t, Seq(tcol), "left_anti")
+      if (layoutOf(spark, path) > 0) rewriteBucketed("postings", purge)
+      else rewrite("postings", purge)
+      rewrite("lens", purge)
+      rewrite("stats", _ => spark.read.parquet(s"$path/lens")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).coalesce(1))
+      fs.delete(new Path(s"$path/tombstones"), true)
       ()
     }
     if (layoutOf(spark, path) > 0)
@@ -367,8 +462,13 @@ object Retrieval {
         val tbs = terms.map(t => termBucketOf(t, buckets)).distinct
         postings.filter(col("tb").isin(tbs.map(x => x: Any): _*))
       } else postings
-    val tfRaw = pruned
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
+    // tombstone mask: deleted docs' postings are still on disk until
+    // the purge — the anti-join on the (delete-batch-proportional)
+    // tombstone relation keeps them out of every ranking. Applied to
+    // the already-term-pruned matched postings, never the full index.
+    val tfRaw = tombstonesOf(spark, path).foldLeft(
+      pruned.filter(col("term").isin(terms.map(x => x: Any): _*)))(
+      (df, ts) => df.join(ts, Seq(idCol), "left_anti"))
     val lens = spark.read.parquet(s"$path/lens")
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
@@ -424,7 +524,10 @@ object Retrieval {
         val tbs = terms.map(t => termBucketOf(t, buckets)).distinct
         postings.filter(col("tb").isin(tbs.map(x => x: Any): _*))
       } else postings
-    val tfRaw = pruned.filter(col("term").isin(terms.map(x => x: Any): _*))
+    // same tombstone mask as the single-query serve path
+    val tfRaw = tombstonesOf(spark, path).foldLeft(
+      pruned.filter(col("term").isin(terms.map(x => x: Any): _*)))(
+      (df, ts) => df.join(ts, Seq(idCol), "left_anti"))
     val lens = spark.read.parquet(s"$path/lens")
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))

@@ -354,6 +354,45 @@ object CorpusQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** DELETE from the BM25 index at rest ([[Retrieval
+    * .deleteFromBm25Index]]) — the eviction half of the index
+    * lifecycle q152–q155 leave open (a crawl loop that dedups must
+    * remove keep-best losers/takedowns from its serving index or they
+    * match queries forever). Exercises BOTH delete regimes on the
+    * term-bucketed layout: docs ≡ 3 (mod 14) are deleted and then
+    * PURGED by OPTIMIZE (tombstoned rows physically rewritten away,
+    * stats recomputed exactly from the surviving lens, tombstones
+    * cleared); docs ≡ 10 (mod 14) are deleted AFTER the compaction and
+    * served under the live tombstone MASK (postings still on disk,
+    * anti-joined out; their negative stats delta summed at read).
+    * Together the deleted set is exactly doc_id ≡ 3 (mod 7), so the
+    * oracle is q95's from-text BM25 over `documents WHERE doc_id % 7
+    * <> 3` — a deleted document must be indistinguishable from one
+    * never ingested, in scores, rankings, AND global statistics.
+    */
+  private val bm25DeleteIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(bm25DeleteIndexes)
+  private val q166: Q = (s, dir) => {
+    val path = bm25DeleteIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_del_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      Retrieval.writeBm25Index(docs, "doc_id", "text", p, termBuckets = 16)
+      Retrieval.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 14 === 3).select(col("doc_id")),
+        "doc_id", p)
+      Retrieval.compactBm25Index(s, p, maxFilesPerBucket = 1)
+      Retrieval.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 14 === 10).select(col("doc_id")),
+        "doc_id", p)
+      p
+    })
+    Retrieval.bm25FromIndex(s, path, "doc_id",
+        query = Seq("vector", "stream", "window"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Batched BM25 serving ([[Retrieval.bm25BatchFromIndex]]) — the
     * eval-harness shape: three queries (q95's, a second corpus query,
     * and one carrying an absent term) scored from the TERM-BUCKETED
@@ -770,6 +809,7 @@ object CorpusQueries {
     "q154_bm25_bucketed" -> q154,
     "q155_bm25_optimize" -> q155,
     "q163_bm25_batch" -> q163,
+    "q166_bm25_delete" -> q166,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
@@ -1349,6 +1389,20 @@ object CorpusQueries {
          |ORDER BY exact_n DESC, term LIMIT 20""".stripMargin,
 
     "q95_bm25" -> bm25TopSql,
+
+    // delete semantics: a deleted document is indistinguishable from
+    // one never ingested — q95's pipeline over the surviving corpus
+    // (dl/stats/df all recomputed over survivors only)
+    "q166_bm25_delete" ->
+      s"""WITH w AS (SELECT doc_id,
+         |            list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+         |          FROM documents WHERE doc_id % 7 <> 3),
+         |tok AS (SELECT doc_id, u.t AS tok FROM w, UNNEST(w.w) AS u(t)),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |${bm25BodyFor(bm25TermList, "")}
+         |SELECT doc_id, score FROM bm
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // the stored-index serving path, its ingest replay, the
     // term-bucketed layout, and its OPTIMIZE must each return exactly

@@ -405,6 +405,65 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(p))
   }
 
+  test("bm25 delete: tombstone mask == never-ingested; purge physical; double-delete no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val query = Seq("vector", "stream", "window")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    def top(p: String) = Retrieval.bm25FromIndex(spark, p, "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pDel = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_del"
+    val pRef = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_del_ref"
+    rm(new java.io.File(pDel)); rm(new java.io.File(pRef))
+    val survivors = docs.filter(col("doc_id") % 5 =!= 2)
+    val doomedIds = docs.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", pDel, termBuckets = 8)
+    Retrieval.writeBm25Index(survivors, "doc_id", "text", pRef, termBuckets = 8)
+    val ref = top(pRef)
+    // tombstone-masked serving == an index that never saw the docs
+    Retrieval.deleteFromBm25Index(doomedIds, "doc_id", pDel)
+    assert(top(pDel) == ref, "masked serve must equal never-ingested")
+    // double delete and unknown-id delete: no-ops (stats must not go
+    // double-negative; tombstones must not duplicate)
+    Retrieval.deleteFromBm25Index(doomedIds, "doc_id", pDel)
+    Retrieval.deleteFromBm25Index(
+      spark.range(1000000, 1000005).toDF("doc_id"), "doc_id", pDel)
+    assert(top(pDel) == ref, "double/unknown delete must change nothing")
+    val st = spark.read.parquet(s"$pDel/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(st.getLong(0) == survivors.count(),
+      "summed stats deltas must equal the surviving doc count")
+    // re-ingesting a tombstoned id is blocked until the purge
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 5 === 2),
+      "doc_id", "text", pDel)
+    assert(top(pDel) == ref, "re-append of tombstoned ids must be blocked")
+    // OPTIMIZE purges: rows physically gone, tombstones cleared,
+    // stats exact over survivors, scores unchanged
+    Retrieval.compactBm25Index(spark, pDel, maxFilesPerBucket = 1)
+    assert(top(pDel) == ref, "purge must not change any score")
+    assert(!new java.io.File(s"$pDel/tombstones").exists,
+      "purge must clear the tombstones")
+    assert(spark.read.parquet(s"$pDel/postings")
+      .filter(col("doc_id") % 5 === 2).count() == 0)
+    assert(spark.read.parquet(s"$pDel/lens")
+      .filter(col("doc_id") % 5 === 2).count() == 0)
+    assert(spark.read.parquet(s"$pDel/stats").count() == 1)
+    // after the purge the id is re-ingestable again
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 5 === 2),
+      "doc_id", "text", pDel)
+    val full = s"${sys.props("java.io.tmpdir")}/graft_bm25_spec_del_full"
+    rm(new java.io.File(full))
+    Retrieval.writeBm25Index(docs, "doc_id", "text", full, termBuckets = 8)
+    assert(top(pDel) == top(full),
+      "delete -> purge -> re-append must equal the never-deleted index")
+    rm(new java.io.File(pDel)); rm(new java.io.File(pRef)); rm(new java.io.File(full))
+  }
+
   test("bm25 OPTIMIZE: one file per relation after compaction, scores unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val query = Seq("vector", "stream", "window")

@@ -517,10 +517,121 @@ object Dedup {
     ()
   }
 
+  /** The stored index's tombstone relation (`tombstones/`, one id
+    * column) — None when never written. See [[deleteFromStoredIndex]].
+    */
+  private def storedTombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** DELETE documents from the stored shingle index — the eviction a
+    * production dedup loop needs (keep-best LOSERS must leave the
+    * index or they keep matching every future batch; takedowns
+    * likewise). LSM semantics, the [[graft.ops.Retrieval
+    * .deleteFromBm25Index]] discipline: the delete is TWO APPENDS —
+    * `tombstones/` gains the ids (the guard/mask key, written FIRST),
+    * `dfs/` gains the deleted docs' per-shingle NEGATIVE deltas (one
+    * semi-joined read of their stored postings — delete-batch-
+    * proportional with the sh filter pushed down), so the stop-shingle
+    * document frequencies stay exact without rewriting anything.
+    * [[readStoredIndex]] masks postings and sizes against the
+    * tombstones, so every from-index detector (probe, jaccard,
+    * containment, keep-best) sees survivors only; physical removal is
+    * [[purgeStoredIndex]].
+    *
+    * No-op laws (the semi/anti joins): ids not in the index and ids
+    * already tombstoned change nothing — a double delete must not
+    * double-subtract df. A tombstoned id stays deleted until the purge
+    * (re-appending it would be masked too); crash window (tombstones
+    * landed, negative dfs not): candidates are already masked, only
+    * the hot-shingle cap runs on slightly-stale df — conservative
+    * (caps at most a few extra shingles), healed exactly by the purge.
+    */
+  def deleteFromStoredIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val spark = ids.sparkSession
+    val sizesPath = new org.apache.hadoop.fs.Path(s"$path/sizes")
+    val fs = sizesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sizesPath),
+      s"deleteFromStoredIndex: no shingle index at $path")
+    val indexed = spark.read.parquet(sizesPath.toString).select(col(idCol))
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "leftsemi")
+    val doomed = storedTombstonesOf(spark, path)
+      .map(ts => indexed.join(ts, Seq(idCol), "left_anti"))
+      .getOrElse(indexed)
+      // freeze before the first write: the anti-join reads the very
+      // tombstones/ the first write appends to
+      .localCheckpoint()
+    val negDfs = spark.read.parquet(s"$path/postings")
+      .join(doomed, Seq(idCol), "leftsemi")
+      .groupBy(col("sh")).agg((-count(lit(1))).as("df"))
+      .localCheckpoint()
+    val mode = org.apache.spark.sql.SaveMode.Append
+    doomed.write.mode(mode).parquet(s"$path/tombstones")
+    negDfs.write.mode(mode).parquet(s"$path/dfs")
+    ()
+  }
+
+  /** Physically remove tombstoned documents from the stored index —
+    * the major-compaction half of [[deleteFromStoredIndex]]'s LSM
+    * delete: postings and sizes are rewritten without the tombstoned
+    * rows (rename-aside swaps, the [[compactStoredDfs]] discipline),
+    * dfs is RECOMPUTED EXACTLY from the purged postings (folding all
+    * deltas and healing any torn-delete drift in one pass), and
+    * `tombstones/` is dropped LAST so the mask stays in place across a
+    * mid-purge crash (a re-run finishes the job). Same maintenance-
+    * lock caveat as [[compactStoredDfs]]: drain writers first.
+    */
+  def purgeStoredIndex(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storedTombstonesOf(spark, path).filter(_.head(1).nonEmpty).foreach { ts =>
+      val t = ts.select(col(idCol)).distinct().localCheckpoint()
+      def swapIn(rel: String)(write: Path => Unit): Unit = {
+        val live = new Path(s"$path/$rel")
+        val tmp = new Path(s"$path/.${rel}_purge_tmp")
+        val old = new Path(s"$path/.${rel}_purge_old")
+        fs.delete(tmp, true)
+        fs.delete(old, true)
+        write(tmp)
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"purgeStoredIndex: cannot move $live aside")
+        if (!fs.rename(tmp, live)) {
+          fs.rename(old, live)
+          throw new java.io.IOException(s"purgeStoredIndex: cannot swap $tmp in")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      swapIn("postings") { tmp =>
+        spark.read.parquet(s"$path/postings")
+          .join(t, Seq(idCol), "left_anti").write.parquet(tmp.toString)
+      }
+      swapIn("sizes") { tmp =>
+        spark.read.parquet(s"$path/sizes")
+          .join(t, Seq(idCol), "left_anti").write.parquet(tmp.toString)
+      }
+      swapIn("dfs") { tmp =>
+        spark.read.parquet(s"$path/postings")
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .write.parquet(tmp.toString)
+      }
+      fs.delete(new Path(s"$path/tombstones"), true)
+      ()
+    }
+  }
+
   /** Read the stored index back as a [[ShingleIndex]]: postings and
-    * sizes verbatim, dfs as the delta sum. A missing path (the very
-    * first batch of an ingest loop) reads as the EMPTY index, so the
-    * production loop needs no bootstrap special case.
+    * sizes verbatim (tombstone-MASKED when deletes are pending —
+    * [[deleteFromStoredIndex]]), dfs as the delta sum (negative delete
+    * deltas included). A missing path (the very first batch of an
+    * ingest loop) reads as the EMPTY index, so the production loop
+    * needs no bootstrap special case.
     */
   def readStoredIndex(spark: org.apache.spark.sql.SparkSession,
       idCol: String, path: String, shingleK: Int = 3): ShingleIndex = {
@@ -533,11 +644,16 @@ object Dedup {
       ShingleIndex(empty,
         empty.groupBy(col(idCol)).agg(count(lit(1)).as("n")),
         empty.groupBy(col("sh")).agg(count(lit(1)).as("df")))
-    } else ShingleIndex(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/sizes"),
-      spark.read.parquet(s"$path/dfs")
-        .groupBy(col("sh")).agg(sum(col("df")).as("df")))
+    } else {
+      val mask = storedTombstonesOf(spark, path)
+      def masked(df: DataFrame) =
+        mask.foldLeft(df)((d, ts) => d.join(ts, Seq(idCol), "left_anti"))
+      ShingleIndex(
+        masked(spark.read.parquet(s"$path/postings")),
+        masked(spark.read.parquet(s"$path/sizes")),
+        spark.read.parquet(s"$path/dfs")
+          .groupBy(col("sh")).agg(sum(col("df")).as("df")))
+    }
   }
 
   /** Per-relation OPTIMIZE for the stored index's dfs deltas: fold the

@@ -248,6 +248,48 @@ object CorpusQueries {
         "doc_id", threshold = 0.6, maxShingleDf = 1000)
       .orderBy("id_a", "id_b")
 
+  /** DELETE from the stored shingle index ([[Dedup
+    * .deleteFromStoredIndex]]) — the eviction half of the dedup-index
+    * lifecycle (q140/q143/q144 build, probe, and resolve keep-best
+    * against the store; this is how the LOSERS actually leave it).
+    * Both regimes on one index, the q166 shape: docs ≡ 3 (mod 14)
+    * deleted then PURGED ([[Dedup.purgeStoredIndex]] — postings/sizes
+    * physically rewritten, dfs recomputed exactly, tombstones
+    * cleared); docs ≡ 10 (mod 14) deleted AFTER the purge and served
+    * under the tombstone MASK (postings still on disk, anti-joined at
+    * read; their negative df deltas summed). Judged output: the full
+    * Jaccard near-dup relation computed FROM the surviving index —
+    * the oracle is q92's from-text pair SQL over `documents WHERE
+    * doc_id % 7 <> 3`: a deleted document must be indistinguishable
+    * from one never shingled, in pairs, set sizes, AND the
+    * stop-shingle document frequencies.
+    */
+  private val deletedShingleIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(deletedShingleIndexes)
+  private val q167: Q = (s, dir) => {
+    val path = deletedShingleIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_shingle_del_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      Dedup.writeStoredIndex(
+        Dedup.buildShingleIndex(docs, "doc_id", "text", shingleK = 3),
+        "doc_id", p)
+      Dedup.deleteFromStoredIndex(
+        docs.filter(col("doc_id") % 14 === 3).select(col("doc_id")),
+        "doc_id", p)
+      Dedup.purgeStoredIndex(s, "doc_id", p)
+      Dedup.deleteFromStoredIndex(
+        docs.filter(col("doc_id") % 14 === 10).select(col("doc_id")),
+        "doc_id", p)
+      p
+    })
+    Dedup.jaccardFromIndex(
+        Dedup.readStoredIndex(s, "doc_id", path),
+        "doc_id", threshold = 0.5, maxShingleDf = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The BM25 index AT REST ([[Retrieval.writeBm25Index]]), built once
     * per (pid, dir) — the retrieval counterpart of the q140/q143/q144
     * shingle store: the FULL inverted index (every token's postings),
@@ -810,6 +852,7 @@ object CorpusQueries {
     "q155_bm25_optimize" -> q155,
     "q163_bm25_batch" -> q163,
     "q166_bm25_delete" -> q166,
+    "q167_shingle_delete" -> q167,
     "q107_split_leakage" -> q107,
     "q108_token_entropy" -> q108,
     "q109_cross_dedup" -> q109,
@@ -1352,6 +1395,30 @@ object CorpusQueries {
          |            WHEN u < 0.9 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM u ORDER BY doc_id""".stripMargin,
+
+    // q92's pair pipeline over the surviving corpus — delete semantics
+    // for the shingle store: pairs, sizes, and the stop-shingle df cap
+    // all recomputed over survivors only
+    "q167_shingle_delete" ->
+      s"""WITH w AS (SELECT doc_id,
+         |            list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+         |          FROM documents WHERE doc_id % 7 <> 3),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
+         |post AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q92_ngram_jaccard" ->
       s"""WITH ${ExtQueries.tokensCte},

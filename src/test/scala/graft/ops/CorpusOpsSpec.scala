@@ -405,6 +405,60 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(p))
   }
 
+  test("shingle-store delete: mask == never-shingled; purge physical; df deltas exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    def pairs(p: String) = Dedup.jaccardFromIndex(
+        Dedup.readStoredIndex(spark, "doc_id", p), "doc_id",
+        threshold = 0.5, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val pDel = s"${sys.props("java.io.tmpdir")}/graft_shingle_spec_del"
+    val pRef = s"${sys.props("java.io.tmpdir")}/graft_shingle_spec_del_ref"
+    rm(new java.io.File(pDel)); rm(new java.io.File(pRef))
+    val doomedIds = docs.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+    Dedup.writeStoredIndex(
+      Dedup.buildShingleIndex(docs, "doc_id", "text", 3), "doc_id", pDel)
+    Dedup.writeStoredIndex(
+      Dedup.buildShingleIndex(docs.filter(col("doc_id") % 5 =!= 2),
+        "doc_id", "text", 3), "doc_id", pRef)
+    val ref = pairs(pRef)
+    Dedup.deleteFromStoredIndex(doomedIds, "doc_id", pDel)
+    assert(pairs(pDel) == ref, "masked index must equal never-shingled")
+    // double delete + unknown-id delete: no-ops (df must not go
+    // double-negative)
+    Dedup.deleteFromStoredIndex(doomedIds, "doc_id", pDel)
+    Dedup.deleteFromStoredIndex(
+      spark.range(1000000, 1000005).toDF("doc_id"), "doc_id", pDel)
+    assert(pairs(pDel) == ref)
+    // masked df delta sum == exact survivor df (the negative deltas
+    // subtract precisely what the deleted docs contributed)
+    val dfMasked = Dedup.readStoredIndex(spark, "doc_id", pDel).dfs
+      .filter(col("df") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfRef = Dedup.readStoredIndex(spark, "doc_id", pRef).dfs
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMasked == dfRef, "summed df deltas must equal survivor dfs")
+    // purge: physical removal, dfs recomputed, tombstones cleared
+    Dedup.purgeStoredIndex(spark, "doc_id", pDel)
+    assert(pairs(pDel) == ref, "purge must not change the pair relation")
+    assert(!new java.io.File(s"$pDel/tombstones").exists)
+    assert(spark.read.parquet(s"$pDel/postings")
+      .filter(col("doc_id") % 5 === 2).count() == 0)
+    assert(spark.read.parquet(s"$pDel/sizes")
+      .filter(col("doc_id") % 5 === 2).count() == 0)
+    val dfPurged = spark.read.parquet(s"$pDel/dfs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfPurged == dfRef, "purged dfs must be the exact survivor dfs")
+    rm(new java.io.File(pDel)); rm(new java.io.File(pRef))
+  }
+
   test("bm25 delete: tombstone mask == never-ingested; purge physical; double-delete no-op") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val query = Seq("vector", "stream", "window")

@@ -182,8 +182,8 @@ object AnnIndex {
       queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
       excludeId: Option[Long] = None): DataFrame =
     rankQuantized(spark,
-      spark.read.parquet(path)
-        .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes))),
+      tombstoneMask(spark, path, idCol, spark.read.parquet(path)
+        .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))),
       idCol, queryVec, k, excludeId)
 
   /** Multi-probe the quantized index: q122's int8 scan over q123's
@@ -198,8 +198,8 @@ object AnnIndex {
       queryVec: Array[Double], k: Int = 5, numPlanes: Int = 8,
       excludeId: Option[Long] = None): DataFrame =
     rankQuantized(spark,
-      spark.read.parquet(path)
-        .filter(col("bucket").isin(probeBucketsOf(queryVec, numPlanes): _*)),
+      tombstoneMask(spark, path, idCol, spark.read.parquet(path)
+        .filter(col("bucket").isin(probeBucketsOf(queryVec, numPlanes): _*))),
       idCol, queryVec, k, excludeId)
 
   /** The shared quantized ranking tail: query quantized driver-side
@@ -232,6 +232,111 @@ object AnnIndex {
       .limit(k)
   }
 
+  // ------------------------------------------------ delete / tombstones
+
+  /** The index's tombstone relation (`_tombstones/` — underscore-hidden
+    * from the data scan, the `_centroids` convention), normalized to
+    * one `idCol` column. None when nothing was ever deleted.
+    */
+  private[ops] def tombstonesOf(spark: SparkSession, path: String,
+      idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).toDF(idCol))
+    else None
+  }
+
+  /** Anti-join `base` against the index's tombstones (no-op when none
+    * exist) — applied by every probe right after its partition-pruned
+    * read, so a deleted vector can never rank. The mask costs one
+    * anti-join against a delete-batch-proportional relation, never a
+    * second index read.
+    */
+  private[ops] def tombstoneMask(spark: SparkSession, path: String,
+      idCol: String, base: DataFrame): DataFrame =
+    tombstonesOf(spark, path, idCol).foldLeft(base)(
+      (df, ts) => df.join(ts, Seq(idCol), "left_anti"))
+
+  /** DELETE vectors from a bucket/cell-partitioned at-rest index — the
+    * eviction the ANN family needs once a dedup loop starts dropping
+    * keep-best losers (the [[graft.ops.Retrieval.deleteFromBm25Index]]
+    * story, for vectors). LSM semantics: ONE append of the new ids
+    * under `_tombstones/`; nothing existing is rewritten, no side
+    * statistics exist to adjust (unlike BM25/shingle stores, an ANN
+    * probe carries no global aggregates — and the FROZEN quantizer
+    * geometry deliberately does NOT change on delete, exactly as it
+    * does not change on append). Probes mask against the tombstones;
+    * physical removal is [[purgeIndex]]. Double deletes and unknown
+    * ids are no-ops by construction (the mask is a set anti-join; the
+    * guard below just keeps the relation from growing).
+    */
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"deleteFromIndex: no index at $path")
+    val doomed = tombstonesOf(spark, path, idCol)
+      .foldLeft(ids.select(col(idCol)).distinct())(
+        (d, ts) => d.join(ts, Seq(idCol), "left_anti"))
+      // freeze before writing into the relation the guard just read
+      .localCheckpoint()
+    doomed.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_tombstones")
+    ()
+  }
+
+  /** Physically remove tombstoned vectors — the major-compaction half
+    * of [[deleteFromIndex]]. Cost scales with AFFECTED partitions, not
+    * the index: one column-pruned (id, partition) scan finds the
+    * buckets/cells that hold doomed rows, ONE distributed job rewrites
+    * exactly those directories without the tombstoned ids (the
+    * [[compactBuckets]] read-flagged-leaves/swap-per-dir shape), and
+    * `_tombstones/` is dropped LAST so the mask stays in place across
+    * a mid-purge crash (a re-run finishes the job). Same
+    * maintenance-lock caveat as [[compactBuckets]].
+    */
+  def purgeIndex(spark: SparkSession, path: String, idCol: String,
+      partCol: String = "bucket"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tsPath = new Path(s"$path/_tombstones")
+    if (!fs.exists(tsPath)) return
+    val ts = spark.read.parquet(tsPath.toString).toDF(idCol)
+      .distinct().localCheckpoint()
+    def partFiles(dir: Path) = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (ts.head(1).nonEmpty) {
+      val affected = spark.read.parquet(path)
+        .join(ts, Seq(idCol), "leftsemi")
+        .select(col(partCol)).distinct()
+        .collect().map(_.getString(0)).sorted // bounded by the partition count
+      if (affected.nonEmpty) {
+        val dirs = affected.map(v => new Path(root, s"$partCol=$v"))
+        val tmp = new Path(root, ".purge_tmp")
+        fs.delete(tmp, true)
+        spark.read.option("basePath", path)
+          .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+          .join(ts, Seq(idCol), "left_anti")
+          .repartition(col(partCol))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy(partCol).parquet(tmp.toString)
+        dirs.foreach { dir =>
+          partFiles(dir).foreach(f => fs.delete(f.getPath, false))
+          val src = new Path(tmp, dir.getName)
+          // a directory whose every row was doomed has no tmp output —
+          // its data files are simply gone (the empty dir stays, which
+          // partition discovery tolerates)
+          if (fs.exists(src)) partFiles(src).foreach(f =>
+            fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        }
+        fs.delete(tmp, true)
+      }
+    }
+    fs.delete(tsPath, true)
+    ()
+  }
+
   /** Compact an append-fragmented index into ONE file per bucket.
     * Streaming ingest ([[append]], q118) adds a file per bucket per
     * micro-batch; after B batches every probe opens B files where one
@@ -246,11 +351,24 @@ object AnnIndex {
     * a background job on buckets whose file count crossed a threshold
     * (per-partition OPTIMIZE), not the whole index at once.
     */
-  def compact(spark: SparkSession, srcPath: String, dstPath: String): Unit =
-    spark.read.parquet(srcPath)
+  def compact(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    // the copy is also a purge: tombstoned rows (column name read from
+    // the tombstone relation itself) must not travel to a destination
+    // that carries no _tombstones dir — that would silently resurrect
+    // every deleted vector
+    val tsPath = new org.apache.hadoop.fs.Path(s"$srcPath/_tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = spark.read.parquet(srcPath)
+    val live =
+      if (fs.exists(tsPath)) {
+        val ts = spark.read.parquet(tsPath.toString)
+        src.join(ts, Seq(ts.columns.head), "left_anti")
+      } else src
+    live
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(dstPath)
+  }
 
   /** Threshold-triggered per-bucket OPTIMIZE — the incremental form of
     * [[compact]] that a background maintenance job actually runs: only
@@ -316,8 +434,8 @@ object AnnIndex {
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
     val qv = typedlit(queryVec.toSeq)
-    val base = spark.read.parquet(path)
-      .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes)))
+    val base = tombstoneMask(spark, path, idCol, spark.read.parquet(path)
+      .filter(col("bucket") === lit(bucketOf(queryVec, numPlanes))))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
       // zero-norm exclusion: same cross-engine 0/0 guard as every
@@ -349,8 +467,8 @@ object AnnIndex {
     GraftFunctions.register(spark)
     val qv = typedlit(queryVec.toSeq)
     val buckets = probeBucketsOf(queryVec, numPlanes)
-    val base = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
+    val base = tombstoneMask(spark, path, idCol, spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*)))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
       .filter(col("nrm") > 0)

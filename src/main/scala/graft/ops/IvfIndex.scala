@@ -222,7 +222,8 @@ object IvfIndex {
       excludeId: Option[Long] = None): DataFrame = {
     val cells = probeCellsOf(spark, path, queryVec, nprobe)
     AnnIndex.rankQuantized(spark,
-      spark.read.parquet(path).filter(col("cell").isin(cells: _*)),
+      AnnIndex.tombstoneMask(spark, path, idCol,
+        spark.read.parquet(path).filter(col("cell").isin(cells: _*))),
       idCol, queryVec, k, excludeId)
   }
 
@@ -323,7 +324,8 @@ object IvfIndex {
       excludeId: Option[Long] = None): DataFrame = {
     val cells = probeCellsOf(spark, path, queryVec, nprobe)
     ProductQuantize.adcTopK(
-      spark.read.parquet(path).filter(col("cell").isin(cells: _*)),
+      AnnIndex.tombstoneMask(spark, path, idCol,
+        spark.read.parquet(path).filter(col("cell").isin(cells: _*))),
       spark.read.parquet(s"$path/_codebook"),
       idCol, queryVec, k, excludeId)
   }
@@ -439,7 +441,8 @@ object IvfIndex {
     GraftFunctions.register(spark)
     val ndot = GraftFunctions.dotNative _
     val cells = probeCellsOf(spark, path, queryVec, nprobe)
-    val codes = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val codes = AnnIndex.tombstoneMask(spark, path, idCol,
+      spark.read.parquet(path).filter(col("cell").isin(cells: _*)))
     val cents = spark.read.parquet(s"$path/_centroids")
       .select(concat(lit("c"), col("cid")).as("ccell"),
         col("cv").as("centv"))
@@ -538,7 +541,11 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = spark.read.parquet(path)
+    // tombstone-masked read: a rebuild is the delete family's terminal
+    // compaction — deleted rows don't enter the refreshed layout, and
+    // `_tombstones` is cleared with the rest of the old root below
+    val live = AnnIndex.tombstoneMask(spark, path, idCol,
+      spark.read.parquet(path))
     require(live.schema.fieldNames.contains("v"),
       s"IvfIndex.rebuild: $path stores no float 'v' column — this is the " +
         "quantized layout (writeQuantized), whose rows are lossy; rebuild " +
@@ -595,6 +602,22 @@ object IvfIndex {
     fs.delete(old, true)
     fs.delete(tmp, true)
   }
+
+  /** DELETE vectors from the cell-partitioned index — [[AnnIndex
+    * .deleteFromIndex]] verbatim (one `_tombstones/` append; probes
+    * mask; the frozen coarse quantizer deliberately does NOT change,
+    * exactly as it does not change on [[append]]).
+    */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    AnnIndex.deleteFromIndex(ids, idCol, path)
+
+  /** Physically remove tombstoned vectors — [[AnnIndex.purgeIndex]]
+    * over the `cell=` partition layout (only cells holding doomed rows
+    * are rewritten; `_centroids`/`_codebook` untouched — geometry is
+    * frozen, rows are gone).
+    */
+  def purge(spark: SparkSession, path: String, idCol: String): Unit =
+    AnnIndex.purgeIndex(spark, path, idCol, partCol = "cell")
 
   /** In-plan cell assignment for equality checks — (id, cell). */
   private[graft] def assignmentOf(embeddings: DataFrame, idCol: String,
@@ -656,8 +679,8 @@ object IvfIndex {
     val cells = probeCellsOf(spark, path, queryVec, nprobe)
     val qv = typedlit(queryVec.toSeq)
     val qnrm = math.sqrt(seqDot(queryVec, queryVec))
-    val base = spark.read.parquet(path)
-      .filter(col("cell").isin(cells: _*))
+    val base = AnnIndex.tombstoneMask(spark, path, idCol,
+      spark.read.parquet(path).filter(col("cell").isin(cells: _*)))
     val probed = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     probed
       .select(col(idCol),

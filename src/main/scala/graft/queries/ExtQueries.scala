@@ -320,6 +320,40 @@ object ExtQueries {
       queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
   }
 
+  /** DELETE from the at-rest IVF index ([[graft.ops.IvfIndex.delete]] /
+    * [[graft.ops.IvfIndex.purge]]) — the eviction half of the ANN
+    * lifecycle (build q125, ingest q128, rebuild q136; this is how
+    * keep-best losers/takedowns actually LEAVE the index). Both
+    * regimes, the q166/q167 shape: vec_id ≡ 4 (mod 18) deleted then
+    * PURGED (only affected cells rewritten, `_tombstones` cleared);
+    * vec_id ≡ 13 (mod 18) deleted after the purge and probed under the
+    * tombstone MASK. The deleted set includes SEED id 4 — pinning the
+    * delete family's geometry rule: the frozen coarse quantizer does
+    * NOT change on delete (centroid 4 still ranks cells; only the ROW
+    * is gone), exactly as it does not change on append. Oracle: q125's
+    * probe CTEs with centroids from the FULL build corpus but
+    * assignment/ranking over survivors only.
+    */
+  private val ivfDeleteIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfDeleteIndexes)
+  private val q168: Q = (s, dir) => {
+    val path = ivfDeleteIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_del_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfIndex.write(emb, "vec_id", "embedding", p, numCentroids = 8)
+      graft.ops.IvfIndex.delete(
+        emb.filter(col("vec_id") % 18 === 4).select(col("vec_id")), "vec_id", p)
+      graft.ops.IvfIndex.purge(s, p, "vec_id")
+      graft.ops.IvfIndex.delete(
+        emb.filter(col("vec_id") % 18 === 13).select(col("vec_id")), "vec_id", p)
+      p
+    })
+    graft.ops.IvfIndex.probe(s, path, "vec_id",
+      queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
+  }
+
   /** The quantized IVF layout ([[graft.ops.IvfIndex.writeQuantized]]):
     * cell-PARTITIONED and int8-STORED at once — q125's partition
     * pruning × q119's 4×-smaller scan, the cell-side counterpart of
@@ -1167,6 +1201,7 @@ object ExtQueries {
     "q133_dup_span_frac" -> q133,
     "q134_ivf_quant_probe" -> q134,
     "q136_ivf_rebuild" -> q136,
+    "q168_ivf_delete" -> q168,
     "q137_ivf_quant_ingest" -> q137,
     "q139_ivf_two_tier" -> q139,
     "q76_image_decode" -> q76,
@@ -1865,6 +1900,32 @@ object ExtQueries {
     // swap the layout) reproduces the fresh build exactly — same
     // oracle, fourth plan: refresh changes layout, never answers
     "q136_ivf_rebuild" -> ivfTop5Sql,
+
+    // delete semantics for the IVF index: centroids FROZEN from the
+    // full build corpus (seed 4 is deleted as a row yet still ranks
+    // cells), assignment and ranking over survivors only
+    "q168_ivf_delete" ->
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+         |sur AS (SELECT * FROM en WHERE vec_id % 9 <> 4),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT sur.vec_id, sur.v, sur.nrm, c.cid,
+         |           row_number() OVER (PARTITION BY sur.vec_id
+         |             ORDER BY round(list_dot_product(sur.v, c.cv) / (sur.nrm * c.cnrm), 6) DESC,
+         |                      c.cid) AS rn
+         |    FROM sur, c)
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cid AS cell FROM c, q
+         |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6) DESC, cid
+         |  LIMIT 2)
+         |SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6) AS sim
+         |FROM assign a JOIN probe p ON a.cell = p.cell, q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     // the k-means-seeded IVF probe: q82's refined centroid table (the
     // kmeans CTE block verbatim — c1n is the quantizer, a2 its cell

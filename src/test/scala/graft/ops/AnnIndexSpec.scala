@@ -36,6 +36,75 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("delete: mask hides rows from every probe; purge rewrites only affected buckets") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ann_spec_del"
+    rm(new java.io.File(p))
+    AnnIndex.write(emb, "vec_id", "embedding", p, numPlanes = 8, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.toDoubleVec(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    // delete the current top-2 of the MULTI-probe (its 1-ball union is
+    // deep enough at this corpus size — a single LSH bucket holds ~2
+    // rows): the mask must pull the next candidates in, on every
+    // probe flavor
+    val before = ids(AnnIndex.probeMulti(spark, p, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L)))
+    assert(before.size >= 3, s"fixture too thin: ${before.size} candidates")
+    val doomed = before.take(2)
+    import spark.implicits._
+    AnnIndex.deleteFromIndex(doomed.toDF("vec_id"), "vec_id", p)
+    val maskedSingle = ids(AnnIndex.probe(spark, p, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L)))
+    val maskedMulti = ids(AnnIndex.probeMulti(spark, p, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L)))
+    assert(doomed.forall(!maskedSingle.contains(_)))
+    assert(doomed.forall(!maskedMulti.contains(_)))
+    assert(maskedMulti.take(before.size - 2) == before.drop(2),
+      "mask must only REMOVE rows — survivors keep their relative order")
+    // double delete: no-op; tombstone relation stays minimal
+    AnnIndex.deleteFromIndex(doomed.toDF("vec_id"), "vec_id", p)
+    assert(spark.read.parquet(s"$p/_tombstones").count() == 2)
+    // purge: untouched buckets keep byte-identical file lists
+    val doomedBuckets = spark.read.parquet(p)
+      .filter(col("vec_id").isin(doomed: _*))
+      .select("bucket").distinct().collect().map(_.getString(0)).toSet
+    def fileList(bucket: String) = new java.io.File(s"$p/bucket=$bucket")
+      .listFiles().map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq
+    val untouched = spark.read.parquet(p).select("bucket").distinct()
+      .collect().map(_.getString(0)).filterNot(doomedBuckets).take(3)
+    val filesBefore = untouched.map(b => b -> fileList(b)).toMap
+    AnnIndex.purgeIndex(spark, p, "vec_id")
+    untouched.foreach(b => assert(fileList(b) == filesBefore(b),
+      s"purge must not touch bucket $b"))
+    assert(!new java.io.File(s"$p/_tombstones").exists)
+    assert(spark.read.parquet(p).filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(ids(AnnIndex.probe(spark, p, "vec_id", qvec, k = 5,
+      numPlanes = 8, excludeId = Some(0L))) == maskedSingle,
+      "purge must not change any probe")
+    // compact-copy purges too: a destination with no _tombstones dir
+    // must not resurrect deleted rows
+    rm(new java.io.File(s"${p}_rt"))
+    AnnIndex.write(emb, "vec_id", "embedding", s"${p}_rt",
+      numPlanes = 8, dim = 64)
+    AnnIndex.deleteFromIndex(doomed.toDF("vec_id"), "vec_id", s"${p}_rt")
+    rm(new java.io.File(s"${p}_rt_dst"))
+    AnnIndex.compact(spark, s"${p}_rt", s"${p}_rt_dst")
+    assert(spark.read.parquet(s"${p}_rt_dst")
+      .filter(col("vec_id").isin(doomed: _*)).count() == 0,
+      "compact copy must not resurrect deleted rows")
+    rm(new java.io.File(p)); rm(new java.io.File(s"${p}_rt"))
+    rm(new java.io.File(s"${p}_rt_dst"))
+  }
+
   test("driver-side bucketOf matches the stored partition value for every vector") {
     val planes = Similarity.lshPlanes(8, 64)
     val stored = spark.read.parquet(path)

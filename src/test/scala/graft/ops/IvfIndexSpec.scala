@@ -430,6 +430,63 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pR))
   }
 
+  test("delete masks every IVF probe flavor; purge physical; rebuild clears tombstones") {
+    import spark.implicits._
+    val pF = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_del_f"
+    val pQ = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_del_q"
+    val pP = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_del_p"
+    val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_del_r"
+    Seq(pF, pQ, pP, pR).foreach(p => rm(new java.io.File(p)))
+    IvfIndex.write(emb, "vec_id", "embedding", pF, numCentroids = 8)
+    IvfIndex.writeQuantized(emb, "vec_id", "embedding", pQ, numCentroids = 8)
+    IvfIndex.writePq(emb, "vec_id", "embedding", pP, numCentroids = 8,
+      m = 4, k = 8, pqIters = 1)
+    IvfIndex.writePqResidual(emb, "vec_id", "embedding", pR,
+      numCentroids = 8, m = 4, k = 8, pqIters = 1, kmeansIters = 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val before = ids(IvfIndex.probe(spark, pF, "vec_id", qvec0, k = 5,
+      nprobe = 2, excludeId = Some(0L)))
+    val doomed = before.take(2)
+    val dDf = doomed.toDF("vec_id")
+    Seq(pF, pQ, pP, pR).foreach(p => IvfIndex.delete(dDf, "vec_id", p))
+    // every probe flavor masks
+    val mF = ids(IvfIndex.probe(spark, pF, "vec_id", qvec0, k = 5,
+      nprobe = 2, excludeId = Some(0L)))
+    assert(doomed.forall(!mF.contains(_)))
+    assert(mF.take(before.size - 2) == before.drop(2))
+    assert(doomed.forall(!ids(IvfIndex.probeQuantized(spark, pQ, "vec_id",
+      qvec0, k = 5, nprobe = 2, excludeId = Some(0L))).contains(_)))
+    assert(doomed.forall(!ids(IvfIndex.probePq(spark, pP, "vec_id",
+      qvec0, k = 5, nprobe = 2, excludeId = Some(0L))).contains(_)))
+    assert(doomed.forall(!ids(IvfIndex.probePqResidual(spark, pR, "vec_id",
+      qvec0, k = 5, nprobe = 2, excludeId = Some(0L))).contains(_)))
+    // purge: rows gone, tombstones cleared, probe unchanged, frozen
+    // centroids untouched
+    val centsBefore = spark.read.parquet(s"$pF/_centroids").collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    IvfIndex.purge(spark, pF, "vec_id")
+    assert(!new java.io.File(s"$pF/_tombstones").exists)
+    assert(spark.read.parquet(pF)
+      .filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(ids(IvfIndex.probe(spark, pF, "vec_id", qvec0, k = 5,
+      nprobe = 2, excludeId = Some(0L))) == mF)
+    assert(spark.read.parquet(s"$pF/_centroids").collect()
+      .map(r => r.getLong(0)).sorted.toSeq == centsBefore,
+      "purge must never touch the frozen quantizer")
+    // rebuild is the delete family's terminal compaction: deleted rows
+    // don't enter the refreshed layout and _tombstones is cleared
+    val doomed2 = mF.take(1)
+    IvfIndex.delete(doomed2.toDF("vec_id"), "vec_id", pF)
+    IvfIndex.rebuild(spark, pF, "vec_id", numCentroids = 8)
+    assert(!new java.io.File(s"$pF/_tombstones").exists,
+      "rebuild must clear the tombstones with the old layout")
+    assert(spark.read.parquet(pF)
+      .filter(col("vec_id").isin(doomed2: _*)).count() == 0,
+      "rebuild must not carry deleted rows into the refreshed layout")
+    Seq(pF, pQ, pP, pR).foreach(p => rm(new java.io.File(p)))
+  }
+
   test("rebuild after appends == fresh write on the union corpus") {
     val pR = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_rebuild"
     rm(new java.io.File(pR))

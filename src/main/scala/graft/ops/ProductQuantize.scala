@@ -272,7 +272,8 @@ object ProductQuantize {
     */
   private[graft] def contractRows(hits: DataFrame, k: Int, n: Long,
       adcChanceFactor: Long, ivfPqChanceFactor: Long,
-      twoTierBound: Double): DataFrame = {
+      twoTierBound: Double, adcName: String = "pq_adc",
+      ivfName: String = "ivfpq", ttName: String = "pq_two_tier"): DataFrame = {
     val agg = hits.agg(count(lit(1)).as("n_probes"),
       sum(col("adc_hits")).as("ah"), sum(col("tt_hits")).as("th"),
       sum(col("ivfpq_hits")).as("ih"))
@@ -281,12 +282,12 @@ object ProductQuantize {
         (h.cast("double") * lit(n.toDouble) >=
           lit(factor.toDouble) * lit(k.toDouble * k) * col("n_probes").cast("double"))
           .as("recall_ok"))
-    val ttRow = agg.select(lit("pq_two_tier").as("method"), col("n_probes"),
+    val ttRow = agg.select(lit(ttName).as("method"), col("n_probes"),
       (col("th").cast("double") >=
         lit(twoTierBound) * lit(k.toDouble) * col("n_probes").cast("double"))
         .as("recall_ok"))
-    chanceRow("ivfpq", col("ih"), ivfPqChanceFactor)
-      .unionByName(chanceRow("pq_adc", col("ah"), adcChanceFactor))
+    chanceRow(ivfName, col("ih"), ivfPqChanceFactor)
+      .unionByName(chanceRow(adcName, col("ah"), adcChanceFactor))
       .unionByName(ttRow)
   }
 
@@ -376,6 +377,173 @@ object ProductQuantize {
       .join(hitsOf(ttK, "tt_hits"), Seq("probe_id"))
       .join(hitsOf(ivfPqK, "ivfpq_hits"), Seq("probe_id"))
     CacheLifecycle.resolveAndRelease(out, corpus, adcScores)
+  }
+
+  /** Recall contract for the RESIDUAL quantization tier ([[IvfIndex
+    * .writePqResidual]]'s scheme) — the q156 question asked of the
+    * FAISS-lineage composition that shipped after q156's contract:
+    * mean recall@10 against the brute cosine top-10, same corpus-capped
+    * probe set, for (a) the full residual-ADC sweep, (b) the
+    * cell-pruned residual ADC (what [[IvfIndex.probePqResidual]]
+    * serves), and (c) the two-tier residual cut → exact re-rank
+    * ([[IvfIndex.probeTwoTierPqResidual]]'s shape). Same bound REGIMES
+    * as [[pqRecallContract]]: chance-relative floors for the raw lossy
+    * tiers (their absolute recall decays with corpus density at a
+    * fixed code budget), an absolute floor for the served two-tier
+    * path (corpus-scaled overfetch keeps it scale-stable). Centroids
+    * are Lloyd-refined (`kmeansIters` ≥ 1 — the residual scheme's own
+    * contract: under raw lowest-id seeds residual coding is a measured
+    * ANTI-pattern, `IvfIndexSpec` pins it), and the residual codebook
+    * is trained on the residuals at the same m·kCw budget as the raw
+    * contract, so the two contracts are directly comparable.
+    * Deterministic end to end (decimal-exact Lloyd means, round-9
+    * lookups, DECIMAL partial sums, (sim desc, id) ties) — the oracle
+    * emits literal TRUE; `ProductQuantizeSpec` proves the contract
+    * bites via a degenerate codebook.
+    */
+  def residualRecallContract(embeddings: DataFrame, idCol: String,
+      vecCol: String, probeEvery: Long = 50, probeOffset: Long = 7,
+      k: Int = 10, m: Int = 8, kCw: Int = 32, pqIters: Int = 1,
+      numCentroids: Int = 8, nprobe: Int = 4, kmeansIters: Int = 1,
+      adcChanceFactor: Long = 5, ivfPqChanceFactor: Long = 5,
+      twoTierBound: Double = 0.6): DataFrame = {
+    require(kmeansIters >= 1,
+      "residualRecallContract: residual coding requires Lloyd-refined " +
+        "centroids (raw lowest-id seeds are the measured anti-pattern)")
+    val n = embeddings.count()
+    // the pqRecallContract operating rules, replayed exactly: the
+    // candidate cut widens with corpus density, the probe stride
+    // widens to cap the sample at ~40
+    val overfetch = math.max(8, ((n + 124) / 125).toInt)
+    val stride = math.max(probeEvery, n / 40)
+    val (res, corpus, cents) =
+      residualBase(embeddings, idCol, vecCol, numCentroids, kmeansIters)
+    val codebook = train(res, "id", "rv", m, kCw, pqIters)
+    val out = contractRows(
+      residualRecallHits(corpus, cents, res, codebook, stride, probeOffset,
+        k, m, nprobe, overfetch),
+      k, n, adcChanceFactor, ivfPqChanceFactor, twoTierBound,
+      adcName = "residual_adc", ivfName = "ivfpq_residual",
+      ttName = "residual_two_tier")
+    CacheLifecycle.resolveAndRelease(out, corpus)
+  }
+
+  /** The shared residual geometry: Lloyd centroids, the corpus with
+    * its argmax cell (pinned — feeds probes, brute, cells, and
+    * residuals), and the (id, rv) residual relation. Split out so the
+    * spec can corrupt the codebook while keeping the geometry.
+    */
+  private[graft] def residualBase(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, kmeansIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val base = embeddings.select(col(idCol).as("id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val cents = Similarity
+      .kmeansCentroids(embeddings, idCol, vecCol, numCentroids, kmeansIters)
+      .select(col("cid"), col("cv"))
+      .withColumn("cnrm", sqrt(ndot(col("cv"), col("cv"))))
+    val corpus = base.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .groupBy(col("id"), col("v"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = corpus.join(broadcast(cents), corpus("cell") === cents("cid"))
+      .select(col("id"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    (res, corpus, cents)
+  }
+
+  /** Per-probe brute-top-k hit counts of the three RESIDUAL tiers with
+    * a pluggable residual codebook — (probe_id, adc_hits, tt_hits,
+    * ivfpq_hits). The residual-ADC cosine is [[IvfIndex
+    * .probePqResidual]]'s arithmetic set-wise:
+    * sim = (q·c + Σ lut) / (√(|c|² + 2·Σ cross + Σ |cw|²) · |q|),
+    * every lookup round-9, every per-row sum DECIMAL-exact, final
+    * round-6 with (sim desc, id) ties.
+    */
+  private[graft] def residualRecallHits(corpus: DataFrame, cents: DataFrame,
+      res: DataFrame, codebook: DataFrame, probeEvery: Long,
+      probeOffset: Long, k: Int, m: Int, nprobe: Int,
+      overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = codebook.select(max(size(col("cv")))).head().getInt(0)
+    val probes = corpus.filter(col("id") % probeEvery === probeOffset)
+      .select(col("id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val pw = Window.partitionBy(col("probe_id"))
+    def topK(cand: DataFrame): DataFrame = cand
+      .withColumn("rn", row_number().over(pw.orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") <= k).select(col("probe_id"), col("id"))
+    def exactSim(v: org.apache.spark.sql.Column,
+        nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(ndot(v, col("pv")) / (nrm * col("pnrm")), 6)
+    val bruteK = topK(corpus.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), exactSim(col("v"), col("nrm")).as("sim")))
+    // per-probe residual lookup tables: q-slice · codeword, |codeword|²
+    val probeSub = subvectors(
+      probes.select(col("probe_id"), col("pv")), "probe_id", "pv", m)
+    val lut = probeSub.join(codebook, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        round(ndot(col("sv"), col("cv")), 9).as("lutv"),
+        round(ndot(col("cv"), col("cv")), 9).as("cvn2"))
+    // per-(cell, sub, codeword) cross term and per-(probe, cell) q·c/|c|²
+    val centv = cents.select(col("cid").as("cell"), col("cv").as("centv"))
+    val clut = centv.crossJoin(codebook)
+      .select(col("cell"), col("sub").as("clsub"), col("cid").as("clcid"),
+        round(ndot(slice(col("centv"), col("sub") * d + 1, lit(d)),
+          col("cv")), 9).as("ccv"))
+    val qcell = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cid").as("cell"),
+        round(ndot(col("cv"), col("pv")), 9).as("qc"),
+        round(ndot(col("cv"), col("cv")), 9).as("cn2"))
+    val codes = assign(subvectors(res, "id", "rv", m), "id", codebook)
+      .join(corpus.select(col("id"), col("cell")), Seq("id"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 12))
+    val adcScores = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .join(broadcast(clut),
+        codes("cell") === clut("cell") && codes("sub") === clut("clsub") &&
+          codes("code") === clut("clcid"))
+      .groupBy(col("probe_id"), codes("id"), codes("cell"))
+      .agg(sum(dec(col("lutv"))).as("slut"), sum(dec(col("cvn2"))).as("scvn2"),
+        sum(dec(col("ccv"))).as("sccv"))
+      .join(broadcast(qcell), Seq("probe_id", "cell"))
+      .join(broadcast(probes.select(col("probe_id"), col("pnrm"))), Seq("probe_id"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), col("cell"), col("pnrm"),
+        (col("qc") + col("slut").cast("double")).as("adot"),
+        (col("cn2") + lit(2.0) * col("sccv").cast("double")
+          + col("scvn2").cast("double")).as("rn2"))
+      .filter(col("rn2") > 0)
+      .select(col("probe_id"), col("id"), col("cell"),
+        round(col("adot") / (sqrt(col("rn2")) * col("pnrm")), 6).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adcK = topK(adcScores)
+    val cut = adcScores
+      .withColumn("rn", row_number().over(pw.orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("probe_id"), col("id"))
+    val ttK = topK(cut
+      .join(corpus.select(col("id"), col("v"), col("nrm")), Seq("id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("id"), exactSim(col("v"), col("nrm")).as("sim")))
+    val probeCells = cents.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("cid"),
+        round(ndot(col("cv"), col("pv")) / (col("cnrm") * col("pnrm")), 6).as("qsim"))
+      .withColumn("rn", row_number().over(pw.orderBy(col("qsim").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("cid").as("cell"))
+    val ivfPqK = topK(adcScores.join(broadcast(probeCells), Seq("probe_id", "cell")))
+    def hitsOf(approxK: DataFrame, outCol: String): DataFrame =
+      bruteK.join(approxK.withColumn("hit", lit(1)), Seq("probe_id", "id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as(outCol))
+    val out = hitsOf(adcK, "adc_hits")
+      .join(hitsOf(ttK, "tt_hits"), Seq("probe_id"))
+      .join(hitsOf(ivfPqK, "ivfpq_hits"), Seq("probe_id"))
+    CacheLifecycle.resolveAndRelease(out, adcScores)
   }
 
   /** Mean squared reconstruction error of an encoding — the

@@ -737,6 +737,26 @@ object CorpusQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("method")
 
+  /** Residual-tier recall contract ([[graft.ops.ProductQuantize
+    * .residualRecallContract]]): q156's question asked of the residual
+    * IVF-PQ composition (q157/q160's scheme) — the quality floor the
+    * r15 round left unquantified for exactly this tier. Same probe
+    * set, same corpus-capped stride, same bound regimes
+    * (chance-relative for the raw residual-ADC sweep and the
+    * cell-pruned serving tier, absolute 0.6 for the two-tier served
+    * path); centroids are Lloyd-refined per the residual scheme's own
+    * contract. Measured means (sf0.001 / sf0.01 / sf0.1 —
+    * n = 500/500/2000): residual_adc 0.32/0.36/0.19 vs chance floors
+    * 0.10/0.10/0.025, ivfpq_residual 0.32/0.39/0.16,
+    * residual_two_tier 0.86/0.89/0.78 vs the absolute 0.6 — ≥3× margin
+    * on every row at every scale
+    * ([[graft.tools.MeasureResidualRecall]] reproduces the numbers).
+    */
+  private val q169: Q = (s, dir) =>
+    graft.ops.ProductQuantize.residualRecallContract(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("method")
+
   /** Incremental index write-back ([[Dedup.ShingleIndex]] /
     * [[Dedup.foldIn]]): the full production dedup loop q109 stops short
     * of — corpus index built once, batch 1 (doc_id ≡ 1 mod 4) deduped
@@ -839,6 +859,7 @@ object CorpusQueries {
     "q115_semdedup" -> q115,
     "q112_ann_recall" -> q112,
     "q156_pq_recall" -> q156,
+    "q169_residual_recall" -> q169,
     "q161_bpe_train" -> q161,
     "q162_bpe_tokens" -> q162,
     "q165_bpe_encode" -> q165,
@@ -1136,6 +1157,18 @@ object CorpusQueries {
         |FROM (SELECT 'ivfpq' AS method FROM p
         |      UNION ALL SELECT 'pq_adc' FROM p
         |      UNION ALL SELECT 'pq_two_tier' FROM p), p
+        |ORDER BY method""".stripMargin,
+
+    // q156's literal-TRUE shape for the residual tiers: the bound
+    // comparisons are deterministic exact-integer arithmetic Spark-side
+    "q169_residual_recall" ->
+      """WITH c AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT count(*) AS n_probes FROM embeddings, c
+        |      WHERE vec_id % greatest(50, c.n // 40) = 7)
+        |SELECT method, n_probes, true AS recall_ok
+        |FROM (SELECT 'ivfpq_residual' AS method FROM p
+        |      UNION ALL SELECT 'residual_adc' FROM p
+        |      UNION ALL SELECT 'residual_two_tier' FROM p), p
         |ORDER BY method""".stripMargin,
 
     // deterministic GK rank guarantee: the oracle recomputes n and

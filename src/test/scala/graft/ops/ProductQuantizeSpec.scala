@@ -121,6 +121,35 @@ class ProductQuantizeSpec extends SparkSpec {
       s"degenerate codebook must fail every bound: $rows")
   }
 
+  test("residual recall contract: all three rows green; degenerate codebook fails the lossy tiers") {
+    val rows = ProductQuantize.residualRecallContract(emb, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows == Map("ivfpq_residual" -> true, "residual_adc" -> true,
+      "residual_two_tier" -> true), s"contract rows: $rows")
+    // the contract bites: a single-codeword residual codebook collapses
+    // every residual to one reconstruction per cell — ADC degenerates
+    // to a per-cell constant + id tiebreak, ≈ random within cells
+    val n = emb.count()
+    val (res, corpus, cents) = ProductQuantize.residualBase(
+      emb, "vec_id", "embedding", numCentroids = 8, kmeansIters = 1)
+    val degenerate = ProductQuantize.train(res, "id", "rv",
+      m = 8, k = 1, iters = 0)
+    val hits = ProductQuantize.residualRecallHits(corpus, cents, res,
+      degenerate, probeEvery = 50, probeOffset = 7, k = 10, m = 8,
+      nprobe = 4, overfetch = math.max(8, ((n + 124) / 125).toInt))
+    val broken = ProductQuantize.contractRows(hits, k = 10, n = n,
+        adcChanceFactor = 5, ivfPqChanceFactor = 5, twoTierBound = 0.6,
+        adcName = "residual_adc", ivfName = "ivfpq_residual",
+        ttName = "residual_two_tier")
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    // the raw lossy tiers MUST fail their chance floors; the two-tier
+    // row may survive (the corpus-scaled overfetch re-ranks exactly —
+    // with one codeword per subspace the cut is near-random but wide)
+    assert(broken("residual_adc") == false && broken("ivfpq_residual") == false,
+      s"degenerate residual codebook must fail the lossy tiers: $broken")
+    corpus.unpersist()
+  }
+
   test("ADC candidate quality: the exact top-1 neighbor survives the overfetched cut") {
     // the serving claim: an ADC cut at k*overfetch keeps what the exact
     // re-rank needs — pin the minimal version (the true top-1 is in the

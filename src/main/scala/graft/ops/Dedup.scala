@@ -899,16 +899,7 @@ object Dedup {
     */
   def hammingNearDupFromSig(sig: DataFrame, idCol: String, sigCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
-    require(bits % bands == 0, "bands must divide bits")
-    val bandBits = bits / bands
-    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col(sigCol), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val banded = bandedSig(sig, idCol, sigCol, bits, bands, maxHamming)
     val a = banded.toDF("id_a", "sig_a", "band", "bkey")
     val b = banded.toDF("id_b", "sig_b", "band", "bkey")
     a.join(b, Seq("band", "bkey"))
@@ -917,6 +908,161 @@ object Dedup {
         hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The shared banded-signature relation: (id, sig, band, bkey) —
+    * `bands` rows per signature, one per bit-slice. Guards the
+    * pigeonhole preconditions for every consumer.
+    */
+  private def bandedSig(sig: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    sig.select(col(idCol).as("id"), col(sigCol).as("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col(sigCol), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Batch-vs-corpus Hamming pair search — [[hammingNearDupFromSig]]'s
+    * banding with the two sides SPLIT (the [[crossJaccardNearDup]]
+    * shape, for bit signatures): candidates come from the band-slice
+    * equi-join of the batch's banded rows against the corpus's, so
+    * pair space is ∝ batch-side band collisions, never |batch|×|corpus|.
+    * Returns (new_id, corpus_id, hamming ≤ maxHamming); an id present
+    * on both sides never pairs with itself.
+    */
+  def crossHammingFromSig(newSig: DataFrame, corpusSig: DataFrame,
+      idCol: String, sigCol: String, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val a = bandedSig(newSig, idCol, sigCol, bits, bands, maxHamming)
+      .toDF("new_id", "sig_a", "band", "bkey")
+    val b = bandedSig(corpusSig, idCol, sigCol, bits, bands, maxHamming)
+      .toDF("corpus_id", "sig_b", "band", "bkey")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
+  // ---------------------------------------------- signature store at rest
+
+  /** The in-plan partition value of a banded signature row: `g` +
+    * (band · sigBuckets + bkey mod sigBuckets) — string-prefixed (the
+    * [[graft.ops.Retrieval.termBucketOf]] convention, so partition
+    * type inference can never re-type the column). Frozen at build
+    * time via `_layout`.
+    */
+  private def sigBucketCol(sigBuckets: Int): Column =
+    concat(lit("g"), col("band").cast("long") * sigBuckets +
+      pmod(col("bkey"), lit(sigBuckets.toLong)))
+
+  /** The SIGNATURE INDEX AT REST — the cross-batch story for any
+    * ≤ 60-bit fingerprint family ([[Multimodal.aHash]] over images is
+    * the motivating one: text has the full at-rest loop via the
+    * shingle store, and the image crawl loop needs the same). Two
+    * relations under `path`, both maintained by pure appends:
+    *  - `sigs/` (idCol, sigCol) — the record of truth AND the append
+    *    guard key;
+    *  - `bands/` (id, sig, band, bkey) PARTITIONED by the frozen
+    *    [[sigBucketCol]] map (`sb=g<k>` dirs): a probing batch's
+    *    banded rows hit a BOUNDED set of partition values
+    *    (≤ bands·sigBuckets — and far fewer for the small batches a
+    *    streaming loop probes with), so the scan prunes to those
+    *    directories' FILES instead of footer-reading the whole store.
+    * `_layout/` freezes (bits, bands, sig_buckets) for the index's
+    * lifetime — probe and append read THEM, never parameters (the
+    * [[graft.ops.Retrieval]] frozen-bucket-map rule).
+    */
+  def writeSignatureStore(sigs: DataFrame, idCol: String, sigCol: String,
+      path: String, bits: Int = 48, bands: Int = 4,
+      sigBuckets: Int = 16): Unit = {
+    import sigs.sparkSession.implicits._
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    sigs.select(col(idCol), col(sigCol)).write.mode(mode)
+      .parquet(s"$path/sigs")
+    bandedSig(sigs, idCol, sigCol, bits, bands, maxHamming = bands - 1)
+      .withColumn("sb", sigBucketCol(sigBuckets))
+      .repartition(col("sb"))
+      .write.mode(mode).partitionBy("sb").parquet(s"$path/bands")
+    Seq((bits, bands, sigBuckets)).toDF("bits", "bands", "sig_buckets")
+      .coalesce(1).write.mode(mode).parquet(s"$path/_layout")
+  }
+
+  /** The store's frozen (bits, bands, sig_buckets). */
+  def signatureStoreLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/_layout").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Fold a batch of NEW signatures into the store: two partition
+    * appends, batch-proportional at any store size. Write order =
+    * crash-safety order (the [[graft.ops.Retrieval.appendToBm25Index]]
+    * discipline): the GUARD relation `sigs/` lands first, banded rows
+    * last — any crash+retry leaves a batch either fully probe-able or
+    * fully absent from `bands/`, never double-banded (a duplicated
+    * band row would duplicate every pair it produces). Re-appending an
+    * already-stored id is an idempotent no-op (the anti-join).
+    */
+  def appendToSignatureStore(sigs: DataFrame, idCol: String,
+      sigCol: String, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val (bits, bands, sigBuckets) = signatureStoreLayout(spark, path)
+    val fresh = sigs
+      .join(spark.read.parquet(s"$path/sigs").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      // freeze: the bands write below must not re-read the sigs/ the
+      // first write just appended to
+      .localCheckpoint()
+    val mode = org.apache.spark.sql.SaveMode.Append
+    fresh.select(col(idCol), col(sigCol)).write.mode(mode)
+      .parquet(s"$path/sigs")
+    bandedSig(fresh, idCol, sigCol, bits, bands, maxHamming = bands - 1)
+      .withColumn("sb", sigBucketCol(sigBuckets))
+      .repartition(col("sb"))
+      .write.mode(mode).partitionBy("sb").parquet(s"$path/bands")
+    ()
+  }
+
+  /** [[crossHammingFromSig]] against the STORE — the production
+    * cross-batch image-dedup probe: the batch's banded rows name a
+    * bounded set of `sb` partition values (collected driver-side —
+    * ≤ bands·sigBuckets rows, a layout-bounded exchange like the
+    * `_layout` read itself), the store scan PRUNES to those
+    * directories, and the equi-join + exact `bit_count(xor)` filter
+    * run on the pruned slice. Returns (new_id, corpus_id, hamming);
+    * candidates ∝ batch band collisions, never |batch|×|store|.
+    */
+  def dedupAgainstSignatureStore(batchSigs: DataFrame, idCol: String,
+      sigCol: String, path: String, maxHamming: Int = 3): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val (bits, bands, sigBuckets) = signatureStoreLayout(spark, path)
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    val a = bandedSig(batchSigs, idCol, sigCol, bits, bands, maxHamming)
+      .withColumn("sb", sigBucketCol(sigBuckets))
+      .localCheckpoint() // probed twice: the sb collect and the join
+    val sbs = a.select(col("sb")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val store = spark.read.parquet(s"$path/bands")
+      .filter(col("sb").isin(sbs.map(x => x: Any): _*))
+      .select(col("id").as("corpus_id"), col("sig").as("sig_b"),
+        col("band"), col("bkey"))
+    a.select(col("id").as("new_id"), col("sig").as("sig_a"),
+        col("band"), col("bkey"))
+      .join(store, Seq("band", "bkey"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** Connected components over a near-duplicate pair list — the step

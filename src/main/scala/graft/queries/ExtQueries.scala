@@ -937,6 +937,51 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** The image-signature index AT REST ([[graft.ops.Dedup
+    * .writeSignatureStore]] family) — the cross-batch half of image
+    * dedup q158 leaves in-session (text already has the full at-rest
+    * loop via q140/q109/q117; this closes it for images): the even
+    * documents' aHash signatures live as the banded, `sb`-partitioned
+    * store (half written, half APPENDED — the ingest replay), and the
+    * odd documents arrive as a NEW batch whose probe
+    * ([[graft.ops.Dedup.dedupAgainstSignatureStore]]) prunes the store
+    * scan to the batch's band-bucket partition values and pairs by
+    * exact Hamming ≤ 3 — pair space ∝ batch band collisions, never
+    * |batch|×|store|. Oracle: q158's signature CTEs with the two sides
+    * split (odd vs even) — where the corpus signatures live, and
+    * whether they were written or appended, cannot change a pair.
+    */
+  private val imageSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(imageSigStores)
+  private val q170: Q = (s, dir) => {
+    import s.implicits._
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) = Multimodal.imageHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
+          (id, Multimodal.encodePng(
+            Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
+        }
+        .toDF("media_id", "payload"),
+      hw = 8, hh = 6)
+    val docs = t(s, dir, "documents")
+    val path = imageSigStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        sigsOf(docs.filter(col("doc_id") % 4 === 0)), "media_id", "ahash",
+        p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        sigsOf(docs.filter(col("doc_id") % 4 === 2)), "media_id", "ahash", p)
+      p
+    })
+    Dedup.dedupAgainstSignatureStore(
+        sigsOf(docs.filter(col("doc_id") % 2 === 1)), "media_id", "ahash",
+        path, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -1208,6 +1253,7 @@ object ExtQueries {
     "q142_png_decode" -> q142,
     "q158_image_phash_dedup" -> q158,
     "q164_image_keep_best" -> q164,
+    "q170_image_sig_store" -> q170,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
@@ -1793,6 +1839,31 @@ object ExtQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q158's signature CTEs with the two sides SPLIT (odd = batch,
+    // even = stored corpus): where the corpus signatures live — written
+    // or appended, banded or not — cannot change a Hamming pair
+    "q170_image_sig_store" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     // q158's signature CTEs + the recursive closure (the keepBestOracle
     // pattern) + the lowest-id keeper window — cluster minima and keep

@@ -35,4 +35,73 @@ class SimhashNearDupSpec extends SparkSpec {
       Dedup.simhashNearDup(docs, "doc_id", "text", bits = 16, bands = 4, maxHamming = 4)
     }
   }
+
+  test("crossHammingFromSig == the cross restriction of the naive pair scan") {
+    val sig = Dedup.simhashTable(docs, "doc_id", "text", 16)
+    val batch = sig.filter(col("doc_id") % 2 === 1)
+    val corpus = sig.filter(col("doc_id") % 2 === 0)
+    val naive = batch.toDF("new_id", "sig_a")
+      .crossJoin(corpus.toDF("corpus_id", "sig_b"))
+      .withColumn("hamming",
+        Dedup.hammingDistance(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("new_id", "corpus_id", "hamming")
+      .collect().map(_.toSeq).toSet
+    val banded = Dedup.crossHammingFromSig(batch, corpus, "doc_id", "simhash",
+        bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(banded == naive && naive.nonEmpty, s"banded $banded vs naive $naive")
+    // an id on both sides never pairs with itself
+    val selfed = Dedup.crossHammingFromSig(sig, sig, "doc_id", "simhash",
+        bits = 16, bands = 4, maxHamming = 3)
+      .filter(col("new_id") === col("corpus_id")).count()
+    assert(selfed == 0)
+  }
+
+  test("signature store: probe == in-session cross pairs; append == write; re-append no-op") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    // a wider corpus so bucket pruning is non-trivial: 60 synthetic
+    // signatures in 15 four-member Hamming families
+    val sig = spark.range(60).select(col("id").as("doc_id"),
+      (shiftright(col("id"), 2) * 1664525 + 1013904223)
+        .bitwiseAND(lit((1L << 48) - 1))
+        .bitwiseXOR(shiftleft(col("id") % 4, 2)).as("s"))
+      .localCheckpoint()
+    val corpus = sig.filter(col("doc_id") % 2 === 0)
+    val batch = sig.filter(col("doc_id") % 2 === 1)
+    val expected = Dedup.crossHammingFromSig(batch, corpus, "doc_id", "s",
+        bits = 48, bands = 4, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val pW = s"${sys.props("java.io.tmpdir")}/graft_sigstore_spec_w"
+    val pA = s"${sys.props("java.io.tmpdir")}/graft_sigstore_spec_a"
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+    Dedup.writeSignatureStore(corpus, "doc_id", "s", pW,
+      bits = 48, bands = 4, sigBuckets = 8)
+    def probe(p: String) = Dedup.dedupAgainstSignatureStore(
+        batch, "doc_id", "s", p, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(probe(pW) == expected, "store probe must equal in-session pairs")
+    // append-built == write-built on the union corpus
+    Dedup.writeSignatureStore(corpus.filter(col("doc_id") % 4 === 0),
+      "doc_id", "s", pA, bits = 48, bands = 4, sigBuckets = 8)
+    Dedup.appendToSignatureStore(corpus.filter(col("doc_id") % 4 === 2),
+      "doc_id", "s", pA)
+    assert(probe(pA) == expected, "append-built must equal write-built")
+    // duplicate re-append: idempotent (a doubled band row would
+    // double every pair it produces)
+    Dedup.appendToSignatureStore(corpus, "doc_id", "s", pA)
+    assert(probe(pA) == expected)
+    assert(spark.read.parquet(s"$pA/sigs").count() == corpus.count())
+    // the banded relation is sb-partitioned on disk (the pruning layout)
+    assert(new java.io.File(s"$pA/bands").listFiles()
+      .exists(_.getName.startsWith("sb=g")))
+    rm(new java.io.File(pW)); rm(new java.io.File(pA))
+  }
 }

@@ -1031,6 +1031,54 @@ object Dedup {
     ()
   }
 
+  /** DELETE signatures from the store — the eviction that closes the
+    * image crawl loop (keep-best losers must leave the store or they
+    * keep pairing with every future batch). Reuses the ANN tombstone
+    * machinery verbatim on the banded relation: one append under
+    * `bands/_tombstones` ([[AnnIndex.deleteFromIndex]] — no side
+    * statistics exist to adjust), probe masks, re-append of a deleted
+    * id stays blocked by the `sigs/` guard until the purge.
+    */
+  def deleteFromSignatureStore(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    AnnIndex.deleteFromIndex(ids.select(col(idCol).as("id")), "id",
+      s"$path/bands")
+
+  /** Physically remove tombstoned signatures: `sigs/` rewritten first
+    * (rename-aside — the record of truth and append-guard key must
+    * drop the ids before the mask can), then [[AnnIndex.purgeIndex]]
+    * over the `sb=` partitions (only directories holding doomed rows
+    * rewritten; `bands/_tombstones` dropped LAST, so the mask holds
+    * across a mid-purge crash and a re-run finishes the job).
+    */
+  def purgeSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tsPath = new Path(s"$path/bands/_tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tsPath)) return
+    val ts = spark.read.parquet(tsPath.toString).toDF("id")
+      .distinct().localCheckpoint()
+    if (ts.head(1).nonEmpty) {
+      val live = new Path(s"$path/sigs")
+      val tmp = new Path(s"$path/.sigs_purge_tmp")
+      val old = new Path(s"$path/.sigs_purge_old")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      val sigs = spark.read.parquet(live.toString)
+      sigs.join(ts.toDF(sigs.columns.head), Seq(sigs.columns.head), "left_anti")
+        .write.parquet(tmp.toString)
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"purgeSignatureStore: cannot move $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(s"purgeSignatureStore: cannot swap $tmp in")
+      }
+      fs.delete(old, true)
+    }
+    AnnIndex.purgeIndex(spark, s"$path/bands", "id", partCol = "sb")
+  }
+
   /** [[crossHammingFromSig]] against the STORE — the production
     * cross-batch image-dedup probe: the batch's banded rows name a
     * bounded set of `sb` partition values (collected driver-side —
@@ -1051,8 +1099,11 @@ object Dedup {
       .localCheckpoint() // probed twice: the sb collect and the join
     val sbs = a.select(col("sb")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val store = spark.read.parquet(s"$path/bands")
-      .filter(col("sb").isin(sbs.map(x => x: Any): _*))
+    // tombstone mask ([[deleteFromSignatureStore]]): deleted signatures
+    // stay on disk until the purge — anti-joined out of every probe
+    val store = AnnIndex.tombstoneMask(spark, s"$path/bands", "id",
+        spark.read.parquet(s"$path/bands")
+          .filter(col("sb").isin(sbs.map(x => x: Any): _*)))
       .select(col("id").as("corpus_id"), col("sig").as("sig_b"),
         col("band"), col("bkey"))
     a.select(col("id").as("new_id"), col("sig").as("sig_a"),

@@ -982,6 +982,53 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** DELETE from the signature store ([[graft.ops.Dedup
+    * .deleteFromSignatureStore]] / [[graft.ops.Dedup
+    * .purgeSignatureStore]]) — the eviction that closes the image
+    * crawl loop (q164 picks keep-best losers; this is how they LEAVE
+    * the store). Both regimes, the q166–q168 shape: even docs ≡ 0
+    * (mod 8) deleted then PURGED (sigs/ rewritten, only affected
+    * `sb=` partitions of bands/ rewritten, tombstones cleared); evens
+    * ≡ 6 (mod 8) deleted after the purge and probed under the MASK.
+    * Judged output: the odd docs probed as a batch against the
+    * surviving store — the oracle is q170's cross-pair SQL with the
+    * corpus side restricted to surviving evens (deleted ≡ never
+    * stored, in every pair).
+    */
+  private val imageSigDeleteStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(imageSigDeleteStores)
+  private val q171: Q = (s, dir) => {
+    import s.implicits._
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) = Multimodal.imageHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
+          (id, Multimodal.encodePng(
+            Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
+        }
+        .toDF("media_id", "payload"),
+      hw = 8, hh = 6)
+    val docs = t(s, dir, "documents")
+    val path = imageSigDeleteStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_del_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        sigsOf(docs.filter(col("doc_id") % 2 === 0)), "media_id", "ahash",
+        p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.deleteFromSignatureStore(
+        docs.filter(col("doc_id") % 8 === 0).select(col("doc_id")), "doc_id", p)
+      Dedup.purgeSignatureStore(s, p)
+      Dedup.deleteFromSignatureStore(
+        docs.filter(col("doc_id") % 8 === 6).select(col("doc_id")), "doc_id", p)
+      p
+    })
+    Dedup.dedupAgainstSignatureStore(
+        sigsOf(docs.filter(col("doc_id") % 2 === 1)), "media_id", "ahash",
+        path, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -1254,6 +1301,7 @@ object ExtQueries {
     "q158_image_phash_dedup" -> q158,
     "q164_image_keep_best" -> q164,
     "q170_image_sig_store" -> q170,
+    "q171_image_sig_delete" -> q171,
     "q78_decontamination" -> q78,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
@@ -1862,6 +1910,32 @@ object ExtQueries {
         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // q170's cross-pair SQL with the corpus side restricted to the
+    // SURVIVING evens — delete semantics for the signature store
+    "q171_image_sig_delete" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |     AND b.doc_id % 8 NOT IN (0, 6)
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY new_id, corpus_id""".stripMargin,
 

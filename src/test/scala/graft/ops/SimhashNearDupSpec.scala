@@ -102,6 +102,32 @@ class SimhashNearDupSpec extends SparkSpec {
     // the banded relation is sb-partitioned on disk (the pruning layout)
     assert(new java.io.File(s"$pA/bands").listFiles()
       .exists(_.getName.startsWith("sb=g")))
+    // --- deletion lifecycle: mask == never-stored, purge physical ---
+    val doomed = corpus.limit(3).select(col("doc_id")).localCheckpoint()
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    val expectedDel = expected.filterNot(r => doomedIds(r(1).asInstanceOf[Long]))
+    Dedup.deleteFromSignatureStore(doomed, "doc_id", pA)
+    assert(probe(pA) == expectedDel, "masked probe must equal never-stored")
+    // double delete: no-op
+    Dedup.deleteFromSignatureStore(doomed, "doc_id", pA)
+    assert(probe(pA) == expectedDel)
+    // re-append of a deleted id is blocked until the purge
+    Dedup.appendToSignatureStore(corpus.join(doomed, Seq("doc_id"), "leftsemi"),
+      "doc_id", "s", pA)
+    assert(probe(pA) == expectedDel, "re-append of tombstoned ids must be blocked")
+    Dedup.purgeSignatureStore(spark, pA)
+    assert(probe(pA) == expectedDel, "purge must not change any pair")
+    assert(!new java.io.File(s"$pA/bands/_tombstones").exists)
+    assert(spark.read.parquet(s"$pA/sigs")
+      .filter(col("doc_id").isin(doomedIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s"$pA/bands")
+      .filter(col("id").isin(doomedIds.toSeq: _*)).count() == 0)
+    // after the purge the ids are re-ingestable; the store equals the
+    // never-deleted one again
+    Dedup.appendToSignatureStore(corpus.join(doomed, Seq("doc_id"), "leftsemi"),
+      "doc_id", "s", pA)
+    assert(probe(pA) == expected,
+      "delete -> purge -> re-append must equal the never-deleted store")
     rm(new java.io.File(pW)); rm(new java.io.File(pA))
   }
 }

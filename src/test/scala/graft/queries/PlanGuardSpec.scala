@@ -617,6 +617,27 @@ class PlanGuardSpec extends SparkSpec {
       s"document text must never be read by the stored-index path:\n$p")
   }
 
+  test("q170 signature store: the batch's band buckets are a PARTITION filter on the store scan") {
+    import org.apache.spark.sql.functions.col
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sigstore_guard"
+    val sig = spark.range(64).select(col("id").as("doc_id"),
+      (org.apache.spark.sql.functions.shiftright(col("id"), 2) * 1664525
+        + 1013904223)
+        .bitwiseAND(org.apache.spark.sql.functions.lit((1L << 48) - 1)).as("s"))
+    graft.ops.Dedup.writeSignatureStore(sig, "doc_id", "s", path,
+      bits = 48, bands = 4, sigBuckets = 16)
+    val p = graft.ops.Dedup.dedupAgainstSignatureStore(
+        sig.limit(5), "doc_id", "s", path, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    // the batch's sb values must land in PartitionFilters — the store
+    // scan prunes to the batch's band-bucket directories' FILES
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("sb"))
+    assert(scan.isDefined, s"no sb PartitionFilters entry in the store scan:\n$p")
+    assert(scan.get.contains("sb#") || scan.get.contains("sb IN") ||
+      scan.get.contains("In(sb"), s"sb must be filtered as a partition:\n${scan.get}")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

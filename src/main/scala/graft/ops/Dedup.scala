@@ -211,6 +211,57 @@ object Dedup {
       jaccardFromShingles(sh, idCol, threshold, maxShingleDf), sh)
   }
 
+  /** JUDGED RECALL CONTRACT for MinHash-LSH dedup — the [[graft.ops
+    * .Similarity.annRecallContract]] question asked of the DEDUP index:
+    * what fraction of the TRUE near-dup pairs (exact shingle-Jaccard ≥
+    * threshold, the [[jaccardNearDup]] relation) does the banded
+    * MinHash detector surface? One judged row per (numHashes, bands)
+    * configuration asserting recall ≥ bound — the banding theory says
+    * a pair at similarity s is a candidate with p = 1−(1−s^r)^b
+    * (r = rows per band), so MORE bands at fixed r lift recall at
+    * linear index cost: the contract pins that OR-construction lever
+    * empirically (a 16×8 configuration must beat the 0.8 floor the
+    * 8×4 one is not held to). Everything is deterministic given the
+    * md5 hash family, and the comparison is count arithmetic on exact
+    * integers — the oracle recomputes n_true from the pair SQL and
+    * emits literal TRUE; a broken signature, band key, or verify join
+    * flips the boolean and breaks the hash.
+    *
+    * Scale shape: ONE shingle relation feeds the exact truth AND every
+    * configuration's signatures (persisted, released on completion);
+    * each configuration adds one |docs|-row signature aggregate and
+    * one band self-join — candidate-proportional, never all-pairs. The
+    * truth side is the inverted-index exact join — the same plan the
+    * q92 detector ships. Returns (method, n_true, recall_ok).
+    */
+  def minhashRecallContract(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      configs: Seq[(Int, Int, Double)] = Seq((8, 4, 0.55), (16, 8, 0.8)))
+      : DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardFromShingles(sh, idCol, threshold, maxShingleDf = 0)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val rows = configs.map { case (numHashes, bands, bound) =>
+      val cand = lshCandidatePairs(
+        minhashSignatures(sh, idCol, numHashes), idCol,
+        bands, numHashes / bands)
+      // verified recall: the detector's output is cand ∩ truth (the
+      // exact-Jaccard verify pass), so hits = the inner join's count
+      truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nTrue))
+        .select(lit(s"minhash_${numHashes}x$bands").as("method"),
+          col("n_true"),
+          (col("n_hit").cast("double") >=
+            lit(bound) * col("n_true").cast("double")).as("recall_ok"))
+    }
+    CacheLifecycle.resolveAndRelease(
+      rows.reduce(_.unionByName(_)), sh, truth)
+  }
+
   /** The lazy pair plan of [[jaccardNearDup]] over an already-built
     * (id, sh) shingle relation — exposed so the plan-guard spec can pin
     * the physical shape (the active stop-shingle anti join) that the

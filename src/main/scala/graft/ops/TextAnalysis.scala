@@ -304,4 +304,93 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
     CacheLifecycle.resolveAndRelease(result, base, grams)
   }
+
+  /** Duplicated-span EXCISION — the transform half of [[dupSpanCoverage]]
+    * (which only measures): every occurrence of a duplicated k-token
+    * span EXCEPT the globally-first one is removed from the token
+    * stream, and the surviving tokens are re-joined into `clean_text`.
+    * This is the relational form of the exact-substring deduplication
+    * recipe (suffix-array dedup in the single-node literature): the
+    * duplicated-substring relation is exactly the k-gram relation with
+    * occurrence count ≥ 2, the "first occurrence" keeper is the
+    * lexicographic min over (doc, position), and overlapping excised
+    * spans merge through the same event-stream coverage arithmetic.
+    *
+    * Semantics (deterministic, oracle-replayable):
+    *  - grams are positioned k-token windows over the whitespace token
+    *    stream (within-doc repeats COUNT as duplicates, unlike the
+    *    cross-doc-only [[dupSpanCoverage]] signal);
+    *  - per gram, the keeper occurrence is min(doc, pos); every other
+    *    occurrence marks its k-token range for removal;
+    *  - a token survives iff no removal interval covers its position;
+    *  - `clean_text` is the surviving tokens joined by single spaces in
+    *    original order ('' when nothing survives — the doc row never
+    *    disappears, so downstream curation sees the empty husk and can
+    *    drop it by policy).
+    *
+    * Scale shape: the keeper is a grouped min-struct aggregate over the
+    * gram relation — map-side combined, NO per-gram window, so a
+    * boilerplate gram shared by millions of documents costs one
+    * combiner cell, not a million-row sorted window partition. Coverage
+    * is the per-DOC event-stream window (interval starts and token
+    * positions interleaved, running max of interval ends): one shuffle
+    * by doc id, linear in doc length. Text reassembly is a per-doc
+    * sort_array over surviving tokens — bounded by document length,
+    * never corpus-wide.
+    */
+  def exciseDupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(k))))).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("i"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // keeper per duplicated gram: lexicographic min over (doc, pos) as a
+    // grouped struct-min — map-side combinable, skew-immune (a hot gram
+    // is one combiner cell per task, not a sorted window partition)
+    val keepers = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col(idCol).as("kid"), col("i").as("ki"))).as("kp"))
+      .filter(col("occ") >= 2)
+      .select(col("gram"), col("kp.kid").as("kid"), col("kp.ki").as("ki"))
+    val excised = grams.join(keepers, "gram")
+      .filter(!(col(idCol) === col("kid") && col("i") === col("ki")))
+      .select(col(idCol), col("i"), (col("i") + (k - 1)).as("e"))
+    // event-stream coverage: interval starts (kind 0) sort before token
+    // positions (kind 1) at the same position; a token is covered iff
+    // the running max of interval ends reaches it
+    val toks = base
+      .select(col(idCol), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val ev = excised.select(col(idCol), col("i").as("pos"), col("e"),
+        lit(0).as("kind"), lit(null).cast("string").as("tok"))
+      .unionByName(toks.select(col(idCol), col("pos"),
+        lit(null).cast("long").as("e"), lit(1).as("kind"), col("tok")))
+    val runEnd = Window.partitionBy(col(idCol))
+      .orderBy(col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = ev
+      .withColumn("covEnd", max(col("e")).over(runEnd))
+      .filter(col("kind") === 1 &&
+        (col("covEnd").isNull || col("covEnd") < col("pos")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    val result = base.select(col(idCol), col("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    CacheLifecycle.resolveAndRelease(result, base, grams)
+  }
 }

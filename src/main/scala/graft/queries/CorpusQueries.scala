@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BloomPrune, Chunking, Dedup, LanguageModel, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomPrune, Chunking, Dedup, LanguageModel, NaiveBayes, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -138,6 +138,57 @@ object CorpusQueries {
     LanguageModel.scoreAgainst(s, path,
         t(s, dir, "documents").filter(col("doc_id") % 4 === 3),
         "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive Bayes classification
+    * ([[graft.ops.NaiveBayes]]) — the TRAINED quality/domain classifier
+    * of the fasttext-filter lineage, the supervised member of the
+    * curation family (q23's heuristics and q131's generative LM are
+    * the unsupervised ones): per-label token log-likelihoods with
+    * add-one smoothing learned on the doc_id % 4 ≠ 3 slice (label =
+    * `lang`), the held-out quarter scored and argmax-classified.
+    * OOV/label-unseen tokens land at the per-label Laplace floor — no
+    * token is ever dropped. Contributions round to 9 and sum as
+    * DECIMAL (the BM25 discipline), scores round to 6, ties break by
+    * label ascending — the oracle replays priors, likelihoods, floors
+    * and the argmax bit-exactly.
+    */
+  private val q173: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = NaiveBayes.trainModel(
+      docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", "lang")
+    NaiveBayes.classify(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  /** q173 against the model AT REST ([[graft.ops.NaiveBayes
+    * .writeModel]] / [[graft.ops.NaiveBayes.readModel]]): the classifier
+    * trained once, persisted as `priors/` + `lik/`, every later batch
+    * scored against the FROZEN counts — the production gate, where a
+    * document's class cannot depend on what arrived after it. Judged
+    * against q173's oracle VERBATIM: where the counts live cannot
+    * change a posterior. Model built once per (pid, dir); benched
+    * iterations measure scoring, the gate's steady-state cost.
+    */
+  private val nbModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(nbModels)
+  private val q174: Q = (s, dir) => {
+    val path = nbModels.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_nb_model_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      NaiveBayes.writeModel(
+        NaiveBayes.trainModel(
+          t(s, dir, "documents").filter(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", "lang"),
+        p)
+      p
+    })
+    NaiveBayes.classify(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", NaiveBayes.readModel(s, path))
       .orderBy("doc_id")
   }
 
@@ -895,6 +946,8 @@ object CorpusQueries {
     "q127_hybrid_rrf" -> q127,
     "q131_bigram_lm" -> q131,
     "q135_bigram_score_heldout" -> q135,
+    "q173_nb_classify" -> q173,
+    "q174_nb_stored" -> q174,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1133,7 +1186,52 @@ object CorpusQueries {
        |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Naive Bayes replayed relationally — priors, per-label Laplace
+    * likelihoods, per-label floors for unseen tokens, round-9
+    * contributions summed as DECIMAL, argmax with label-asc tie-break.
+    * ONE string for q173 (in-session) and q174 (model at rest): where
+    * the counts live cannot change a posterior.
+    */
+  private val nbClassifySql =
+    s"""WITH ${ExtQueries.tokensCte},
+       |tr AS (SELECT w.doc_id, d.lang, w.w FROM w
+       |       JOIN documents d ON d.doc_id = w.doc_id
+       |       WHERE w.doc_id % 4 <> 3),
+       |he AS (SELECT doc_id, w FROM w WHERE doc_id % 4 = 3),
+       |ttok AS (SELECT lang, u.t AS tok FROM tr, UNNEST(tr.w) AS u(t)),
+       |nl AS (SELECT lang, count(*) AS n FROM ttok GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+       |nd AS (SELECT count(*) AS n FROM tr),
+       |pri AS (SELECT tr.lang,
+       |               round(ln(CAST(count(*) AS DOUBLE) / CAST(nd.n AS DOUBLE)), 9) AS lp
+       |        FROM tr CROSS JOIN nd GROUP BY tr.lang, nd.n),
+       |fl AS (SELECT nl.lang, round(ln(1.0 / CAST(nl.n + v.v AS DOUBLE)), 9) AS fl
+       |       FROM nl CROSS JOIN v),
+       |lik AS (SELECT t.lang, t.tok,
+       |               round(ln(CAST(count(*) + 1 AS DOUBLE)
+       |                        / CAST(nl.n + v.v AS DOUBLE)), 9) AS ll
+       |        FROM ttok t JOIN nl ON t.lang = nl.lang CROSS JOIN v
+       |        GROUP BY t.lang, t.tok, nl.n, v.v),
+       |htok AS (SELECT doc_id, u.t AS tok FROM he, UNNEST(he.w) AS u(t)),
+       |sc AS (SELECT h.doc_id, p.lang,
+       |              round(p.lp + CAST(sum(CAST(COALESCE(l.ll, f.fl)
+       |                AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+       |       FROM htok h
+       |       CROSS JOIN pri p
+       |       JOIN fl f ON f.lang = p.lang
+       |       LEFT JOIN lik l ON l.lang = p.lang AND l.tok = h.tok
+       |       GROUP BY h.doc_id, p.lang, p.lp),
+       |rk AS (SELECT doc_id, lang, score,
+       |              row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY score DESC, lang) AS rk
+       |       FROM sc)
+       |SELECT doc_id, lang AS pred_label, score
+       |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q173_nb_classify" -> nbClassifySql,
+    // the at-rest model MUST reproduce the in-session posterior exactly
+    "q174_nb_stored" -> nbClassifySql,
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
     // literal TRUE per method

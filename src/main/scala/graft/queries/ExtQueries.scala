@@ -39,6 +39,21 @@ object ExtQueries {
         threshold = 0.5, numHashes = 8, bands = 4, shingleK = 3)
       .orderBy("id_a", "id_b")
 
+  /** MinHash-LSH recall contract ([[graft.ops.Dedup
+    * .minhashRecallContract]]): q112's judged-recall question asked of
+    * the DEDUP index — what fraction of the exact Jaccard ≥ 0.5 pairs
+    * does the banded detector (q21's pipeline) surface, per
+    * (numHashes, bands) configuration? Floors from
+    * `tools.MeasureMinhashRecall` with margin; the 16×8 row pins the
+    * OR-construction lever (more bands at fixed rows-per-band buys
+    * recall at linear index cost). The oracle recomputes n_true from
+    * the exact pair SQL and emits literal TRUE.
+    */
+  private val q176: Q = (s, dir) =>
+    Dedup.minhashRecallContract(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleK = 3)
+      .orderBy("method")
+
   /** SimHash: 32-bit signature over unigram tokens (relation form — one
     * hash per token, single grouped aggregation). 32 bits is the
     * scale-safe default width ([[Dedup.simhashTable]]): the narrow
@@ -142,6 +157,22 @@ object ExtQueries {
     */
   private val q133: Q = (s, dir) =>
     TextAnalysis.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)
+      .orderBy("doc_id")
+
+  /** Duplicated-span EXCISION
+    * ([[graft.ops.TextAnalysis.exciseDupSpans]]): the TRANSFORM half of
+    * q133's signal — every non-first occurrence of a duplicated 5-token
+    * span is cut from the token stream and the surviving tokens are
+    * re-joined, the relational form of exact-substring (suffix-array)
+    * dedup. The keeper is the lexicographic (doc, pos) min per gram —
+    * a grouped struct-min, never a per-gram window, so boilerplate
+    * grams can't create skewed window partitions at 100 TB. Judged
+    * output carries the full `clean_text`, so the oracle checks the
+    * byte-exact surviving token sequence, not just counts.
+    */
+  private val q172: Q = (s, dir) =>
+    TextAnalysis.exciseDupSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 5)
       .orderBy("doc_id")
 
@@ -951,12 +982,17 @@ object ExtQueries {
     * split (odd vs even) — where the corpus signatures live, and
     * whether they were written or appended, cannot change a pair.
     */
-  private val imageSigStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  rmTreeAtExit(imageSigStores)
-  private val q170: Q = (s, dir) => {
-    import s.implicits._
-    def sigsOf(docs: org.apache.spark.sql.DataFrame) = Multimodal.imageHashTable(
+  /** The deterministic image fixture's signature table, shared by
+    * q170/q171 and the streaming q175: each document's media is the
+    * keyed gradient raster with one odd-pixel perturbation, REALLY
+    * encoded and re-decoded through PNG, then aHashed
+    * ([[Multimodal.imageHashTable]]) — (media_id, ahash).
+    */
+  private[queries] def imageFixtureSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.imageHashTable(
       docs.select(col("doc_id")).as[Long]
         .map { id =>
           val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
@@ -965,6 +1001,13 @@ object ExtQueries {
         }
         .toDF("media_id", "payload"),
       hw = 8, hh = 6)
+  }
+
+  private val imageSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(imageSigStores)
+  private val q170: Q = (s, dir) => {
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) = imageFixtureSigs(docs)
     val docs = t(s, dir, "documents")
     val path = imageSigStores.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_" +
@@ -999,16 +1042,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   rmTreeAtExit(imageSigDeleteStores)
   private val q171: Q = (s, dir) => {
-    import s.implicits._
-    def sigsOf(docs: org.apache.spark.sql.DataFrame) = Multimodal.imageHashTable(
-      docs.select(col("doc_id")).as[Long]
-        .map { id =>
-          val img = Multimodal.keyedGradientRaster(id / 4, 16, 12)
-          (id, Multimodal.encodePng(
-            Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
-        }
-        .toDF("media_id", "payload"),
-      hw = 8, hh = 6)
+    def sigsOf(docs: org.apache.spark.sql.DataFrame) = imageFixtureSigs(docs)
     val docs = t(s, dir, "documents")
     val path = imageSigDeleteStores.computeIfAbsent(dir, _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_del_" +
@@ -1258,6 +1292,7 @@ object ExtQueries {
   val all: Map[String, Q] = Map(
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
+    "q176_minhash_recall" -> q176,
     "q22_simhash" -> q22,
     "q23_text_quality" -> q23,
     "q24_lang_id" -> q24,
@@ -1291,6 +1326,7 @@ object ExtQueries {
     "q130_quant_ingest" -> q130,
     "q132_token_budget" -> q132,
     "q133_dup_span_frac" -> q133,
+    "q172_span_excise" -> q172,
     "q134_ivf_quant_probe" -> q134,
     "q136_ivf_rebuild" -> q136,
     "q168_ivf_delete" -> q168,
@@ -1335,6 +1371,34 @@ object ExtQueries {
     planes.map(p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
+
+  /** q170's odd-batch-vs-even-store cross-pair SQL: the full aHash
+    * arithmetic (keyed gradient raster → gray → threshold bits) and the
+    * Hamming ≤ 3 pair filter. Shared VERBATIM by q170 (write+append
+    * store) and q175 (stream-built store): neither the ingest path nor
+    * the micro-batch boundaries can change a pair.
+    */
+  private[queries] val imageSigCrossSql =
+    """WITH px AS (
+      |  SELECT d.doc_id, x.x AS x, y.y AS y,
+      |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+      |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+      |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+      |  FROM documents d,
+      |       UNNEST(generate_series(0, 7)) AS x(x),
+      |       UNNEST(generate_series(0, 5)) AS y(y)),
+      |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+      |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+      |sig AS (SELECT g1.doc_id,
+      |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+      |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+      |                             ELSE 0 END) AS BIGINT) AS h
+      |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
+      |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |WHERE bit_count(xor(a.h, b.h)) <= 3
+      |ORDER BY new_id, corpus_id""".stripMargin
 
   private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
@@ -1506,6 +1570,26 @@ object ExtQueries {
          |SELECT id_a, id_b, jaccard FROM mpairs
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // the exact truth-pair count recomputed (the banded detector's hit
+    // counts are engine-side; the floors are the judged assertion)
+    "q176_minhash_recall" ->
+      s"""WITH $tokensCte,
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+         |       WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+         |       FROM inter
+         |       JOIN sizes na ON na.doc_id = id_a
+         |       JOIN sizes nb ON nb.doc_id = id_b
+         |       WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5)
+         |SELECT m.method, tp.n_true, true AS recall_ok
+         |FROM (VALUES ('minhash_16x8'), ('minhash_8x4')) m(method) CROSS JOIN tp
+         |ORDER BY method""".stripMargin,
+
     "q22_simhash" ->
       s"""WITH $tokensCte,
          |tok AS (SELECT doc_id, u.t AS t FROM w, UNNEST(w.w) AS u(t)),
@@ -1599,6 +1683,46 @@ object ExtQueries {
          |       round(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE)
          |             / CAST(len(w.w) AS DOUBLE), 6) AS dup_frac
          |FROM w LEFT JOIN agg USING (doc_id)
+         |WHERE len(w.w) >= 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // span excision replayed relationally: positioned 5-grams, keeper =
+    // lexicographic (doc, pos) min per duplicated gram, non-keeper
+    // occurrences become removal intervals, and the same event-stream
+    // running-max coverage decides which tokens survive; clean_text is
+    // the surviving tokens re-joined in position order
+    "q172_span_excise" ->
+      s"""WITH $tokensCte,
+         |g AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+         |      FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         |      WHERE len(w) >= 5),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |k1 AS (SELECT gram, min(doc_id) AS kid
+         |       FROM g JOIN dup USING (gram) GROUP BY gram),
+         |kp AS (SELECT g.gram, k1.kid, min(g.i) AS ki
+         |       FROM g JOIN k1 ON g.gram = k1.gram AND g.doc_id = k1.kid
+         |       GROUP BY g.gram, k1.kid),
+         |exc AS (SELECT g.doc_id, g.i AS pos, g.i + 4 AS e
+         |        FROM g JOIN kp USING (gram)
+         |        WHERE NOT (g.doc_id = kp.kid AND g.i = kp.ki)),
+         |tok AS (SELECT doc_id, u.i AS pos, w.w[u.i] AS tok
+         |        FROM w, UNNEST(generate_series(1, len(w.w))) AS u(i)),
+         |ev AS (SELECT doc_id, pos, e, 0 AS kind, NULL AS tok FROM exc
+         |       UNION ALL
+         |       SELECT doc_id, pos, NULL AS e, 1 AS kind, tok FROM tok),
+         |cov AS (SELECT doc_id, pos, kind, tok,
+         |               max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+         |        FROM ev),
+         |kept AS (SELECT doc_id, pos, tok FROM cov
+         |         WHERE kind = 1 AND (covend IS NULL OR covend < pos)),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |       CAST(len(w.w) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |       COALESCE(reb.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN reb USING (doc_id)
          |WHERE len(w.w) >= 1
          |ORDER BY doc_id""".stripMargin,
 
@@ -1891,30 +2015,11 @@ object ExtQueries {
     // q158's signature CTEs with the two sides SPLIT (odd = batch,
     // even = stored corpus): where the corpus signatures live — written
     // or appended, banded or not — cannot change a Hamming pair
-    "q170_image_sig_store" ->
-      """WITH px AS (
-        |  SELECT d.doc_id, x.x AS x, y.y AS y,
-        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
-        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
-        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
-        |  FROM documents d,
-        |       UNNEST(generate_series(0, 7)) AS x(x),
-        |       UNNEST(generate_series(0, 5)) AS y(y)),
-        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
-        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
-        |sig AS (SELECT g1.doc_id,
-        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
-        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
-        |                             ELSE 0 END) AS BIGINT) AS h
-        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
-        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |WHERE bit_count(xor(a.h, b.h)) <= 3
-        |ORDER BY new_id, corpus_id""".stripMargin,
+    "q170_image_sig_store" -> imageSigCrossSql,
 
-    // q170's cross-pair SQL with the corpus side restricted to the
-    // SURVIVING evens — delete semantics for the signature store
+    // q170's cross-pair SQL (imageSigCrossSql) with the corpus side
+    // restricted to the SURVIVING evens — delete semantics for the
+    // signature store
     "q171_image_sig_delete" ->
       """WITH px AS (
         |  SELECT d.doc_id, x.x AS x, y.y AS y,

@@ -572,6 +572,97 @@ object StreamingQueries {
         "doc_id", query = Seq("vector", "stream", "window"), k = 20)
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Streaming image-signature ingest — q159's crawl-loop shape for the
+    * IMAGE dedup store ([[graft.ops.Dedup.writeSignatureStore]] family):
+    * the even documents' media arrives as 4 mtime-ordered micro-batches,
+    * each decoded + aHashed and folded into the at-rest signature store
+    * by `foreachBatch` — the first batch BOOTSTRAPS the store (48-bit
+    * signatures, 4 bands, 16 band-buckets), the rest are guarded
+    * partition appends against the frozen `_layout`
+    * ([[graft.ops.Dedup.appendToSignatureStore]]). The odd documents
+    * then probe the stream-built store as a batch
+    * ([[graft.ops.Dedup.dedupAgainstSignatureStore]]) — judged against
+    * q170's cross-pair oracle VERBATIM: neither the ingest path nor the
+    * micro-batch boundaries can change a pair. With q170 (build/append)
+    * and q171 (delete) this completes the image crawl loop at rest.
+    * Store built once per (pid, dir) — benched iterations measure the
+    * pruned probe.
+    */
+  private val streamImageSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    streamImageSigStores.values().forEach(p => rm(new java.io.File(p)))
+  }))
+  private def streamImageSigPath(s: SparkSession, dir: String): String =
+    streamImageSigStores.computeIfAbsent(dir, _ => {
+      import graft.ops.Dedup
+      val root = scratchDir("q175stage")
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val storeBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val storePath = s"$storeBase/graft_stream_imgsig_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (k <- 0 to 3) {
+        val tmp = new java.io.File(root, s"tmp$k")
+        docs.filter(col("doc_id") % 8 === 2 * k).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      val ckRoot =
+        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q175_${runSeq.get()}"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q175_${runSeq.get()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckRoot))
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ckRoot)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sigs = ExtQueries.imageFixtureSigs(batch)
+            if (!new java.io.File(storePath, "_layout").isDirectory)
+              Dedup.writeSignatureStore(sigs, "media_id", "ahash",
+                storePath, bits = 48, bands = 4, sigBuckets = 16)
+            else
+              Dedup.appendToSignatureStore(sigs, "media_id", "ahash",
+                storePath)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        rm(new java.io.File(ckRoot))
+        rm(root)
+      }
+      storePath
+    })
+
+  private val q175: Q = (s, dir) =>
+    graft.ops.Dedup.dedupAgainstSignatureStore(
+        ExtQueries.imageFixtureSigs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 2 === 1)),
+        "media_id", "ahash", streamImageSigPath(s, dir), maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+
   /** Streaming LM quality gate — q117's maintained-state loop for the
     * perplexity filter ([[graft.ops.LanguageModel]]): the bigram model
     * is trained + calibrated ONCE on the doc_id % 4 = 0 slice and
@@ -728,6 +819,7 @@ object StreamingQueries {
     "q118_stream_ann_ingest" -> q118,
     "q145_ann_stream_optimize" -> q145,
     "q159_stream_bm25_ingest" -> q159,
+    "q175_stream_image_sig" -> q175,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
   )
@@ -864,6 +956,10 @@ object StreamingQueries {
     // stream-built store — ingest path and layout are score-invariant,
     // so the oracle is q95's from-text SQL verbatim
     "q159_stream_bm25_ingest" -> CorpusQueries.bm25TopSql,
+
+    // the stream-built signature store MUST produce exactly q170's
+    // cross pairs — micro-batch boundaries cannot change a signature
+    "q175_stream_image_sig" -> ExtQueries.imageSigCrossSql,
 
     // the streaming gate replayed in one pass: frozen counts + V from
     // the doc_id % 4 = 0 train slice, the calibration threshold = the

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // V = {a,b,c,d} = 4; n_tok(x) = 5, n_tok(y) = 4; priors ln(1/2) each.
+  private def trainDocs = Seq(
+    (1L, "a a b", "x"),
+    (2L, "a b", "x"),
+    (3L, "c c", "y"),
+    (4L, "c d", "y")
+  ).toDF("doc_id", "text", "lang")
+
+  test("classify: hand-computed posteriors pick the right label") {
+    val model = NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang")
+    val held = Seq(
+      (10L, "a b z"), // x-ish tokens + one OOV
+      (11L, "c c"),   // pure y evidence
+      (12L, "z")      // OOV only: floors decide — y's (1/8) > x's (1/9)
+    ).toDF("doc_id", "text")
+    val out = NaiveBayes.classify(held, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out(10L)._1 == "x")
+    assert(out(11L)._1 == "y")
+    assert(out(12L)._1 == "y")
+    // ln(1/2) + 2·ln(4/8) with round-9 contributions, round-6 total
+    assert(math.abs(out(11L)._2 - (-2.079442)) < 1e-6)
+    // OOV-only doc scores at the floor: ln(1/2) + ln(1/8)
+    assert(math.abs(out(12L)._2 - (-2.772589)) < 1e-6)
+  }
+
+  test("classify: equal posteriors tie-break by label ascending") {
+    val tr = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.trainModel(tr, "doc_id", "text", "lang")
+    val out = NaiveBayes.classify(Seq((9L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect()
+    assert(out.length == 1 && out.head.getString(1) == "x")
+  }
+
+  test("zero-token held-out docs are excluded; zero-token train docs count toward the prior") {
+    val tr = trainDocs.union(Seq((5L, "", "y")).toDF("doc_id", "text", "lang"))
+    val model = NaiveBayes.trainModel(tr, "doc_id", "text", "lang")
+    // prior shifts: lp(y) = ln(3/5), lp(x) = ln(2/5); likelihoods unchanged
+    val pri = model.priors.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pri("y") - math.log(3.0 / 5.0)) < 1e-8)
+    assert(math.abs(pri("x") - math.log(2.0 / 5.0)) < 1e-8)
+    val out = NaiveBayes.classify(
+      Seq((10L, "a"), (11L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("stored model reproduces the in-session posterior exactly") {
+    val model = NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang")
+    val held = Seq((10L, "a b z"), (11L, "c c"), (12L, "z"))
+      .toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_model_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    try {
+      NaiveBayes.writeModel(model, dir)
+      val fresh = NaiveBayes.classify(held, "doc_id", "text", model)
+        .orderBy("doc_id").collect().toSeq
+      val stored = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq
+      assert(fresh == stored)
+    } finally rm(new java.io.File(dir))
+  }
+}

@@ -47,6 +47,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0.0)))
   }
 
+  test("exciseDupSpans: keeper survives, overlaps merge, within-doc repeats excise, empty husk kept") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // keeper of "a b c" and "c d e" — untouched
+      (2L, "a b c x y"),      // loses [1,3] to doc 1's "a b c"
+      (3L, "z c d e q"),      // loses [2,4] to doc 1's "c d e"
+      (4L, "q q"),            // shorter than k -> no grams, kept whole
+      (5L, "m n o p m n o"),  // WITHIN-doc repeat: second "m n o" excised
+      (6L, "u v w x y"),      // keeper of "u v w" and "v w x"
+      (7L, "u v w x z"),      // overlapping excisions [1,3]+[2,4] merge to [1,4]
+      (8L, "r s t"),          // keeper of the exact-dup pair
+      (9L, "r s t")           // fully excised -> empty husk, row kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((5L, 0L, "a b c d e")))
+    assert(out(2L) == ((5L, 3L, "x y")))
+    assert(out(3L) == ((5L, 3L, "z q")))
+    assert(out(4L) == ((2L, 0L, "q q")))
+    assert(out(5L) == ((7L, 3L, "m n o p")))
+    assert(out(6L) == ((5L, 0L, "u v w x y")))
+    assert(out(7L) == ((5L, 4L, "z")))
+    assert(out(8L) == ((3L, 0L, "r s t")))
+    assert(out(9L) == ((3L, 3L, "")))
+  }
+
   test("langId: marker argmax with alphabetical tie-break, und for no hits") {
     val df = Seq((1L, "the cat and dog"), (2L, "el gato la casa"),
       (3L, "zzz qqq"), (4L, "la la la")).toDF("id", "text")
@@ -108,6 +135,28 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.nearDuplicates(df, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashRecallContract: healthy configs pass, an AND-construction config is caught") {
+    // 30 planted near-dup pairs (doc i ≈ doc i+100) + unrelated fillers
+    val docs = ((1L to 30L).flatMap { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india tail$i more words here"
+      Seq((i, base), (i + 100L, base.replace("more", "extra")))
+    } ++ (200L to 230L).map(i =>
+      (i, s"totally unrelated content number $i about $i different things ${i * 7}")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashRecallContract(docs, "doc_id", "text",
+        threshold = 0.5, shingleK = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("minhash_8x4")._1 >= 30L)
+    assert(out("minhash_8x4")._2 && out("minhash_16x8")._2)
+    // contract BITES: 8 rows in ONE band is an AND-construction —
+    // candidate probability s^8, recall collapses, the floor catches it
+    val broken = Dedup.minhashRecallContract(docs, "doc_id", "text",
+        threshold = 0.5, shingleK = 3, configs = Seq((8, 1, 0.55)))
+      .collect()
+    assert(broken.length == 1 && !broken.head.getBoolean(2))
   }
 
   test("nearDuplicates is invariant under input partitioning") {

@@ -480,6 +480,91 @@ object Multimodal {
     encodePcm16(samples)
   }
 
+  /** Deterministic synthetic PCM16 clip keyed by a GROUP id — the
+    * audio near-dup fixture (the [[keyedGradientRaster]] of the PCM
+    * side): sample i is ((a·(i+1) + b) mod 4096) − 2048 with
+    * a = (group·43 + 13) % 509 + 16 and b = (group·29 + 7) % 101 —
+    * a per-group pseudo-random waveform whose strided samples threshold
+    * to an essentially independent fingerprint per group, reproducible
+    * from (group, i) alone in any engine.
+    */
+  def keyedTonePcm(group: Long, nSamples: Int): Array[Byte] = {
+    val a = (group * 43 + 13) % 509 + 16
+    val b = (group * 29 + 7) % 101
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = (((a * (i + 1) + b) % 4096) - 2048).toShort
+      i += 1
+    }
+    encodePcm16(samples)
+  }
+
+  /** Copy of a PCM16 clip with sample `idx` shifted by `delta`
+    * (wrapping in the 16-bit ring) — the [[perturbPixel]] of the audio
+    * side: a fingerprint robust to small perturbations must not see a
+    * change at a position it never reads.
+    */
+  def perturbSample(pcm: Array[Byte], idx: Int, delta: Int): Array[Byte] = {
+    val samples = decodePcm16(pcm)
+    require(idx >= 0 && idx < samples.length,
+      s"sample $idx outside clip of ${samples.length}")
+    samples(idx) =
+      (java.lang.Math.floorMod(samples(idx).toLong + delta + 32768L, 65536L)
+        - 32768L).toShort
+    encodePcm16(samples)
+  }
+
+  /** `bits`-bit audio fingerprint: the [[aHash]] of the PCM side — the
+    * clip is sampled at `bits` STRIDED positions (sample ⌊f·n/bits⌋ for
+    * f < bits), and bit f is set when that sample exceeds the mean of
+    * the strided samples (v·bits > Σv — integer-exact, no division).
+    * Strided subsampling is the robustness contract: a small edit
+    * between stride points cannot touch the fingerprint at all (the
+    * same argument as [[aHash]]'s grid subsample), while re-encodes of
+    * lossless PCM are bit-identical by construction.
+    */
+  def audioFingerprint(samples: Array[Short], bits: Int = 48): Long = {
+    require(bits <= 60, s"fingerprint width $bits exceeds 60 bits")
+    require(samples.length >= bits,
+      s"clip of ${samples.length} samples shorter than $bits-bit fingerprint")
+    val n = samples.length
+    val v = new Array[Int](bits)
+    var sum = 0L
+    var f = 0
+    while (f < bits) {
+      v(f) = samples((f.toLong * n / bits).toInt).toInt
+      sum += v(f)
+      f += 1
+    }
+    var h = 0L
+    f = 0
+    while (f < bits) {
+      if (v(f).toLong * bits > sum) h |= 1L << f
+      f += 1
+    }
+    h
+  }
+
+  /** (media_id, afp): one fingerprint per clip, decoded and hashed in
+    * one `mapPartitions` pass — the audio analog of [[imageHashTable]],
+    * feeding the same [[graft.ops.Dedup.hammingNearDupFromSig]] banding.
+    */
+  def audioHashTable(media: DataFrame, bits: Int = 48): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false),
+    ))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0),
+          audioFingerprint(decodePcm16(r.getAs[Array[Byte]](1)), bits))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic synthetic PPM: pixel (x, y) of image `id` has
     * channels ((id + 3x + 5y) % 256, (id + salt + 7x + 11y) % 256,
     * (2·id + 13x + 17y) % 256) — a gradient, so channel means exercise

@@ -938,6 +938,35 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio-fingerprint dedup ([[graft.ops.Multimodal.audioFingerprint]]
+    * over really-decoded PCM16 + [[graft.ops.Dedup
+    * .hammingNearDupFromSig]]): q158's perceptual-hash dedup for the
+    * AUDIO modality — each document's clip is the group-keyed waveform
+    * with one sample perturbed at an id-dependent NON-strided position
+    * (the fingerprint reads strided samples only, so a hash robust to
+    * small edits must not see it — the odd-pixel argument of the image
+    * fixture), fingerprints pair by pigeonhole Hamming banding. The
+    * oracle replays the waveform arithmetic at the 48 strided
+    * positions, the integer threshold, and the `bit_count(xor)` pair
+    * filter — a broken PCM decode (sign extension, byte order) or a
+    * stride/threshold drift breaks the match.
+    */
+  private val q177: Q = (s, dir) => {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val clip = Multimodal.keyedTonePcm(id / 4, 480)
+        // stride is 480/48 = 10: positions 1..4 are never read
+        (id, Multimodal.perturbSample(clip, 1 + (id % 4).toInt, 997))
+      }
+      .toDF("media_id", "payload")
+    Dedup.hammingNearDupFromSig(
+        Multimodal.audioHashTable(media, bits = 48),
+        "media_id", "afp", bits = 48, bands = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Image dedup DECISIONS — q158's perceptual-hash pairs composed with
     * the judged graph/keeper machinery ([[Dedup.duplicateClusters]] +
     * [[Dedup.keepBest]]): connected components over the Hamming-banded
@@ -1335,6 +1364,7 @@ object ExtQueries {
     "q76_image_decode" -> q76,
     "q142_png_decode" -> q142,
     "q158_image_phash_dedup" -> q158,
+    "q177_audio_fp_dedup" -> q177,
     "q164_image_keep_best" -> q164,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
@@ -2006,6 +2036,28 @@ object ExtQueries {
         |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
         |                             ELSE 0 END) AS BIGINT) AS h
         |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the waveform arithmetic replayed at the 48 strided positions
+    // (stride 10 over the 480-sample clip — the id-dependent sample
+    // perturbations live at positions 1..4 and are invisible), then
+    // the integer threshold and the Hamming pair filter
+    "q177_audio_fp_dedup" ->
+      """WITH v AS (
+        |  SELECT d.doc_id, f.f AS f,
+        |         ((((d.doc_id // 4) * 43 + 13) % 509 + 16) * (10 * f.f + 1)
+        |            + ((d.doc_id // 4) * 29 + 7) % 101) % 4096 - 2048 AS v
+        |  FROM documents d, UNNEST(generate_series(0, 47)) AS f(f)),
+        |s1 AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY 1),
+        |sig AS (SELECT v.doc_id,
+        |               CAST(sum(CASE WHEN 48 * v.v > s1.sv
+        |                             THEN (1::BIGINT << v.f)
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM v JOIN s1 USING (doc_id) GROUP BY 1)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -362,6 +362,46 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == out(1L).getSeq[Float](out(1L).fieldIndex("feature")).toList)
   }
 
+  test("audio fingerprint: formula-exact samples, stride-blind to edits, per-group distinct") {
+    // keyedTonePcm: sample i = ((a(i+1) + b) mod 4096) - 2048
+    val g = 5L
+    val a = (g * 43 + 13) % 509 + 16
+    val b = (g * 29 + 7) % 101
+    val clip = Multimodal.keyedTonePcm(g, 480)
+    val s = Multimodal.decodePcm16(clip)
+    assert(s.length == 480)
+    assert(s(0) == ((a * 1 + b) % 4096 - 2048).toShort)
+    assert(s(479) == ((a * 480 + b) % 4096 - 2048).toShort)
+    val fp = Multimodal.audioFingerprint(s, 48)
+    // perturbation at a NON-strided position (stride = 10) is invisible
+    val p1 = Multimodal.decodePcm16(Multimodal.perturbSample(clip, 3, 997))
+    assert(Multimodal.audioFingerprint(p1, 48) == fp)
+    assert(p1(3) != s(3))
+    // ... at a STRIDED position with a sign-flipping delta it is not
+    val p2 = Multimodal.decodePcm16(Multimodal.perturbSample(clip, 10, 20000))
+    assert(Multimodal.audioFingerprint(p2, 48) != fp)
+    // different groups fingerprint apart (the q177 cross-group claim)
+    val other = Multimodal.audioFingerprint(
+      Multimodal.decodePcm16(Multimodal.keyedTonePcm(6L, 480)), 48)
+    assert(java.lang.Long.bitCount(fp ^ other) > 3)
+  }
+
+  test("audioHashTable + hamming banding: within-group pairs only, hamming 0") {
+    import spark.implicits._
+    val media = (0L until 8L).map { id =>
+      (id, Multimodal.perturbSample(
+        Multimodal.keyedTonePcm(id / 4, 480), 1 + (id % 4).toInt, 997))
+    }.toDF("media_id", "payload")
+    val pairs = Dedup.hammingNearDupFromSig(
+        Multimodal.audioHashTable(media, bits = 48),
+        "media_id", "afp", bits = 48, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      g <- 0L to 1L; i <- 0L until 4L; j <- i + 1 until 4L
+    } yield (g * 4 + i, g * 4 + j, 0L)).toSet
+    assert(pairs == expected)
+  }
+
   test("extractFrameStub: deterministic proportional slices; resize rejects non-PPM bytes") {
     val payload = (0 until 100).map(_.toByte).toArray
     val f0 = Multimodal.extractFrameStub(payload, 0L, 10000L)

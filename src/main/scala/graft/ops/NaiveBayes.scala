@@ -64,32 +64,57 @@ object NaiveBayes {
     */
   def trainModel(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): Model = {
-    val tok = docs
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+    val m = modelFromCounts(lab, tok)
+    Model(
+      CacheLifecycle.resolveAndRelease(m.priors),
+      CacheLifecycle.resolveAndRelease(m.lik, pin))
+  }
+
+  /** The sufficient statistics of the multinomial-NB model, as two
+    * count relations: `lab` = (label, n_y, n_tok) and `tok` =
+    * (label, tok, c). Counts are ADDITIVE — the property the at-rest
+    * [[writeCountBatch]] ingest path is built on.
+    */
+  private def countRelations(docs: DataFrame, textCol: String,
+      labelCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val tokOcc = docs
       .select(col(labelCol).as("label"), explode(words(textCol)).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nl = tok.groupBy(col("label")).agg(count(lit(1)).as("n_tok"))
-    val v = tok.agg(countDistinct(col("tok")).as("v"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val priors = docs.groupBy(col(labelCol).as("label"))
+    val tok = tokOcc.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val lab = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_y"))
+      .join(tokOcc.groupBy(col("label")).agg(count(lit(1)).as("n_tok")),
+        Seq("label"))
+    (lab, tok, tokOcc)
+  }
+
+  /** The shared model tail: smoothed log-quantities from summed counts.
+    * Identical arithmetic whether the counts came from one in-session
+    * pass ([[trainModel]]) or from summed at-rest delta partitions
+    * ([[readCountModel]]) — where the counts live cannot change a
+    * posterior.
+    */
+  private def modelFromCounts(lab: DataFrame, tok: DataFrame): Model = {
+    val v = tok.filter(col("c") >= 1)
+      .agg(countDistinct(col("tok")).as("v"))
+    val nDocs = lab.agg(sum(col("n_y")).as("n_docs"))
+    val priors = lab
       .crossJoin(broadcast(nDocs))
-      .join(nl, Seq("label"))
       .crossJoin(broadcast(v))
       .select(col("label"),
         round(log(col("n_y").cast("double") / col("n_docs").cast("double")),
           9).as("lp"),
         round(log(lit(1.0) / (col("n_tok") + col("v")).cast("double")),
           9).as("fl"))
-    val lik = tok.groupBy(col("label"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .join(nl, Seq("label"))
+    val lik = tok
+      .join(lab.select(col("label"), col("n_tok")), Seq("label"))
       .crossJoin(broadcast(v))
       .select(col("label"), col("tok"),
         round(log((col("c") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double")), 9).as("ll"))
-    Model(
-      CacheLifecycle.resolveAndRelease(priors),
-      CacheLifecycle.resolveAndRelease(lik, tok))
+    Model(priors, lik)
   }
 
   /** Score `docs` against a (frozen or fresh) model: (id, pred_label,
@@ -136,4 +161,106 @@ object NaiveBayes {
   def readModel(spark: SparkSession, path: String): Model =
     Model(spark.read.parquet(s"$path/priors"),
       spark.read.parquet(s"$path/lik"))
+
+  // ------------------------------------------------- counts at rest (LSM)
+
+  /** The INCREMENTAL at-rest form: because NB's sufficient statistics
+    * are additive counts, the stored model can be an LSM of per-batch
+    * COUNT DELTAS — `lab_counts/bid=<batch>/` (label, n_y, n_tok) and
+    * `tok_counts/bid=<batch>/` (label, tok, c) — summed at read and
+    * smoothed by the same [[trainModel]] tail. That is what [[Model]]'s
+    * frozen `lik` table cannot give you: folding a new labeled batch
+    * into a log-likelihood is not additive (every ll(y,t) moves when
+    * n_tok(y) or V moves), folding it into counts is.
+    *
+    * Crash safety (the [[graft.ops.Retrieval.appendToBm25Index]] write-
+    * order discipline): token deltas land FIRST, label deltas LAST —
+    * [[readCountModel]] admits only batches whose `lab_counts`
+    * partition exists, so a torn write is invisible until its retry,
+    * and the retry is IDEMPOTENT because each batch overwrites only its
+    * own `bid=` partitions. Batch size never matters to correctness;
+    * serve-time read cost grows with batch count until
+    * [[compactCountModel]] folds the deltas ("OPTIMIZE").
+    */
+  def writeCountBatch(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, path: String, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be a plain partition token")
+    val root = healedRoot(docs.sparkSession, path)
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+    try {
+      val mode = org.apache.spark.sql.SaveMode.Overwrite
+      tok.write.mode(mode).parquet(s"$root/tok/bid=$batchId")
+      lab.coalesce(1).write.mode(mode).parquet(s"$root/lab/bid=$batchId")
+    } finally { pin.unpersist(blocking = false); () }
+  }
+
+  /** Sum the committed delta partitions and smooth — the identical
+    * [[trainModel]] arithmetic, so a model assembled from any batch
+    * decomposition equals the one-shot model exactly. Only batches
+    * whose `lab` partition landed are admitted (the commit marker —
+    * see [[writeCountBatch]]).
+    */
+  def readCountModel(spark: SparkSession, path: String): Model = {
+    val root = healedRoot(spark, path)
+    val lab0 = spark.read.parquet(s"$root/lab")
+    val committed = lab0.select(col("bid")).distinct()
+    val tok = spark.read.parquet(s"$root/tok")
+      .join(broadcast(committed), Seq("bid"), "left_semi")
+      .groupBy(col("label"), col("tok")).agg(sum(col("c")).as("c"))
+    val lab = lab0.groupBy(col("label"))
+      .agg(sum(col("n_y")).as("n_y"), sum(col("n_tok")).as("n_tok"))
+    modelFromCounts(lab, tok)
+  }
+
+  /** Fold every committed delta partition into one `bid=__compacted`
+    * partition — the count store's OPTIMIZE: serve-time reads stop
+    * growing with ingest cadence, and the summed counts are the same
+    * numbers the pre-compaction read produced. Both relations live
+    * under ONE `counts/` root, so the swap is a single rename pair
+    * (live→old, tmp→live) and the one crash window between them is
+    * healed by [[healedRoot]] on the next access.
+    */
+  def compactCountModel(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = healedRoot(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lab0 = spark.read.parquet(s"$root/lab")
+    val committed = lab0.select(col("bid")).distinct()
+    val tok = spark.read.parquet(s"$root/tok")
+      .join(broadcast(committed), Seq("bid"), "left_semi")
+      .groupBy(col("label"), col("tok")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    val lab = lab0.groupBy(col("label"))
+      .agg(sum(col("n_y")).as("n_y"), sum(col("n_tok")).as("n_tok"))
+      .localCheckpoint()
+    val live = new Path(root)
+    val tmp = new Path(s"$path/.counts_compact_tmp")
+    val old = new Path(s"$path/.counts_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    tok.write.parquet(s"$tmp/tok/bid=__compacted")
+    lab.coalesce(1).write.parquet(s"$tmp/lab/bid=__compacted")
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactCountModel: cannot move $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live)
+      throw new java.io.IOException(s"compactCountModel: cannot swap $tmp")
+    }
+    fs.delete(old, true); ()
+  }
+
+  /** The count store's `counts/` root, healing the one compaction
+    * crash window: if `counts/` is missing but the renamed-aside
+    * `.counts_old` survives (a crash between compaction's two
+    * renames), restore it — no committed batch is ever lost.
+    */
+  private def healedRoot(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/counts")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$path/.counts_old")
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    live.toString
+  }
 }

@@ -192,6 +192,43 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL Naive Bayes — the classifier's count store as an LSM
+    * ([[graft.ops.NaiveBayes.writeCountBatch]] /
+    * [[graft.ops.NaiveBayes.readCountModel]] /
+    * [[graft.ops.NaiveBayes.compactCountModel]]): because NB's
+    * sufficient statistics are ADDITIVE counts, new labeled batches
+    * fold into the at-rest model as per-batch delta partitions (what
+    * q174's frozen likelihood table cannot do — every ll(y,t) moves
+    * when n_tok(y) or V moves, counts just add). The training slice
+    * arrives as three batches with a mid-loop OPTIMIZE and a retried
+    * (idempotent — partition overwrite) append; the held-out quarter
+    * is classified from the summed store. Judged against q173's
+    * oracle VERBATIM: the batch decomposition, the compaction, and the
+    * retry cannot change a posterior.
+    */
+  private val nbCountModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(nbCountModels)
+  private val q178: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = nbCountModels.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      def batch(k: Int): org.apache.spark.sql.DataFrame =
+        docs.filter(col("doc_id") % 4 === k)
+      NaiveBayes.writeCountBatch(batch(0), "doc_id", "text", "lang", p, "b0")
+      NaiveBayes.writeCountBatch(batch(1), "doc_id", "text", "lang", p, "b1")
+      NaiveBayes.compactCountModel(s, p)
+      NaiveBayes.writeCountBatch(batch(2), "doc_id", "text", "lang", p, "b2")
+      // a crash-retry re-ships the same batch: same bid partition, no-op
+      NaiveBayes.writeCountBatch(batch(2), "doc_id", "text", "lang", p, "b2")
+      p
+    })
+    NaiveBayes.classify(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", NaiveBayes.readCountModel(s, path))
+      .orderBy("doc_id")
+  }
+
   /** BPE subword training ([[graft.ops.Bpe]]) — the canonical LLM-data
     * tokenizer op: 10 merges trained on the corpus's WORD-FREQUENCY
     * table (the standard trainer trick — one corpus scan aggregates
@@ -948,6 +985,7 @@ object CorpusQueries {
     "q135_bigram_score_heldout" -> q135,
     "q173_nb_classify" -> q173,
     "q174_nb_stored" -> q174,
+    "q178_nb_incremental" -> q178,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1232,6 +1270,9 @@ object CorpusQueries {
     "q173_nb_classify" -> nbClassifySql,
     // the at-rest model MUST reproduce the in-session posterior exactly
     "q174_nb_stored" -> nbClassifySql,
+    // ... and so must the batch-decomposed count store (LSM deltas,
+    // mid-loop compaction, idempotent retry)
+    "q178_nb_incremental" -> nbClassifySql,
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
     // literal TRUE per method

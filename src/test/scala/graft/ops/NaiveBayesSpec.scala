@@ -76,4 +76,71 @@ class NaiveBayesSpec extends SparkSpec {
       assert(fresh == stored)
     } finally rm(new java.io.File(dir))
   }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  test("count store: batch decomposition + compaction + retry == one-shot model") {
+    val held = Seq((10L, "a b z"), (11L, "c c"), (12L, "z")).toDF("doc_id", "text")
+    val oneShot = NaiveBayes.classify(held, "doc_id", "text",
+        NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang"))
+      .orderBy("doc_id").collect().toSeq
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_spec"
+    rmTree(new java.io.File(dir))
+    try {
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" <= 2),
+        "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.compactCountModel(spark, dir)
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" > 2),
+        "doc_id", "text", "lang", dir, "b1")
+      // idempotent retry: same bid, partition overwritten not doubled
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" > 2),
+        "doc_id", "text", "lang", dir, "b1")
+      val incremental = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq
+      assert(incremental == oneShot)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("count store: a torn batch (tok landed, lab did not) is invisible until retried") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_torn"
+    rmTree(new java.io.File(dir))
+    try {
+      NaiveBayes.writeCountBatch(trainDocs, "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.writeCountBatch(
+        Seq((99L, "q q q", "x")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", dir, "torn")
+      // simulate the crash window: lab/ partition (the commit marker,
+      // written LAST) vanishes, tok/ deltas survive
+      rmTree(new java.io.File(s"$dir/counts/lab/bid=torn"))
+      val m = NaiveBayes.readCountModel(spark, dir)
+      assert(m.lik.filter($"tok" === "q").count() == 0)
+      // retry commits it
+      NaiveBayes.writeCountBatch(
+        Seq((99L, "q q q", "x")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", dir, "torn")
+      assert(NaiveBayes.readCountModel(spark, dir)
+        .lik.filter($"tok" === "q").count() == 1)
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  test("count store: the compaction crash window heals (counts restored from .counts_old)") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_heal"
+    rmTree(new java.io.File(dir))
+    try {
+      NaiveBayes.writeCountBatch(trainDocs, "doc_id", "text", "lang", dir, "b0")
+      val before = NaiveBayes.readCountModel(spark, dir)
+        .priors.orderBy("label").collect().toSeq
+      // simulate a crash between compaction's two renames
+      assert(new java.io.File(s"$dir/counts")
+        .renameTo(new java.io.File(s"$dir/.counts_old")))
+      val after = NaiveBayes.readCountModel(spark, dir)
+        .priors.orderBy("label").collect().toSeq
+      assert(after == before)
+      assert(new java.io.File(s"$dir/counts").isDirectory)
+    } finally rmTree(new java.io.File(dir))
+  }
 }

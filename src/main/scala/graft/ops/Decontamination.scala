@@ -64,4 +64,56 @@ object Decontamination {
       .agg(max(struct(col("n_overlap"), col("bench_id"))).as("worst"))
       .select(col("corpus_id"), col("worst.bench_id").as("bench_id"),
         col("worst.n_overlap").as("n_overlap"))
+
+  // -------------------------------------------------- benchmark at rest
+
+  /** Persist the benchmark's shingle relation — the production shape:
+    * the eval set is FROZEN the day it ships (that is what makes it an
+    * eval), so its shingles are computed ONCE — stop-shingle cap
+    * included, it is a property of the frozen benchmark — and every
+    * incoming training batch probes the stored relation without the
+    * eval text ever being re-read (or even being co-located with the
+    * training pipeline: shipping eval TEXT to the training cluster is
+    * itself a leak vector; shingles are one-way enough for the overlap
+    * check). `_layout` records (k, max_bench_shingle_df) so probes
+    * replay the build contract exactly.
+    */
+  def writeBenchIndex(benchmark: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 5, maxBenchShingleDf: Int = 0): Unit = {
+    import benchmark.sparkSession.implicits._
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val benchShRaw = Dedup.shingleTable(benchmark, idCol, textCol, k)
+      .toDF("bench_id", "sh")
+    val benchSh =
+      if (maxBenchShingleDf <= 0) benchShRaw
+      else {
+        val hot = benchShRaw.groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxBenchShingleDf)
+          .select("sh")
+        benchShRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    benchSh.write.mode(mode).parquet(s"$path/bench_sh")
+    Seq((k, maxBenchShingleDf)).toDF("k", "max_bench_shingle_df")
+      .coalesce(1).write.mode(mode).parquet(s"$path/_layout")
+  }
+
+  /** [[overlapReport]] against the STORED benchmark: the batch is
+    * shingled with the index's frozen k and joined against `bench_sh/`
+    * — broadcast by construction (evals are thousands of docs; the
+    * 100 TB side is the batch, scanned in place and never shuffled).
+    * Where the benchmark shingles live cannot change an overlap count.
+    */
+  def overlapFromIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, minOverlap: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val k = spark.read.parquet(s"$path/_layout").head().getInt(0)
+    val corpusSh = Dedup.shingleTable(corpus, idCol, textCol, k)
+      .toDF("corpus_id", "sh")
+    corpusSh
+      .join(broadcast(spark.read.parquet(s"$path/bench_sh")), "sh")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

@@ -1174,6 +1174,36 @@ object ExtQueries {
       .orderBy("corpus_id", "bench_id")
   }
 
+  /** Decontamination against the benchmark AT REST
+    * ([[Decontamination.writeBenchIndex]] / [[Decontamination
+    * .overlapFromIndex]]) — the production shape of q78: the eval set
+    * is FROZEN the day it ships, so its shingle relation is computed
+    * once and persisted (`bench_sh/` + the (k, df-cap) `_layout`), and
+    * every incoming training batch probes the store — the eval TEXT
+    * never travels to (or is re-read by) the training pipeline, only
+    * its shingles do. Probes are stateless, so per-batch results union
+    * to the full-corpus answer trivially; judged against q78's oracle
+    * VERBATIM (where the benchmark shingles live cannot change an
+    * overlap count).
+    */
+  private val benchIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(benchIndexes)
+  private val q179: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = benchIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bench_ix_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Decontamination.writeBenchIndex(
+        docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", p, k = 5)
+      p
+    })
+    Decontamination.overlapFromIndex(
+        docs.filter(col("doc_id") % 20 =!= 7), "doc_id", "text",
+        path, minOverlap = 3)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Gopher-style repetition quality signals
     * ([[TextAnalysis.repetitionSignals]]): duplicate-token fraction,
     * duplicate-bigram fraction, top-bigram fraction per document —
@@ -1369,6 +1399,7 @@ object ExtQueries {
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
     "q78_decontamination" -> q78,
+    "q179_decontam_stored" -> q179,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
     "q82_kmeans" -> q82,
@@ -1432,6 +1463,24 @@ object ExtQueries {
 
   private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
+
+  /** q78's overlap-report SQL, shared verbatim by q179 (benchmark
+    * shingles at rest): the eval split, 5-gram shingling, and the
+    * ≥ 3-distinct-shingle contamination threshold.
+    */
+  private[queries] val decontaminationSql =
+    s"""WITH $tokensCte,
+       |sh AS (SELECT DISTINCT doc_id,
+       |              w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
+       |       FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
+       |       WHERE len(w) >= 5),
+       |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
+       |corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
+       |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_overlap
+       |FROM corp c JOIN bench b ON c.sh = b.sh
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY corpus_id, bench_id""".stripMargin
+
 
   private[queries] val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -2292,18 +2341,11 @@ object ExtQueries {
          |WHERE list_dot_product(e.v, e.v) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q78_decontamination" ->
-      s"""WITH $tokensCte,
-         |sh AS (SELECT DISTINCT doc_id,
-         |              w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS sh
-         |       FROM w, UNNEST(generate_series(1, greatest(len(w)-4, 0))) AS g(i)
-         |       WHERE len(w) >= 5),
-         |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 7),
-         |corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
-         |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_overlap
-         |FROM corp c JOIN bench b ON c.sh = b.sh
-         |GROUP BY 1, 2 HAVING count(*) >= 3
-         |ORDER BY corpus_id, bench_id""".stripMargin,
+    "q78_decontamination" -> decontaminationSql,
+
+    // the stored benchmark index MUST reproduce the from-text overlap
+    // report exactly — where the eval shingles live cannot change it
+    "q179_decontam_stored" -> decontaminationSql,
 
     "q79_repetition" ->
       s"""WITH $tokensCte,

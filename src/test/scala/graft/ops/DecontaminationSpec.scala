@@ -87,4 +87,39 @@ class DecontaminationSpec extends SparkSpec {
     // doc 2: all distinct -> 0; bigrams all distinct -> 0; top 1/5
     assert(got(2L) == ((0.0, 0.0, 1.0 / 5.0)))
   }
+
+  test("stored benchmark index: probe == from-text report; frozen k and df-cap replayed") {
+    val bench2 = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "common header words here now alpha"),
+      (102L, "common header words here now beta"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "common header words here now gamma"),
+      (3L, "red green blue cyan magenta yellow black"),
+    ).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_ix_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    try {
+      Decontamination.writeBenchIndex(bench2, "doc_id", "text", dir,
+        k = 5, maxBenchShingleDf = 1)
+      val fromIndex = Decontamination
+        .overlapFromIndex(corpus, "doc_id", "text", dir, minOverlap = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fromText = Decontamination
+        .overlapReport(corpus, bench2, "doc_id", "text", k = 5,
+          minOverlap = 1, maxBenchShingleDf = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fromIndex == fromText)
+      // the df-capped boilerplate shingle (df=2 across bench 101/102)
+      // must be gone from the STORE itself, not re-filtered at probe
+      assert(!fromIndex.exists(_._1 == 2L))
+      assert(fromIndex.exists(_._1 == 1L))
+    } finally rm(new java.io.File(dir))
+  }
 }

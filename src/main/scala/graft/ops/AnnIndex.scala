@@ -257,6 +257,54 @@ object AnnIndex {
     tombstonesOf(spark, path, idCol).foldLeft(base)(
       (df, ts) => df.join(ts, Seq(idCol), "left_anti"))
 
+  /** Cross-batch EMBEDDING dedup against the at-rest index — the
+    * [[graft.ops.Dedup.dedupAgainstSignatureStore]] question asked of
+    * the vector store (text has the q109/q140 loop, images q170; this
+    * closes the modality triangle): pair every batch vector with every
+    * STORED vector in its LSH bucket at exact cosine ≥ `threshold`.
+    * The batch is bucketed with the index's frozen md5 planes, its
+    * distinct bucket values become a PARTITION IN-list (driver
+    * exchange bounded by 2^numPlanes — layout-bounded, never
+    * batch-bounded), the store scan prunes to those directories under
+    * the tombstone mask, and the equi-join + exact-cosine filter run
+    * on the pruned slice: pair space ∝ batch bucket collisions, never
+    * |batch|×|store|. Arithmetic mirrors [[graft.ops.Similarity
+    * .nearDupPairs]] exactly (same planes family, round-6 cosine), so
+    * the cross relation is that detector's odd×even restriction.
+    * Returns (new_id, corpus_id, sim).
+    */
+  def crossDedupAgainstIndex(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, threshold: Double,
+      numPlanes: Int = 8, dim: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val d =
+      if (dim > 0) dim
+      else batch.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.lshPlanes(numPlanes, d)
+    val v = Similarity.toDoubleVec(col(vecCol))
+    val a = batch
+      .select(col(idCol).as("new_id"), v.as("v_a"),
+        concat(lit("b"), Similarity.lshBucket(v, planes)).as("bucket"))
+      .withColumn("nrm_a",
+        sqrt(GraftFunctions.dotNative(col("v_a"), col("v_a"))))
+      // probed twice: the bucket collect and the join
+      .localCheckpoint()
+    val buckets = a.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val store = tombstoneMask(spark, path, idCol,
+        spark.read.parquet(path)
+          .filter(col("bucket").isin(buckets.map(x => x: Any): _*)))
+      .select(col(idCol).as("corpus_id"), col("v").as("v_b"),
+        col("nrm").as("nrm_b"), col("bucket"))
+    a.join(store, Seq("bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(GraftFunctions.dotNative(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** DELETE vectors from a bucket/cell-partitioned at-rest index — the
     * eviction the ANN family needs once a dedup loop starts dropping
     * keep-best losers (the [[graft.ops.Retrieval.deleteFromBm25Index]]

@@ -247,6 +247,39 @@ object ExtQueries {
     graft.ops.AnnIndex.probe(s, annIndexPath(s, dir), "vec_id",
       queryVec0(s, dir), k = 5, numPlanes = 8, excludeId = Some(0L))
 
+  /** Cross-batch EMBEDDING dedup against the at-rest vector index
+    * ([[graft.ops.AnnIndex.crossDedupAgainstIndex]]) — the modality
+    * triangle closed: text dedups batch-vs-store via the shingle index
+    * (q109/q140), images via the signature store (q170), and this is
+    * the vector side — the even embeddings live in the bucket-
+    * partitioned index (half written, half APPENDED — the ingest
+    * replay), the odd embeddings arrive as a batch whose distinct
+    * bucket values prune the store scan to its partitions, and pairs
+    * are exact round-6 cosine ≥ 0.35 within shared buckets (q28's
+    * arithmetic, sides split). Oracle = q28's bucket-pair SQL with the
+    * odd×even restriction: where the corpus vectors live, and whether
+    * they were written or appended, cannot change a pair.
+    */
+  private val crossAnnIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(crossAnnIndexes)
+  private val q180: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = crossAnnIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ann_cross_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.write(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      graft.ops.AnnIndex.append(emb.filter(col("vec_id") % 4 === 2),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      p
+    })
+    graft.ops.AnnIndex.crossDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        path, threshold = 0.35, numPlanes = 8, dim = embDim)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Multi-probe of the at-rest index ([[graft.ops.AnnIndex.probeMulti]]):
     * q116's layout probed over the query's bucket PLUS its 8 Hamming-1
     * neighbors — the served counterpart of q112's judged multiprobe
@@ -1359,6 +1392,7 @@ object ExtQueries {
     "q26_knn_brute" -> q26,
     "q27_ann_lsh" -> q27,
     "q28_embedding_neardup" -> q28,
+    "q180_embed_cross_dedup" -> q180,
     "q29_multimodal_meta" -> q29,
     "q37_ivf_ann" -> q37,
     "q44_semantic_dedup" -> q44,
@@ -1998,6 +2032,18 @@ object ExtQueries {
          |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
          |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q28's bucket-pair SQL, sides split odd (batch) x even (store):
+    // the at-rest layout and the write/append decomposition cannot
+    // change a pair
+    "q180_embed_cross_dedup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e)
+         |SELECT a.vec_id AS new_id, bb.vec_id AS corpus_id, ${cosSql("a.v", "bb.v")} AS sim
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket
+         |  AND a.vec_id % 2 = 1 AND bb.vec_id % 2 = 0
+         |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,

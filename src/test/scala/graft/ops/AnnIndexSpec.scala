@@ -36,6 +36,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("crossDedupAgainstIndex == nearDupPairs' odd-vs-even restriction; tombstones mask") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ann_spec_cross"
+    rm(new java.io.File(p))
+    // write/append decomposition: the ingest replay must be invisible
+    AnnIndex.write(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", p, numPlanes = 8, dim = 64)
+    AnnIndex.append(emb.filter(col("vec_id") % 4 === 2), "vec_id",
+      "embedding", p, numPlanes = 8, dim = 64)
+    val cross = AnnIndex.crossDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p,
+        threshold = 0.2, numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 8, dim = 64)
+      .collect()
+      .flatMap { r =>
+        val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        // orient each unordered pair as (odd, even); drop same-parity
+        if (x % 2 == 1 && y % 2 == 0) Some((x, y, s))
+        else if (y % 2 == 1 && x % 2 == 0) Some((y, x, s))
+        else None
+      }.toSet
+    assert(cross == whole)
+    assert(cross.nonEmpty)
+    // evict one stored id: its pairs vanish without a rewrite
+    import spark.implicits._
+    val victim = cross.head._2
+    AnnIndex.deleteFromIndex(Seq(victim).toDF("vec_id"), "vec_id", p)
+    val masked = AnnIndex.crossDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p,
+        threshold = 0.2, numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(masked == cross.filterNot(_._2 == victim))
+    rm(new java.io.File(p))
+  }
+
   test("delete: mask hides rows from every probe; purge rewrites only affected buckets") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {

@@ -340,6 +340,19 @@ object TextAnalysis {
     */
   def exciseDupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val (result, base, grams) = exciseDupSpansPlan(df, idCol, textCol, k)
+    CacheLifecycle.resolveAndRelease(result, base, grams)
+  }
+
+  /** The lazy plan behind [[exciseDupSpans]] (result, pinned base,
+    * pinned grams) — exposed so the plan-guard spec can pin that the
+    * keeper is a grouped aggregate, never a per-gram window (the
+    * public method materializes through a checkpoint, which erases
+    * the plan).
+    */
+  private[graft] def exciseDupSpansPlan(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = df
       .select(col(idCol), tokens(col(textCol)).as("w"))
@@ -391,6 +404,6 @@ object TextAnalysis {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-    CacheLifecycle.resolveAndRelease(result, base, grams)
+    (result, base, grams)
   }
 }

@@ -638,6 +638,72 @@ class PlanGuardSpec extends SparkSpec {
       scan.get.contains("In(sb"), s"sb must be filtered as a partition:\n${scan.get}")
   }
 
+  test("q180 cross embedding dedup: the batch's buckets are a PARTITION filter on the index scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_cross_guard"
+    graft.ops.AnnIndex.write(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, numPlanes = 8, dim = 64)
+    val p = graft.ops.AnnIndex.crossDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1).limit(5), "vec_id",
+        "embedding", path, threshold = 0.2, numPlanes = 8, dim = 64)
+      .queryExecution.executedPlan.toString
+    // the batch's distinct bucket values must land in PartitionFilters:
+    // the store scan reads only the batch's bucket directories' files
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scan.isDefined, s"no bucket PartitionFilters entry in the index scan:\n$p")
+    assert(scan.get.contains("bucket#") || scan.get.contains("In(bucket"),
+      s"bucket must be filtered as a partition:\n${scan.get}")
+  }
+
+  test("q179 stored decontamination: the bench shingles broadcast; the corpus never shuffles for them") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bench_ix_guard"
+    graft.ops.Decontamination.writeBenchIndex(
+      docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", path, k = 5)
+    val p = graft.ops.Decontamination.overlapFromIndex(
+        docs.filter(col("doc_id") % 20 =!= 7), "doc_id", "text", path,
+        minOverlap = 3)
+      .queryExecution.executedPlan.toString
+    // the eval side is the small one by construction: its stored
+    // shingles ride a broadcast hash join onto the corpus shingle
+    // stream — at 100 TB the corpus side is scanned in place
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stored bench shingles must broadcast:\n$p")
+  }
+
+  test("q172 span excision: no window is ever partitioned by gram (keeper is an aggregate)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (lazyResult, base, grams) =
+      graft.ops.TextAnalysis.exciseDupSpansPlan(docs, "doc_id", "text", 5)
+    val p = lazyResult.queryExecution.analyzed.toString
+    base.unpersist(); grams.unpersist()
+    // the keeper per duplicated gram is a grouped struct-min — a
+    // boilerplate gram shared by millions of docs must be one combiner
+    // cell, never a million-row sorted window partition
+    assert(!p.contains("windowspecdefinition(gram"),
+      s"no window may partition by gram:\n$p")
+    assert(p.contains("min(struct(") || p.contains("min(named_struct"),
+      s"the keeper must be a grouped struct-min aggregate:\n$p")
+  }
+
+  test("q173 nb classify: the per-label scalars broadcast onto the token stream") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.ops.NaiveBayes.trainModel(
+      docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", "lang")
+    val p = graft.ops.NaiveBayes.classify(
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    // the |labels|-row priors/floors relation fans the batch tokens out
+    // via a broadcast nested-loop cross — the batch side never shuffles
+    // for it
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the priors cross join must broadcast:\n$p")
+  }
+
   test("q121 two-tier: candidate set broadcast into a semi join, zero corpus shuffle") {
     val p = planOf("q121_two_tier_rerank")
     // tier 2 fetches candidates via a broadcast LEFT SEMI lookup — the

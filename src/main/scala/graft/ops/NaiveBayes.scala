@@ -96,9 +96,15 @@ object NaiveBayes {
     * ([[readCountModel]]) — where the counts live cannot change a
     * posterior.
     */
-  private def modelFromCounts(lab: DataFrame, tok: DataFrame): Model = {
-    val v = tok.filter(col("c") >= 1)
-      .agg(countDistinct(col("tok")).as("v"))
+  private def modelFromCounts(lab0: DataFrame, tok0: DataFrame): Model = {
+    // summed counts can reach zero under [[deleteCountBatch]]'s
+    // negative deltas: a zeroed token exits the vocabulary (it would
+    // score at the floor either way — ln((0+1)/(n+V)) IS fl — but V
+    // must shrink exactly as a retrain's would), a zeroed label exits
+    // the model entirely (its prior is ln 0)
+    val tok = tok0.filter(col("c") >= 1)
+    val lab = lab0.filter(col("n_y") >= 1)
+    val v = tok.agg(countDistinct(col("tok")).as("v"))
     val nDocs = lab.agg(sum(col("n_y")).as("n_docs"))
     val priors = lab
       .crossJoin(broadcast(nDocs))
@@ -192,6 +198,34 @@ object NaiveBayes {
       val mode = org.apache.spark.sql.SaveMode.Overwrite
       tok.write.mode(mode).parquet(s"$root/tok/bid=$batchId")
       lab.coalesce(1).write.mode(mode).parquet(s"$root/lab/bid=$batchId")
+    } finally { pin.unpersist(blocking = false); () }
+  }
+
+  /** UNLEARN a labeled batch — deletion for the classifier, free by
+    * construction in the count-delta LSM: the batch's counts are
+    * re-derived from the SAME docs and appended NEGATED (c → −c,
+    * n_y → −n_y, n_tok → −n_tok) under their own `bid=` partitions, so
+    * the summed model equals one trained without the batch EXACTLY —
+    * vocabulary shrinkage included ([[modelFromCounts]] drops zeroed
+    * tokens from V and zeroed labels from the model, precisely what a
+    * retrain would do). The eviction story every other index family
+    * already has (q166–q171), for the model: a take-down or opt-out of
+    * labeled training data must leave the posterior as if the data had
+    * never arrived. Same commit marker, same idempotent retry.
+    */
+  def deleteCountBatch(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, path: String, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be a plain partition token")
+    val root = healedRoot(docs.sparkSession, path)
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+    try {
+      val mode = org.apache.spark.sql.SaveMode.Overwrite
+      tok.select(col("label"), col("tok"), (-col("c")).as("c"))
+        .write.mode(mode).parquet(s"$root/tok/bid=$batchId")
+      lab.select(col("label"), (-col("n_y")).as("n_y"),
+          (-col("n_tok")).as("n_tok"))
+        .coalesce(1).write.mode(mode).parquet(s"$root/lab/bid=$batchId")
     } finally { pin.unpersist(blocking = false); () }
   }
 

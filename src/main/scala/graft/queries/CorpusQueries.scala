@@ -229,6 +229,38 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** UNLEARNING for the classifier ([[graft.ops.NaiveBayes
+    * .deleteCountBatch]]) — the take-down/opt-out eviction every other
+    * index family already judges (q166–q171), asked of the MODEL: the
+    * full training slice is ingested, then the doc_id % 4 = 2 batch is
+    * unlearned by appending its NEGATED counts — and the posterior
+    * must equal a model that never saw that batch, vocabulary
+    * shrinkage included. The oracle trains on doc_id % 4 IN (0, 1)
+    * from scratch: deleted labeled data must be indistinguishable from
+    * data never ingested.
+    */
+  private val nbUnlearnModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(nbUnlearnModels)
+  private val q181: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = nbUnlearnModels.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_nb_unlearn_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      def batch(k: Int): org.apache.spark.sql.DataFrame =
+        docs.filter(col("doc_id") % 4 === k)
+      NaiveBayes.writeCountBatch(batch(0), "doc_id", "text", "lang", p, "b0")
+      NaiveBayes.writeCountBatch(batch(1), "doc_id", "text", "lang", p, "b1")
+      NaiveBayes.writeCountBatch(batch(2), "doc_id", "text", "lang", p, "b2")
+      NaiveBayes.deleteCountBatch(batch(2), "doc_id", "text", "lang", p,
+        "del-b2")
+      p
+    })
+    NaiveBayes.classify(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", NaiveBayes.readCountModel(s, path))
+      .orderBy("doc_id")
+  }
+
   /** BPE subword training ([[graft.ops.Bpe]]) — the canonical LLM-data
     * tokenizer op: 10 merges trained on the corpus's WORD-FREQUENCY
     * table (the standard trainer trick — one corpus scan aggregates
@@ -986,6 +1018,7 @@ object CorpusQueries {
     "q173_nb_classify" -> q173,
     "q174_nb_stored" -> q174,
     "q178_nb_incremental" -> q178,
+    "q181_nb_unlearn" -> q181,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1230,11 +1263,11 @@ object CorpusQueries {
     * ONE string for q173 (in-session) and q174 (model at rest): where
     * the counts live cannot change a posterior.
     */
-  private val nbClassifySql =
+  private def nbClassifySqlFor(trainPred: String): String =
     s"""WITH ${ExtQueries.tokensCte},
        |tr AS (SELECT w.doc_id, d.lang, w.w FROM w
        |       JOIN documents d ON d.doc_id = w.doc_id
-       |       WHERE w.doc_id % 4 <> 3),
+       |       WHERE $trainPred),
        |he AS (SELECT doc_id, w FROM w WHERE doc_id % 4 = 3),
        |ttok AS (SELECT lang, u.t AS tok FROM tr, UNNEST(tr.w) AS u(t)),
        |nl AS (SELECT lang, count(*) AS n FROM ttok GROUP BY 1),
@@ -1266,6 +1299,8 @@ object CorpusQueries {
        |SELECT doc_id, lang AS pred_label, score
        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  private val nbClassifySql = nbClassifySqlFor("w.doc_id % 4 <> 3")
+
   val oracle: Map[String, String] = Map(
     "q173_nb_classify" -> nbClassifySql,
     // the at-rest model MUST reproduce the in-session posterior exactly
@@ -1273,6 +1308,9 @@ object CorpusQueries {
     // ... and so must the batch-decomposed count store (LSM deltas,
     // mid-loop compaction, idempotent retry)
     "q178_nb_incremental" -> nbClassifySql,
+    // deleted labeled data == data never ingested: the oracle retrains
+    // from scratch on the surviving batches
+    "q181_nb_unlearn" -> nbClassifySqlFor("w.doc_id % 4 IN (0, 1)"),
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
     // literal TRUE per method

@@ -985,19 +985,42 @@ object ExtQueries {
     * stride/threshold drift breaks the match.
     */
   private val q177: Q = (s, dir) => {
-    import s.implicits._
-    val media = t(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .map { id =>
-        val clip = Multimodal.keyedTonePcm(id / 4, 480)
-        // stride is 480/48 = 10: positions 1..4 are never read
-        (id, Multimodal.perturbSample(clip, 1 + (id % 4).toInt, 997))
-      }
-      .toDF("media_id", "payload")
+    // stride is 480/48 = 10: the perturbed positions 1..4 are never read
     Dedup.hammingNearDupFromSig(
-        Multimodal.audioHashTable(media, bits = 48),
+        audioFixtureSigs(t(s, dir, "documents")),
         "media_id", "afp", bits = 48, bands = 4, maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The audio crawl loop AT REST — the [[graft.ops.Dedup
+    * .writeSignatureStore]] machinery is signature-agnostic (a banded
+    * 48-bit long is a banded 48-bit long), so the audio fingerprints
+    * get the same store the image hashes got in q170: even docs' clips
+    * fingerprinted and stored (half written, half APPENDED), odd docs
+    * probe as a batch with the store scan pruned to their band-bucket
+    * partitions. Oracle = q177's pair SQL restricted odd×even — one
+    * more modality whose at-rest layout cannot change a pair.
+    */
+  private val audioSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(audioSigStores)
+  private val q182: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = audioSigStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_audiosig_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        audioFixtureSigs(docs.filter(col("doc_id") % 4 === 0)),
+        "media_id", "afp", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        audioFixtureSigs(docs.filter(col("doc_id") % 4 === 2)),
+        "media_id", "afp", p)
+      p
+    })
+    Dedup.dedupAgainstSignatureStore(
+        audioFixtureSigs(docs.filter(col("doc_id") % 2 === 1)),
+        "media_id", "afp", path, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
   }
 
   /** Image dedup DECISIONS — q158's perceptual-hash pairs composed with
@@ -1063,6 +1086,25 @@ object ExtQueries {
         }
         .toDF("media_id", "payload"),
       hw = 8, hh = 6)
+  }
+
+  /** The audio fixture's fingerprint table, shared by q177 and the
+    * at-rest q182: group-keyed waveform, one id-dependent NON-strided
+    * sample perturbed, really decoded, 48-bit strided threshold
+    * fingerprint ([[Multimodal.audioHashTable]]) — (media_id, afp).
+    */
+  private[queries] def audioFixtureSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.audioHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.perturbSample(
+            Multimodal.keyedTonePcm(id / 4, 480), 1 + (id % 4).toInt, 997))
+        }
+        .toDF("media_id", "payload"),
+      bits = 48)
   }
 
   private val imageSigStores =
@@ -1429,6 +1471,7 @@ object ExtQueries {
     "q142_png_decode" -> q142,
     "q158_image_phash_dedup" -> q158,
     "q177_audio_fp_dedup" -> q177,
+    "q182_audio_sig_store" -> q182,
     "q164_image_keep_best" -> q164,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
@@ -1497,6 +1540,24 @@ object ExtQueries {
 
   private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
+
+  /** q177's audio-fingerprint CTE chain ending in `sig(doc_id, h)`:
+    * the waveform arithmetic at the 48 strided positions (stride 10
+    * over the 480-sample clip), the integer threshold, the bit fold.
+    * Shared by q177 (in-session pairs) and q182 (signature store).
+    */
+  private[queries] val audioSigCte =
+    """v AS (
+      |  SELECT d.doc_id, f.f AS f,
+      |         ((((d.doc_id // 4) * 43 + 13) % 509 + 16) * (10 * f.f + 1)
+      |            + ((d.doc_id // 4) * 29 + 7) % 101) % 4096 - 2048 AS v
+      |  FROM documents d, UNNEST(generate_series(0, 47)) AS f(f)),
+      |s1 AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY 1),
+      |sig AS (SELECT v.doc_id,
+      |               CAST(sum(CASE WHEN 48 * v.v > s1.sv
+      |                             THEN (1::BIGINT << v.f)
+      |                             ELSE 0 END) AS BIGINT) AS h
+      |        FROM v JOIN s1 USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** q78's overlap-report SQL, shared verbatim by q179 (benchmark
     * shingles at rest): the eval split, 5-gram shingling, and the
@@ -2142,22 +2203,22 @@ object ExtQueries {
     // perturbations live at positions 1..4 and are invisible), then
     // the integer threshold and the Hamming pair filter
     "q177_audio_fp_dedup" ->
-      """WITH v AS (
-        |  SELECT d.doc_id, f.f AS f,
-        |         ((((d.doc_id // 4) * 43 + 13) % 509 + 16) * (10 * f.f + 1)
-        |            + ((d.doc_id // 4) * 29 + 7) % 101) % 4096 - 2048 AS v
-        |  FROM documents d, UNNEST(generate_series(0, 47)) AS f(f)),
-        |s1 AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY 1),
-        |sig AS (SELECT v.doc_id,
-        |               CAST(sum(CASE WHEN 48 * v.v > s1.sv
-        |                             THEN (1::BIGINT << v.f)
-        |                             ELSE 0 END) AS BIGINT) AS h
-        |        FROM v JOIN s1 USING (doc_id) GROUP BY 1)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $audioSigCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q177's pair SQL restricted odd (batch) x even (store): the audio
+    // crawl loop's at-rest layout cannot change a pair
+    "q182_audio_sig_store" ->
+      s"""WITH $audioSigCte
+         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // q158's signature CTEs with the two sides SPLIT (odd = batch,
     // even = stored corpus): where the corpus signatures live — written

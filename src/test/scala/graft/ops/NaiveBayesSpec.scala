@@ -105,6 +105,38 @@ class NaiveBayesSpec extends SparkSpec {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("unlearn: negative deltas == a model that never saw the batch, vocab shrinkage included") {
+    val held = Seq((10L, "a b z"), (11L, "c c"), (12L, "d d")).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_unlearn_spec"
+    rmTree(new java.io.File(dir))
+    try {
+      // ingest all four docs, then unlearn doc 4 ("c d" under y) —
+      // token d exists ONLY in doc 4, so V must shrink from 4 to 3
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" <= 3),
+        "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" === 4),
+        "doc_id", "text", "lang", dir, "b1")
+      NaiveBayes.deleteCountBatch(trainDocs.filter($"doc_id" === 4),
+        "doc_id", "text", "lang", dir, "del-b1")
+      val unlearned = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq
+      val retrained = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.trainModel(trainDocs.filter($"doc_id" <= 3),
+            "doc_id", "text", "lang"))
+        .orderBy("doc_id").collect().toSeq
+      assert(unlearned == retrained)
+      // the zeroed token is OUT of the vocabulary, not a floor row
+      assert(NaiveBayes.readCountModel(spark, dir)
+        .lik.filter($"tok" === "d").count() == 0)
+      // unlearning EVERY doc of a label removes the label entirely
+      NaiveBayes.deleteCountBatch(trainDocs.filter($"doc_id" === 3),
+        "doc_id", "text", "lang", dir, "del-b0-3")
+      val m = NaiveBayes.readCountModel(spark, dir)
+      assert(m.priors.collect().map(_.getString(0)).toSeq == Seq("x"))
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("count store: a torn batch (tok landed, lab did not) is invisible until retried") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_torn"
     rmTree(new java.io.File(dir))

@@ -1263,7 +1263,7 @@ object CorpusQueries {
     * ONE string for q173 (in-session) and q174 (model at rest): where
     * the counts live cannot change a posterior.
     */
-  private def nbClassifySqlFor(trainPred: String): String =
+  private[queries] def nbClassifySqlFor(trainPred: String): String =
     s"""WITH ${ExtQueries.tokensCte},
        |tr AS (SELECT w.doc_id, d.lang, w.w FROM w
        |       JOIN documents d ON d.doc_id = w.doc_id
@@ -1299,7 +1299,7 @@ object CorpusQueries {
        |SELECT doc_id, lang AS pred_label, score
        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
-  private val nbClassifySql = nbClassifySqlFor("w.doc_id % 4 <> 3")
+  private[queries] val nbClassifySql = nbClassifySqlFor("w.doc_id % 4 <> 3")
 
   val oracle: Map[String, String] = Map(
     "q173_nb_classify" -> nbClassifySql,

@@ -1167,6 +1167,48 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Signature-store OPTIMIZE ([[graft.ops.AnnIndex.compactBuckets]]
+    * over the store's `sb=` partitions — the machinery is partition-
+    * column-generic): q155's question asked of the image-signature
+    * store. Four quarter-batches of evens fragment every band-bucket
+    * directory (one file per append per bucket — the streaming small-
+    * file problem); a mid-loop compaction and a final one fold each to
+    * ONE file. Layout-only by construction: the odd-batch probe is
+    * judged against q170's cross-pair oracle VERBATIM — fragmentation
+    * and its repair cannot change a pair.
+    */
+  private val optimizedSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(optimizedSigStores)
+  private val q183: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = optimizedSigStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_opt_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 8 === 0)),
+        "media_id", "ahash", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 8 === 2)),
+        "media_id", "ahash", p)
+      graft.ops.AnnIndex.compactBuckets(s, s"$p/bands",
+        maxFilesPerBucket = 1, partCol = "sb")
+      Dedup.appendToSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 8 === 4)),
+        "media_id", "ahash", p)
+      Dedup.appendToSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 8 === 6)),
+        "media_id", "ahash", p)
+      graft.ops.AnnIndex.compactBuckets(s, s"$p/bands",
+        maxFilesPerBucket = 1, partCol = "sb")
+      p
+    })
+    Dedup.dedupAgainstSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 2 === 1)),
+        "media_id", "ahash", path, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Real audio decode end to end: each document becomes an s16le PCM
     * clip (deterministic full-range sawtooth keyed by (doc_id, n_chars),
     * length 200 + doc_id % 57 samples — [[Multimodal.sawtoothPcm]]),
@@ -1475,6 +1517,7 @@ object ExtQueries {
     "q164_image_keep_best" -> q164,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
+    "q183_sig_store_optimize" -> q183,
     "q78_decontamination" -> q78,
     "q179_decontam_stored" -> q179,
     "q79_repetition" -> q79,
@@ -2224,6 +2267,8 @@ object ExtQueries {
     // even = stored corpus): where the corpus signatures live — written
     // or appended, banded or not — cannot change a Hamming pair
     "q170_image_sig_store" -> imageSigCrossSql,
+    // fragmentation and its repair are layout-only — same oracle
+    "q183_sig_store_optimize" -> imageSigCrossSql,
 
     // q170's cross-pair SQL (imageSigCrossSql) with the corpus side
     // restricted to the SURVIVING evens — delete semantics for the

@@ -663,6 +663,88 @@ object StreamingQueries {
         "media_id", "ahash", streamImageSigPath(s, dir), maxHamming = 3)
       .orderBy("new_id", "corpus_id")
 
+  /** Streaming classifier training — q159's crawl-loop shape for the
+    * Naive Bayes count store ([[graft.ops.NaiveBayes.writeCountBatch]]
+    * inside `foreachBatch`): the labeled training slice arrives as 3
+    * mtime-ordered micro-batches, each folded into the at-rest
+    * count-delta LSM under its micro-batch id (re-delivery of a batch
+    * is an idempotent partition overwrite — exactly-once BY LAYOUT, on
+    * top of the checkpointed source's exactly-once file ledger). The
+    * held-out quarter is then classified from the summed store —
+    * judged against q173's oracle VERBATIM: micro-batch boundaries
+    * cannot change a posterior, because counts are additive. Store
+    * built once per (pid, dir); benched iterations measure scoring.
+    */
+  private val streamNbStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    streamNbStores.values().forEach(p => rm(new java.io.File(p)))
+  }))
+  private def streamNbPath(s: SparkSession, dir: String): String =
+    streamNbStores.computeIfAbsent(dir, _ => {
+      import graft.ops.NaiveBayes
+      val root = scratchDir("q184stage")
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val storeBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val storePath = s"$storeBase/graft_stream_nb_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (k <- 0 to 2) {
+        val tmp = new java.io.File(root, s"tmp$k")
+        docs.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      val ckRoot =
+        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q184_${runSeq.get()}"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q184_${runSeq.get()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckRoot))
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ckRoot)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            NaiveBayes.writeCountBatch(batch, "doc_id", "text", "lang",
+              storePath, s"mb$bid")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        rm(new java.io.File(ckRoot))
+        rm(root)
+      }
+      storePath
+    })
+
+  private val q184: Q = (s, dir) =>
+    graft.ops.NaiveBayes.classify(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 4 === 3),
+        "doc_id", "text",
+        graft.ops.NaiveBayes.readCountModel(s, streamNbPath(s, dir)))
+      .orderBy("doc_id")
+
   /** Streaming LM quality gate — q117's maintained-state loop for the
     * perplexity filter ([[graft.ops.LanguageModel]]): the bigram model
     * is trained + calibrated ONCE on the doc_id % 4 = 0 slice and
@@ -820,6 +902,7 @@ object StreamingQueries {
     "q145_ann_stream_optimize" -> q145,
     "q159_stream_bm25_ingest" -> q159,
     "q175_stream_image_sig" -> q175,
+    "q184_stream_nb_ingest" -> q184,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
   )
@@ -960,6 +1043,10 @@ object StreamingQueries {
     // the stream-built signature store MUST produce exactly q170's
     // cross pairs — micro-batch boundaries cannot change a signature
     "q175_stream_image_sig" -> ExtQueries.imageSigCrossSql,
+
+    // micro-batch boundaries cannot change a posterior: counts are
+    // additive, so the stream-built count store serves q173's answer
+    "q184_stream_nb_ingest" -> CorpusQueries.nbClassifySql,
 
     // the streaming gate replayed in one pass: frozen counts + V from
     // the doc_id % 4 = 0 train slice, the calibration threshold = the

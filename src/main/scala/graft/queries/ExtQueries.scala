@@ -992,6 +992,37 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q177's WIDE-signature scale path, judged: the sf1 sweep measured
+    * the 48-bit/4-band audio dedup super-linear (25× on 10× data —
+    * candidate volume ∝ n²/band-buckets once the corpus outgrows the
+    * 4096-way 12-bit band space), and the documented lever is WIDTH AT
+    * FIXED BANDS: 60 bits over the same 4 bands gives 15-bit slices —
+    * 32768-way buckets, 8× fewer candidates per band — while the
+    * pigeonhole guarantee (maxHamming 3 < 4 bands) is untouched. The
+    * stride drops to 8 (480/60), so the same non-strided perturbation
+    * positions 1–4 stay invisible; the oracle replays the 60 strided
+    * positions and the 60-way threshold.
+    */
+  private val q185: Q = (s, dir) =>
+    Dedup.hammingNearDupFromSig(
+        audioFixtureSigsWide(t(s, dir, "documents")),
+        "media_id", "afp", bits = 60, bands = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private[queries] def audioFixtureSigsWide(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.audioHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.perturbSample(
+            Multimodal.keyedTonePcm(id / 4, 480), 1 + (id % 4).toInt, 997))
+        }
+        .toDF("media_id", "payload"),
+      bits = 60)
+  }
+
   /** The audio crawl loop AT REST — the [[graft.ops.Dedup
     * .writeSignatureStore]] machinery is signature-agnostic (a banded
     * 48-bit long is a banded 48-bit long), so the audio fingerprints
@@ -1514,6 +1545,7 @@ object ExtQueries {
     "q158_image_phash_dedup" -> q158,
     "q177_audio_fp_dedup" -> q177,
     "q182_audio_sig_store" -> q182,
+    "q185_audio_fp_wide" -> q185,
     "q164_image_keep_best" -> q164,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
@@ -2252,6 +2284,26 @@ object ExtQueries {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the wide-signature scale path: 60 strided positions (stride 8),
+    // 60-way threshold, same pair filter
+    "q185_audio_fp_wide" ->
+      """WITH v AS (
+        |  SELECT d.doc_id, f.f AS f,
+        |         ((((d.doc_id // 4) * 43 + 13) % 509 + 16) * (8 * f.f + 1)
+        |            + ((d.doc_id // 4) * 29 + 7) % 101) % 4096 - 2048 AS v
+        |  FROM documents d, UNNEST(generate_series(0, 59)) AS f(f)),
+        |s1 AS (SELECT doc_id, sum(v) AS sv FROM v GROUP BY 1),
+        |sig AS (SELECT v.doc_id,
+        |               CAST(sum(CASE WHEN 60 * v.v > s1.sv
+        |                             THEN (1::BIGINT << v.f)
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM v JOIN s1 USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q177's pair SQL restricted odd (batch) x even (store): the audio
     // crawl loop's at-rest layout cannot change a pair

@@ -384,6 +384,13 @@ class MultimodalSpec extends SparkSpec {
     val other = Multimodal.audioFingerprint(
       Multimodal.decodePcm16(Multimodal.keyedTonePcm(6L, 480)), 48)
     assert(java.lang.Long.bitCount(fp ^ other) > 3)
+    // the 60-bit wide variant (q185's scale path, stride 8): same
+    // stride-blindness, same cross-group separation
+    val fp60 = Multimodal.audioFingerprint(s, 60)
+    assert(Multimodal.audioFingerprint(p1, 60) == fp60)
+    val other60 = Multimodal.audioFingerprint(
+      Multimodal.decodePcm16(Multimodal.keyedTonePcm(6L, 480)), 60)
+    assert(java.lang.Long.bitCount(fp60 ^ other60) > 3)
   }
 
   test("audioHashTable + hamming banding: within-group pairs only, hamming 0") {

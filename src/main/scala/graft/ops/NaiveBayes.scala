@@ -48,10 +48,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object NaiveBayes {
 
   /** Whitespace tokens, lowercased, empties dropped — the shared
-    * tokenizer of [[TextAnalysis.tokens]]/[[LanguageModel]].
+    * tokenizer of [[TextAnalysis.tokens]]/[[LanguageModel]], and the
+    * default FEATURE EXTRACTOR. The extractor is pluggable (an
+    * `array<string>`-valued Column function) because the model is
+    * feature-agnostic: q173 trains on word occurrences, q186 on
+    * character bigrams ([[TextAnalysis.charBigrams]] — the TRAINED
+    * form of the q24/langIdCharNgram heuristics). Train and classify
+    * must use the SAME extractor; it is part of the frozen model's
+    * contract exactly like the BPE merge table is part of the
+    * tokenizer's.
     */
-  private def words(textCol: String) =
-    filter(split(lower(col(textCol)), " "), x => x =!= "")
+  val wordFeatures: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => filter(split(lower(t), " "), x => x =!= "")
 
   /** The trained model: `priors` = (label, lp, fl) — one row per label;
     * `lik` = (label, tok, ll) — one row per (label, training token).
@@ -63,8 +71,10 @@ object NaiveBayes {
     * they just contribute no likelihood rows.
     */
   def trainModel(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): Model = {
-    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+      labelCol: String,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): Model = {
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol, featuresOf)
     val m = modelFromCounts(lab, tok)
     Model(
       CacheLifecycle.resolveAndRelease(m.priors),
@@ -77,9 +87,12 @@ object NaiveBayes {
     * [[writeCountBatch]] ingest path is built on.
     */
   private def countRelations(docs: DataFrame, textCol: String,
-      labelCol: String): (DataFrame, DataFrame, DataFrame) = {
+      labelCol: String,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column):
+      (DataFrame, DataFrame, DataFrame) = {
     val tokOcc = docs
-      .select(col(labelCol).as("label"), explode(words(textCol)).as("tok"))
+      .select(col(labelCol).as("label"),
+        explode(featuresOf(col(textCol))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = tokOcc.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -130,9 +143,11 @@ object NaiveBayes {
     * [[LanguageModel]]'s `len >= 2` rule).
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
+      model: Model,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): DataFrame = {
     val toks = docs
-      .select(col(idCol), explode(words(textCol)).as("tok"))
+      .select(col(idCol), explode(featuresOf(col(textCol))).as("tok"))
     val scored = toks
       .crossJoin(broadcast(model.priors))
       .join(model.lik, Seq("label", "tok"), "left")
@@ -189,11 +204,13 @@ object NaiveBayes {
     * [[compactCountModel]] folds the deltas ("OPTIMIZE").
     */
   def writeCountBatch(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, path: String, batchId: String): Unit = {
+      labelCol: String, path: String, batchId: String,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): Unit = {
     require(batchId.matches("[A-Za-z0-9_-]+"),
       s"batchId '$batchId' must be a plain partition token")
     val root = healedRoot(docs.sparkSession, path)
-    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol, featuresOf)
     try {
       val mode = org.apache.spark.sql.SaveMode.Overwrite
       tok.write.mode(mode).parquet(s"$root/tok/bid=$batchId")
@@ -214,11 +231,13 @@ object NaiveBayes {
     * never arrived. Same commit marker, same idempotent retry.
     */
   def deleteCountBatch(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, path: String, batchId: String): Unit = {
+      labelCol: String, path: String, batchId: String,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): Unit = {
     require(batchId.matches("[A-Za-z0-9_-]+"),
       s"batchId '$batchId' must be a plain partition token")
     val root = healedRoot(docs.sparkSession, path)
-    val (lab, tok, pin) = countRelations(docs, textCol, labelCol)
+    val (lab, tok, pin) = countRelations(docs, textCol, labelCol, featuresOf)
     try {
       val mode = org.apache.spark.sql.SaveMode.Overwrite
       tok.select(col("label"), col("tok"), (-col("c")).as("c"))

@@ -229,6 +229,27 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Character-bigram Naive Bayes — the TRAINED language identifier
+    * (q186): the q173 posterior algebra over a different FEATURE
+    * FAMILY ([[graft.ops.TextAnalysis.charBigrams]] — distinct
+    * lowercased character bigrams, the features the q24/q24b heuristic
+    * lang-id reads), exercising [[graft.ops.NaiveBayes]]'s pluggable
+    * extractor: the model is feature-agnostic, and train/classify
+    * share the extractor as part of the frozen contract. The oracle is
+    * the SAME classification SQL with the tokenizer CTE swapped for
+    * the char-bigram CTE.
+    */
+  private val q186: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val feats = (c: org.apache.spark.sql.Column) =>
+      TextAnalysis.charBigrams(c)
+    val model = NaiveBayes.trainModel(
+      docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", "lang", feats)
+    NaiveBayes.classify(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", model, feats)
+      .orderBy("doc_id")
+  }
+
   /** UNLEARNING for the classifier ([[graft.ops.NaiveBayes
     * .deleteCountBatch]]) — the take-down/opt-out eviction every other
     * index family already judges (q166–q171), asked of the MODEL: the
@@ -1019,6 +1040,7 @@ object CorpusQueries {
     "q174_nb_stored" -> q174,
     "q178_nb_incremental" -> q178,
     "q181_nb_unlearn" -> q181,
+    "q186_nb_chargram" -> q186,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1263,8 +1285,9 @@ object CorpusQueries {
     * ONE string for q173 (in-session) and q174 (model at rest): where
     * the counts live cannot change a posterior.
     */
-  private[queries] def nbClassifySqlFor(trainPred: String): String =
-    s"""WITH ${ExtQueries.tokensCte},
+  private[queries] def nbClassifySqlFor(trainPred: String,
+      wCte: String = ExtQueries.tokensCte): String =
+    s"""WITH $wCte,
        |tr AS (SELECT w.doc_id, d.lang, w.w FROM w
        |       JOIN documents d ON d.doc_id = w.doc_id
        |       WHERE $trainPred),
@@ -1301,6 +1324,17 @@ object CorpusQueries {
 
   private[queries] val nbClassifySql = nbClassifySqlFor("w.doc_id % 4 <> 3")
 
+  /** [[graft.ops.TextAnalysis.charBigrams]] replayed in SQL: DISTINCT
+    * character bigrams of the lowercased text (1-based inclusive
+    * slices), empty for length < 2.
+    */
+  private val charBigramCte =
+    """w AS (SELECT doc_id,
+      |            list_distinct(list_transform(
+      |              generate_series(1, greatest(len(lower(text)) - 1, 0)),
+      |              i -> lower(text)[i:i+1])) AS w
+      |      FROM documents)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q173_nb_classify" -> nbClassifySql,
     // the at-rest model MUST reproduce the in-session posterior exactly
@@ -1311,6 +1345,9 @@ object CorpusQueries {
     // deleted labeled data == data never ingested: the oracle retrains
     // from scratch on the surviving batches
     "q181_nb_unlearn" -> nbClassifySqlFor("w.doc_id % 4 IN (0, 1)"),
+    // same posterior algebra over a different feature family: distinct
+    // character bigrams instead of word occurrences
+    "q186_nb_chargram" -> nbClassifySqlFor("w.doc_id % 4 <> 3", charBigramCte),
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
     // literal TRUE per method

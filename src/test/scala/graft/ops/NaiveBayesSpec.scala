@@ -77,6 +77,22 @@ class NaiveBayesSpec extends SparkSpec {
     } finally rm(new java.io.File(dir))
   }
 
+  test("pluggable features: a char-bigram model classifies what the word model cannot") {
+    val tr = Seq((1L, "abab", "x"), (2L, "cdcd", "y")).toDF("doc_id", "text", "lang")
+    val held = Seq((9L, "cd")).toDF("doc_id", "text")
+    val bigrams = (c: org.apache.spark.sql.Column) => TextAnalysis.charBigrams(c)
+    val charPred = NaiveBayes.classify(held, "doc_id", "text",
+        NaiveBayes.trainModel(tr, "doc_id", "text", "lang", bigrams), bigrams)
+      .head().getString(1)
+    assert(charPred == "y") // "cd" is a trained bigram of label y
+    // the word model never saw "cd" as a token: symmetric floors, and
+    // the label-asc tie-break picks x — the extractor IS the model
+    val wordPred = NaiveBayes.classify(held, "doc_id", "text",
+        NaiveBayes.trainModel(tr, "doc_id", "text", "lang"))
+      .head().getString(1)
+    assert(wordPred == "x")
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete(): Unit

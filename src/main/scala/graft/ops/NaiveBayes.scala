@@ -96,10 +96,16 @@ object NaiveBayes {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = tokOcc.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c"))
+    // LEFT join: a label whose every training document is token-free
+    // has no row on the occurrence side but is still labeled evidence —
+    // it keeps its prior (n_y) with n_tok = 0, and the floor formula
+    // ln(1/(0+V)) already handles the zero
     val lab = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_y"))
       .join(tokOcc.groupBy(col("label")).agg(count(lit(1)).as("n_tok")),
-        Seq("label"))
+        Seq("label"), "left")
+      .select(col("label"), col("n_y"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
     (lab, tok, tokOcc)
   }
 
@@ -201,7 +207,11 @@ object NaiveBayes {
     * and the retry is IDEMPOTENT because each batch overwrites only its
     * own `bid=` partitions. Batch size never matters to correctness;
     * serve-time read cost grows with batch count until
-    * [[compactCountModel]] folds the deltas ("OPTIMIZE").
+    * [[compactCountModel]] folds the deltas ("OPTIMIZE"). Retries stay
+    * idempotent ACROSS a compaction too: folding records every folded
+    * bid in a `folded/` ledger, and a retry of an already-folded
+    * batchId is a no-op (its counts already live in `bid=__compacted`;
+    * a fresh partition would double-count them at read).
     */
   def writeCountBatch(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, path: String, batchId: String,
@@ -210,6 +220,12 @@ object NaiveBayes {
     require(batchId.matches("[A-Za-z0-9_-]+"),
       s"batchId '$batchId' must be a plain partition token")
     val root = healedRoot(docs.sparkSession, path)
+    // idempotent-retry guard across compaction: a bid that was already
+    // FOLDED into __compacted must not land again — its counts are in
+    // the compacted partition, and a fresh bid= partition would
+    // double-count the batch at read (the q184 streaming-restart +
+    // interleaved-compaction window)
+    if (foldedBids(docs.sparkSession, root).contains(batchId)) return
     val (lab, tok, pin) = countRelations(docs, textCol, labelCol, featuresOf)
     try {
       val mode = org.apache.spark.sql.SaveMode.Overwrite
@@ -237,6 +253,9 @@ object NaiveBayes {
     require(batchId.matches("[A-Za-z0-9_-]+"),
       s"batchId '$batchId' must be a plain partition token")
     val root = healedRoot(docs.sparkSession, path)
+    // same folded-bid retry guard as [[writeCountBatch]]: a compacted
+    // tombstone batch re-deleted would subtract the docs twice
+    if (foldedBids(docs.sparkSession, root).contains(batchId)) return
     val (lab, tok, pin) = countRelations(docs, textCol, labelCol, featuresOf)
     try {
       val mode = org.apache.spark.sql.SaveMode.Overwrite
@@ -256,7 +275,13 @@ object NaiveBayes {
     */
   def readCountModel(spark: SparkSession, path: String): Model = {
     val root = healedRoot(spark, path)
+    // admitted = committed (lab/ landed) minus already-FOLDED bids: a
+    // bid= partition re-appended after its counts were compacted (the
+    // belt-and-braces side of the [[writeCountBatch]] guard) reads as
+    // the compacted copy only, never both
+    val folded = foldedBids(spark, root)
     val lab0 = spark.read.parquet(s"$root/lab")
+      .filter(!col("bid").isin(folded.toSeq.map(x => x: Any): _*))
     val committed = lab0.select(col("bid")).distinct()
     val tok = spark.read.parquet(s"$root/tok")
       .join(broadcast(committed), Seq("bid"), "left_semi")
@@ -276,10 +301,13 @@ object NaiveBayes {
     */
   def compactCountModel(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    import spark.implicits._
     val root = healedRoot(spark, path)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorFolded = foldedBids(spark, root)
     val lab0 = spark.read.parquet(s"$root/lab")
+      .filter(!col("bid").isin(priorFolded.toSeq.map(x => x: Any): _*))
     val committed = lab0.select(col("bid")).distinct()
     val tok = spark.read.parquet(s"$root/tok")
       .join(broadcast(committed), Seq("bid"), "left_semi")
@@ -288,12 +316,18 @@ object NaiveBayes {
     val lab = lab0.groupBy(col("label"))
       .agg(sum(col("n_y")).as("n_y"), sum(col("n_tok")).as("n_tok"))
       .localCheckpoint()
+    // the folded-bid ledger ACCUMULATES across compactions: every bid
+    // ever folded into __compacted stays barred from re-append forever
+    // (the [[writeCountBatch]] retry guard reads this list)
+    val foldedNow = (priorFolded ++
+      committed.collect().map(_.getString(0)).filter(_ != "__compacted")).toSeq
     val live = new Path(root)
     val tmp = new Path(s"$path/.counts_compact_tmp")
     val old = new Path(s"$path/.counts_old")
     fs.delete(tmp, true); fs.delete(old, true)
     tok.write.parquet(s"$tmp/tok/bid=__compacted")
     lab.coalesce(1).write.parquet(s"$tmp/lab/bid=__compacted")
+    foldedNow.toDF("bid").coalesce(1).write.parquet(s"$tmp/folded")
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"compactCountModel: cannot move $live")
     if (!fs.rename(tmp, live)) {
@@ -315,5 +349,20 @@ object NaiveBayes {
     val old = new Path(s"$path/.counts_old")
     if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
     live.toString
+  }
+
+  /** The bids ever folded into `bid=__compacted` — the ledger
+    * [[compactCountModel]] persists with the compacted partition so a
+    * crash-RETRY of an already-folded batch stays a no-op instead of
+    * double-counting. Driver-side by design: one short string per
+    * batch ever compacted (ingest-cadence-proportional, never
+    * data-proportional).
+    */
+  private[ops] def foldedBids(spark: SparkSession, root: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$root/folded")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).collect().map(_.getString(0)).toSet
   }
 }

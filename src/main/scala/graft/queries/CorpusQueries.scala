@@ -1368,8 +1368,9 @@ object CorpusQueries {
     // deleted labeled data == data never ingested: the oracle retrains
     // from scratch on the surviving batches
     "q181_nb_unlearn" -> nbClassifySqlFor("w.doc_id % 4 IN (0, 1)"),
-    // same posterior algebra over a different feature family: distinct
-    // character bigrams instead of word occurrences
+    // same posterior algebra over a different feature family: character
+    // bigrams WITH multiplicity (the multinomial event model), in place
+    // of word occurrences
     "q186_nb_chargram" -> nbClassifySqlFor("w.doc_id % 4 <> 3", charBigramCte),
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits

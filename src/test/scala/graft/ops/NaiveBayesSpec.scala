@@ -175,6 +175,52 @@ class NaiveBayesSpec extends SparkSpec {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("a label whose EVERY training doc is token-free keeps its prior") {
+    // label "z" has one doc, all empty: it must not exit the model —
+    // its prior is ln(1/5), its likelihood mass is all floor ln(1/V)
+    val tr = trainDocs.union(Seq((5L, "", "z")).toDF("doc_id", "text", "lang"))
+    val model = NaiveBayes.trainModel(tr, "doc_id", "text", "lang")
+    val pri = model.priors.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(pri.keySet == Set("x", "y", "z"))
+    assert(math.abs(pri("z")._1 - math.log(1.0 / 5.0)) < 1e-8)
+    // n_tok(z) = 0, V = 4: floor = ln(1/(0+4))
+    assert(math.abs(pri("z")._2 - math.log(1.0 / 4.0)) < 1e-8)
+    // and the shifted denominators move the OTHER priors too
+    assert(math.abs(pri("x")._1 - math.log(2.0 / 5.0)) < 1e-8)
+  }
+
+  test("count store: a retry of an already-COMPACTED batch is a no-op, not a double count") {
+    val held = Seq((10L, "a b z"), (11L, "c c")).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_folded"
+    rmTree(new java.io.File(dir))
+    try {
+      val b0 = trainDocs.filter($"doc_id" <= 2)
+      NaiveBayes.writeCountBatch(b0, "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.compactCountModel(spark, dir)
+      // the q184 window: a streaming restart replays b0 AFTER the
+      // compaction folded it — must not land a fresh bid=b0 partition
+      NaiveBayes.writeCountBatch(b0, "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" > 2),
+        "doc_id", "text", "lang", dir, "b1")
+      val incremental = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq
+      val oneShot = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang"))
+        .orderBy("doc_id").collect().toSeq
+      assert(incremental == oneShot)
+      // the ledger survives a SECOND compaction (folded bids accumulate)
+      NaiveBayes.compactCountModel(spark, dir)
+      NaiveBayes.writeCountBatch(b0, "doc_id", "text", "lang", dir, "b0")
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" > 2),
+        "doc_id", "text", "lang", dir, "b1")
+      assert(NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq == oneShot)
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("count store: the compaction crash window heals (counts restored from .counts_old)") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_heal"
     rmTree(new java.io.File(dir))

@@ -949,10 +949,18 @@ object Dedup {
     * (band, slice-value) groups, never the n² pair space.
     */
   def hammingNearDupFromSig(sig: DataFrame, idCol: String, sigCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val banded = bandedSig(sig, idCol, sigCol, bits, bands, maxHamming)
-    val a = banded.toDF("id_a", "sig_a", "band", "bkey")
-    val b = banded.toDF("id_b", "sig_b", "band", "bkey")
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    pairsFromBanded(
+      bandedSig(sig, idCol, sigCol, bits, bands, maxHamming), maxHamming)
+
+  /** The shared pair tail over a banded relation (id, sig, band, bkey):
+    * band-slice equi-join, ordered-pair filter, exact Hamming verify.
+    */
+  private def pairsFromBanded(banded: DataFrame, maxHamming: Int): DataFrame = {
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -1165,6 +1173,31 @@ object Dedup {
         hammingDistance(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** Full-store Hamming pair sweep — the MAINTENANCE pass's pair
+    * source: keep-best / cluster decisions over the whole media corpus
+    * read the store's at-rest `bands/` relation (already banded,
+    * already bucket-partitioned) and NEVER the media bytes the
+    * signatures came from. At 100 TB of images a periodic decision
+    * pass costs a signature-store scan (signature-count-proportional,
+    * bands× rows) instead of a full corpus re-decode; candidates stay
+    * band-bucket-blocked exactly as [[hammingNearDupFromSig]]'s —
+    * the two produce IDENTICAL pairs by construction (the shared
+    * [[pairsFromBanded]] tail; where the signatures live cannot change
+    * a pair). Tombstoned (deleted, un-purged) signatures are masked
+    * out first: a decision must not see evicted media.
+    */
+  def hammingPairsFromSignatureStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxHamming: Int = 3): DataFrame = {
+    val (_, bands, _) = signatureStoreLayout(spark, path)
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    val banded = AnnIndex.tombstoneMask(spark, s"$path/bands", "id",
+        spark.read.parquet(s"$path/bands"))
+      .select(col("id"), col("sig"), col("band"), col("bkey"))
+    pairsFromBanded(banded, maxHamming)
   }
 
   /** Connected components over a near-duplicate pair list — the step

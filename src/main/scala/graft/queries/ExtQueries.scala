@@ -1084,6 +1084,44 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** q164's keep-best decisions FROM THE STORED SIGNATURE STORE — the
+    * q144 pattern (keep-best off the at-rest index) for media: the
+    * pair relation comes from [[graft.ops.Dedup
+    * .hammingPairsFromSignatureStore]] (the store's banded `sb=`
+    * relation, built once by the crawl loop) and the id universe from
+    * `sigs/`, so the decision pass reads SIGNATURES AT REST — never a
+    * pixel, never a PNG decode (q164 re-decodes the full media corpus
+    * per pass; at 100 TB of images a maintenance pass must read the
+    * index it already paid for). Store build = write evens + APPEND
+    * odds (the ingest lineage). Oracle = q164's VERBATIM: decisions
+    * cannot depend on where the signatures came from.
+    */
+  private val keepBestSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(keepBestSigStores)
+  private val q187: Q = (s, dir) => {
+    val path = keepBestSigStores.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_kb_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 2 === 0)),
+        "media_id", "ahash", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 2 === 1)),
+        "media_id", "ahash", p)
+      p
+    })
+    val pairs = Dedup.hammingPairsFromSignatureStore(s, path, maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(
+        s.read.parquet(s"$path/sigs")
+          .select(col("media_id"), lit(0L).as("score")),
+        "media_id", pairs, "score")
+      .select(col("media_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("media_id")
+  }
+
   /** The image-signature index AT REST ([[graft.ops.Dedup
     * .writeSignatureStore]] family) — the cross-batch half of image
     * dedup q158 leaves in-session (text already has the full at-rest
@@ -1547,6 +1585,7 @@ object ExtQueries {
     "q182_audio_sig_store" -> q182,
     "q185_audio_fp_wide" -> q185,
     "q164_image_keep_best" -> q164,
+    "q187_keep_best_stored_sig" -> q187,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
     "q183_sig_store_optimize" -> q183,
@@ -1584,6 +1623,46 @@ object ExtQueries {
     planes.map(p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
+
+  /** q164's keep-best SQL — q158's signature CTEs + the recursive
+    * closure + the lowest-id keeper window. Shared VERBATIM by q164
+    * (in-session signatures) and q187 (pairs from the at-rest
+    * signature store): a keep decision is a property of the pair
+    * relation, not of where the signatures lived.
+    */
+  private[queries] val imageKeepBestSql =
+    """WITH RECURSIVE px AS (
+      |  SELECT d.doc_id, x.x AS x, y.y AS y,
+      |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+      |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+      |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+      |  FROM documents d,
+      |       UNNEST(generate_series(0, 7)) AS x(x),
+      |       UNNEST(generate_series(0, 5)) AS y(y)),
+      |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+      |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+      |sig AS (SELECT g1.doc_id,
+      |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+      |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+      |                             ELSE 0 END) AS BIGINT) AS h
+      |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |r(id, reach) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+      |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+      |lab AS (SELECT d.doc_id AS media_id, coalesce(cl.rep, d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+      |SELECT media_id, cluster_id,
+      |       (row_number() OVER (PARTITION BY cluster_id
+      |                           ORDER BY media_id ASC) = 1) AS is_keeper
+      |FROM lab ORDER BY media_id""".stripMargin
 
   /** q170's odd-batch-vs-even-store cross-pair SQL: the full aHash
     * arithmetic (keyed gradient raster → gray → threshold bits) and the
@@ -2352,39 +2431,10 @@ object ExtQueries {
     // q158's signature CTEs + the recursive closure (the keepBestOracle
     // pattern) + the lowest-id keeper window — cluster minima and keep
     // decisions are a property of the pair relation
-    "q164_image_keep_best" ->
-      """WITH RECURSIVE px AS (
-        |  SELECT d.doc_id, x.x AS x, y.y AS y,
-        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
-        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
-        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
-        |  FROM documents d,
-        |       UNNEST(generate_series(0, 7)) AS x(x),
-        |       UNNEST(generate_series(0, 5)) AS y(y)),
-        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
-        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
-        |sig AS (SELECT g1.doc_id,
-        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
-        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
-        |                             ELSE 0 END) AS BIGINT) AS h
-        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |r(id, reach) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
-        |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
-        |lab AS (SELECT d.doc_id AS media_id, coalesce(cl.rep, d.doc_id) AS cluster_id
-        |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
-        |SELECT media_id, cluster_id,
-        |       (row_number() OVER (PARTITION BY cluster_id
-        |                           ORDER BY media_id ASC) = 1) AS is_keeper
-        |FROM lab ORDER BY media_id""".stripMargin,
+    "q164_image_keep_best" -> imageKeepBestSql,
+    // q164's oracle VERBATIM: whether the pairs came from in-session
+    // signatures or the at-rest store cannot change a keep decision
+    "q187_keep_best_stored_sig" -> imageKeepBestSql,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

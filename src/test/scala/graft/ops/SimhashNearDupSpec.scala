@@ -58,6 +58,42 @@ class SimhashNearDupSpec extends SparkSpec {
     assert(selfed == 0)
   }
 
+  test("full-store pair sweep == the in-session detector; tombstones masked") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val sig = spark.range(60).select(col("id").as("doc_id"),
+      (shiftright(col("id"), 2) * 1664525 + 1013904223)
+        .bitwiseAND(lit((1L << 48) - 1))
+        .bitwiseXOR(shiftleft(col("id") % 4, 2)).as("s"))
+      .localCheckpoint()
+    val expected = Dedup.hammingNearDupFromSig(sig, "doc_id", "s",
+        bits = 48, bands = 4, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val p = s"${sys.props("java.io.tmpdir")}/graft_sigstore_spec_sweep"
+    rm(new java.io.File(p))
+    Dedup.writeSignatureStore(sig.filter(col("doc_id") % 2 === 0),
+      "doc_id", "s", p, bits = 48, bands = 4, sigBuckets = 8)
+    Dedup.appendToSignatureStore(sig.filter(col("doc_id") % 2 === 1),
+      "doc_id", "s", p)
+    def sweep() = Dedup.hammingPairsFromSignatureStore(spark, p, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(sweep() == expected,
+      "pairs from the at-rest banded relation must equal in-session pairs")
+    // a deleted signature leaves EVERY pair it was part of
+    val doomed = sig.limit(2).select(col("doc_id")).localCheckpoint()
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    Dedup.deleteFromSignatureStore(doomed, "doc_id", p)
+    assert(sweep() == expected.filterNot(r =>
+      doomedIds(r(0).asInstanceOf[Long]) || doomedIds(r(1).asInstanceOf[Long])))
+    rm(new java.io.File(p))
+  }
+
   test("signature store: probe == in-session cross pairs; append == write; re-append no-op") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {

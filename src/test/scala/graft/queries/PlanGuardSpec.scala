@@ -638,6 +638,27 @@ class PlanGuardSpec extends SparkSpec {
       scan.get.contains("In(sb"), s"sb must be filtered as a partition:\n${scan.get}")
   }
 
+  test("q187 stored keep-best: the pair sweep reads the signature store, never media bytes") {
+    import org.apache.spark.sql.functions.col
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sigstore_kb_guard"
+    val sig = spark.range(64).select(col("id").as("doc_id"),
+      (org.apache.spark.sql.functions.shiftright(col("id"), 2) * 1664525
+        + 1013904223)
+        .bitwiseAND(org.apache.spark.sql.functions.lit((1L << 48) - 1)).as("s"))
+    graft.ops.Dedup.writeSignatureStore(sig, "doc_id", "s", path,
+      bits = 48, bands = 4, sigBuckets = 16)
+    val p = graft.ops.Dedup.hammingPairsFromSignatureStore(spark, path,
+      maxHamming = 3).queryExecution.executedPlan.toString
+    // the maintenance pass must cost a store scan, not a corpus decode:
+    // no object-mapped decode stage, no media/payload column anywhere —
+    // every leaf is a parquet scan of the store's banded relation
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"pair sweep must not run a decode stage:\n$p")
+    assert(!p.contains("payload"),
+      s"pair sweep must never reference media bytes:\n$p")
+    assert(p.contains("bands"), s"pair sweep must scan the banded store:\n$p")
+  }
+
   test("q180 cross embedding dedup: the batch's buckets are a PARTITION filter on the index scan") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1122,6 +1122,40 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** q188: q187's stored keep-best for AUDIO — the modality matrix
+    * closed on the decision side: the full corpus's 48-bit audio
+    * fingerprints live in a q182-shaped store (write evens + APPEND
+    * odds), the pair relation is the at-rest banded sweep, and one
+    * keeper per Hamming component is chosen without a single PCM
+    * decode in the decision pass. Oracle = q177's fingerprint CTEs +
+    * the q164 closure tail.
+    */
+  private val audioKeepBestStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(audioKeepBestStores)
+  private val q188: Q = (s, dir) => {
+    val path = audioKeepBestStores.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_audiosig_kb_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        audioFixtureSigs(docs.filter(col("doc_id") % 2 === 0)),
+        "media_id", "afp", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        audioFixtureSigs(docs.filter(col("doc_id") % 2 === 1)),
+        "media_id", "afp", p)
+      p
+    })
+    val pairs = Dedup.hammingPairsFromSignatureStore(s, path, maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(
+        s.read.parquet(s"$path/sigs")
+          .select(col("media_id"), lit(0L).as("score")),
+        "media_id", pairs, "score")
+      .select(col("media_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("media_id")
+  }
+
   /** The image-signature index AT REST ([[graft.ops.Dedup
     * .writeSignatureStore]] family) — the cross-batch half of image
     * dedup q158 leaves in-session (text already has the full at-rest
@@ -1586,6 +1620,7 @@ object ExtQueries {
     "q185_audio_fp_wide" -> q185,
     "q164_image_keep_best" -> q164,
     "q187_keep_best_stored_sig" -> q187,
+    "q188_audio_keep_best" -> q188,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
     "q183_sig_store_optimize" -> q183,
@@ -1712,6 +1747,51 @@ object ExtQueries {
       |                             THEN (1::BIGINT << v.f)
       |                             ELSE 0 END) AS BIGINT) AS h
       |        FROM v JOIN s1 USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** The keep-best closure tail over any `sig(doc_id, h)` CTE chain —
+    * imageKeepBestSql's pairs → recursive closure → lowest-id keeper
+    * window, shared by the audio keep-best oracle (q188): the decision
+    * algebra is modality-blind.
+    */
+  private val keepBestClosureTail =
+    """pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |r(id, reach) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+      |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+      |lab AS (SELECT d.doc_id AS media_id, coalesce(cl.rep, d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+      |SELECT media_id, cluster_id,
+      |       (row_number() OVER (PARTITION BY cluster_id
+      |                           ORDER BY media_id ASC) = 1) AS is_keeper
+      |FROM lab ORDER BY media_id""".stripMargin
+
+  /** q182's odd-batch-vs-even-store cross-pair SQL (q177's fingerprint
+    * CTEs, two sides split): shared VERBATIM by q182 (write+append
+    * store) and the streaming q189 (stream-built store) — neither the
+    * ingest path nor micro-batch boundaries can change a pair.
+    */
+  private[queries] val audioSigCrossSql =
+    s"""WITH $audioSigCte
+       |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |WHERE bit_count(xor(a.h, b.h)) <= 3
+       |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** q177's fingerprint CTEs + the keep-best closure: q188's oracle —
+    * the audio analog of imageKeepBestSql (pairs from the at-rest
+    * audio signature store cannot differ from in-session fingerprints,
+    * and decisions are a property of the pair relation).
+    */
+  private[queries] val audioKeepBestSql =
+    s"WITH RECURSIVE $audioSigCte,\n$keepBestClosureTail"
 
   /** q78's overlap-report SQL, shared verbatim by q179 (benchmark
     * shingles at rest): the eval split, 5-gram shingling, and the
@@ -2386,13 +2466,7 @@ object ExtQueries {
 
     // q177's pair SQL restricted odd (batch) x even (store): the audio
     // crawl loop's at-rest layout cannot change a pair
-    "q182_audio_sig_store" ->
-      s"""WITH $audioSigCte
-         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-         |WHERE bit_count(xor(a.h, b.h)) <= 3
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "q182_audio_sig_store" -> audioSigCrossSql,
 
     // q158's signature CTEs with the two sides SPLIT (odd = batch,
     // even = stored corpus): where the corpus signatures live — written
@@ -2435,6 +2509,8 @@ object ExtQueries {
     // q164's oracle VERBATIM: whether the pairs came from in-session
     // signatures or the at-rest store cannot change a keep decision
     "q187_keep_best_stored_sig" -> imageKeepBestSql,
+    // the audio analog: q177's fingerprint CTEs + the same closure tail
+    "q188_audio_keep_best" -> audioKeepBestSql,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

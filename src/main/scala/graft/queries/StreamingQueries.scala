@@ -590,6 +590,8 @@ object StreamingQueries {
     */
   private val streamImageSigStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamAudioSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {
@@ -599,16 +601,28 @@ object StreamingQueries {
       f.delete(); ()
     }
     streamImageSigStores.values().forEach(p => rm(new java.io.File(p)))
+    streamAudioSigStores.values().forEach(p => rm(new java.io.File(p)))
   }))
-  private def streamImageSigPath(s: SparkSession, dir: String): String =
-    streamImageSigStores.computeIfAbsent(dir, _ => {
+
+  /** The shared streaming signature-store crawl loop (q175 image /
+    * q189 audio — [[graft.ops.Dedup.writeSignatureStore]] is
+    * signature-agnostic, and so is its streaming ingest): even
+    * documents arrive as 4 mtime-ordered micro-batches; `foreachBatch`
+    * BOOTSTRAPS the store on the first batch (48-bit signatures,
+    * 4 bands, 16 band-buckets) and runs guarded partition appends
+    * against the frozen `_layout` for the rest.
+    */
+  private def streamSigStorePath(s: SparkSession, dir: String, tag: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      sigsOf: DataFrame => DataFrame, sigCol: String): String =
+    cache.computeIfAbsent(dir, _ => {
       import graft.ops.Dedup
-      val root = scratchDir("q175stage")
+      val root = scratchDir(s"${tag}stage")
       val in = new java.io.File(root, "in"); in.mkdirs()
       val storeBase =
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
         else System.getProperty("java.io.tmpdir")
-      val storePath = s"$storeBase/graft_stream_imgsig_" +
+      val storePath = s"$storeBase/graft_stream_${tag}_" +
         s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val base = System.currentTimeMillis() - 3600L * 1000
@@ -626,8 +640,8 @@ object StreamingQueries {
         .option("latestFirst", "false")
         .parquet(in.toString)
       val ckRoot =
-        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q175_${runSeq.get()}"
-        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q175_${runSeq.get()}"
+        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_${tag}_${runSeq.get()}"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_${tag}_${runSeq.get()}"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()
@@ -637,12 +651,12 @@ object StreamingQueries {
         val q = stream.writeStream
           .option("checkpointLocation", ckRoot)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val sigs = ExtQueries.imageFixtureSigs(batch)
+            val sigs = sigsOf(batch)
             if (!new java.io.File(storePath, "_layout").isDirectory)
-              Dedup.writeSignatureStore(sigs, "media_id", "ahash",
+              Dedup.writeSignatureStore(sigs, "media_id", sigCol,
                 storePath, bits = 48, bands = 4, sigBuckets = 16)
             else
-              Dedup.appendToSignatureStore(sigs, "media_id", "ahash",
+              Dedup.appendToSignatureStore(sigs, "media_id", sigCol,
                 storePath)
             ()
           }
@@ -660,7 +674,30 @@ object StreamingQueries {
         ExtQueries.imageFixtureSigs(
           s.read.parquet(s"$dir/documents.parquet")
             .filter(col("doc_id") % 2 === 1)),
-        "media_id", "ahash", streamImageSigPath(s, dir), maxHamming = 3)
+        "media_id", "ahash",
+        streamSigStorePath(s, dir, "q175", streamImageSigStores,
+          ExtQueries.imageFixtureSigs, "ahash"),
+        maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+
+  /** Streaming AUDIO-signature ingest — the q175 crawl loop over the
+    * q182 store, closing the modality matrix's last streaming hole:
+    * even documents' clips arrive as 4 micro-batches, each really
+    * decoded + fingerprinted ([[graft.queries.ExtQueries
+    * .audioFixtureSigs]]) and folded into the at-rest store by
+    * `foreachBatch`; the odd documents then probe the stream-built
+    * store as a batch. Judged against q182's cross-pair oracle
+    * VERBATIM: the ingest path cannot change a pair.
+    */
+  private val q189: Q = (s, dir) =>
+    graft.ops.Dedup.dedupAgainstSignatureStore(
+        ExtQueries.audioFixtureSigs(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 2 === 1)),
+        "media_id", "afp",
+        streamSigStorePath(s, dir, "q189", streamAudioSigStores,
+          ExtQueries.audioFixtureSigs, "afp"),
+        maxHamming = 3)
       .orderBy("new_id", "corpus_id")
 
   /** Streaming classifier training — q159's crawl-loop shape for the
@@ -902,6 +939,7 @@ object StreamingQueries {
     "q145_ann_stream_optimize" -> q145,
     "q159_stream_bm25_ingest" -> q159,
     "q175_stream_image_sig" -> q175,
+    "q189_stream_audio_sig" -> q189,
     "q184_stream_nb_ingest" -> q184,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
@@ -1043,6 +1081,9 @@ object StreamingQueries {
     // the stream-built signature store MUST produce exactly q170's
     // cross pairs — micro-batch boundaries cannot change a signature
     "q175_stream_image_sig" -> ExtQueries.imageSigCrossSql,
+    // q182's cross-pair oracle verbatim: the streaming ingest path
+    // cannot change an audio pair
+    "q189_stream_audio_sig" -> ExtQueries.audioSigCrossSql,
 
     // micro-batch boundaries cannot change a posterior: counts are
     // additive, so the stream-built count store serves q173's answer

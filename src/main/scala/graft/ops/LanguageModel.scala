@@ -171,4 +171,137 @@ object LanguageModel {
       spark.read.parquet(s"$modelPath/cb"),
       spark.read.parquet(s"$modelPath/c1"),
       spark.read.parquet(s"$modelPath/vocab"), idCol)
+
+  // ------------------------------------------------- counts at rest (LSM)
+
+  /** The INCREMENTAL at-rest form — the [[NaiveBayes.writeCountBatch]]
+    * machinery ([[CountLsm]]) applied to the generative gate, because
+    * the bigram model's sufficient statistics are additive counts
+    * exactly like NB's: the stored model is an LSM of per-batch COUNT
+    * DELTAS — `cb/bid=<batch>/` (w1, w2, cb) and `tc/bid=<batch>/`
+    * (tok, n — per-token occurrence counts, the V relation) — summed
+    * at read and smoothed by the same [[bigramNll]] arithmetic. The
+    * history counts c1 are DERIVED at read (c1(w1) = Σ_w2 cb(w1,w2)),
+    * so they need no relation of their own; V = |tokens with summed
+    * n ≥ 1|, which shrinks under deletion exactly as a retrain's
+    * would. What the frozen [[writeModel]] tables cannot give you:
+    * folding a new corpus batch into a likelihood is not additive
+    * (every smoothed conditional moves when c1 or V moves), folding it
+    * into counts is.
+    *
+    * Crash safety (the [[graft.ops.Retrieval.appendToBm25Index]]
+    * write-order discipline): bigram deltas land FIRST, token deltas
+    * LAST — [[readCountTables]] admits only batches whose `tc`
+    * partition exists (the commit marker), so a torn write is
+    * invisible until its retry; each batch overwrites only its own
+    * `bid=` partitions, and a batchId already FOLDED by
+    * [[compactCountModel]] is refused via the [[CountLsm.foldedBids]]
+    * ledger — the retry stays idempotent across a compaction.
+    *
+    * The calibration threshold ([[writeModel]]'s `calib/`) is NOT part
+    * of the count store: a median is not an additive statistic — a
+    * production gate recalibrates on an explicit training snapshot
+    * (the freeze is the calibration contract), while the count store
+    * serves the evolving SCORING model.
+    */
+  def writeCountBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: String): Unit =
+    writeCountDeltas(docs, idCol, textCol, path, batchId, negate = false)
+
+  /** UNLEARN a corpus batch — the q181 law for the generative gate:
+    * the batch's counts are re-derived from the SAME docs and appended
+    * NEGATED under their own `bid=` partitions, so the summed model
+    * equals one trained without the batch EXACTLY — vocabulary and
+    * history-count shrinkage included (a zeroed bigram exits cb, a
+    * zeroed token exits V, precisely what a retrain would drop).
+    */
+  def deleteCountBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: String): Unit =
+    writeCountDeltas(docs, idCol, textCol, path, batchId, negate = true)
+
+  private def writeCountDeltas(docs: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: String,
+      negate: Boolean): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be a plain partition token")
+    val spark = docs.sparkSession
+    val root = CountLsm.healedRoot(spark, path)
+    if (CountLsm.foldedBids(spark, root).contains(batchId)) return
+    val sgn = if (negate) lit(-1L) else lit(1L)
+    val cb = bigramTable(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg((count(lit(1)) * sgn).as("cb"))
+    val tc = docs.select(explode(words(textCol)).as("tok"))
+      .groupBy(col("tok"))
+      .agg((count(lit(1)) * sgn).as("n"))
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    cb.write.mode(mode).parquet(s"$root/cb/bid=$batchId")
+    tc.write.mode(mode).parquet(s"$root/tc/bid=$batchId")
+  }
+
+  /** Sum the committed delta partitions into the (cb, c1, vocab)
+    * relations [[scoreBigrams]] consumes — the identical smoothing
+    * arithmetic, so a model assembled from any batch decomposition
+    * equals the one-shot [[bigramNll]] model exactly. Only batches
+    * whose `tc` partition landed are admitted (the commit marker);
+    * folded bids are dropped read-side as belt-and-braces.
+    */
+  private def readCountTables(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    val root = CountLsm.healedRoot(spark, path)
+    val folded = CountLsm.foldedBids(spark, root)
+    val tc0 = CountLsm.dropFolded(spark.read.parquet(s"$root/tc"), folded)
+    val committed = tc0.select(col("bid")).distinct()
+    val cb = CountLsm.dropFolded(spark.read.parquet(s"$root/cb"), folded)
+      .join(broadcast(committed), Seq("bid"), "left_semi")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+      .filter(col("cb") >= 1)
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val vocab = tc0.groupBy(col("tok")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= 1)
+      .agg(count(lit(1)).as("v"))
+    (cb, c1, vocab)
+  }
+
+  /** Score `batch` against the count store's summed model — (id,
+    * n_bigrams, nll) with [[bigramNll]]'s exact arithmetic. Scoring
+    * the training corpus against its own fully-ingested store is
+    * byte-identical to the one-shot [[bigramNll]] (where the counts
+    * live cannot change a score); unseen bigrams/histories land at
+    * the Laplace floor as in [[scoreAgainst]].
+    */
+  def scoreFromCounts(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val (cb, c1, vocab) = readCountTables(spark, path)
+    scoreBigrams(bigramTable(batch, idCol, textCol), cb, c1, vocab, idCol)
+  }
+
+  /** Fold every committed delta partition into one `bid=__compacted`
+    * partition — the count store's OPTIMIZE ([[CountLsm.compactSwap]]):
+    * serve-time reads stop growing with ingest cadence, the summed
+    * counts are the numbers the pre-compaction read produced, and the
+    * folded-bid ledger keeps post-compaction retries idempotent.
+    */
+  def compactCountModel(spark: SparkSession, path: String): Unit = {
+    val root = CountLsm.healedRoot(spark, path)
+    val priorFolded = CountLsm.foldedBids(spark, root)
+    val tc0 = CountLsm.dropFolded(spark.read.parquet(s"$root/tc"), priorFolded)
+    val committed = tc0.select(col("bid")).distinct()
+    // zero-summed rows (ingested then unlearned) are physically dropped
+    // here — compaction doubles as the unlearned data's purge
+    val cb = CountLsm.dropFolded(spark.read.parquet(s"$root/cb"), priorFolded)
+      .join(broadcast(committed), Seq("bid"), "left_semi")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+      .filter(col("cb") =!= 0)
+      .localCheckpoint()
+    val tc = tc0.groupBy(col("tok")).agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .localCheckpoint()
+    val foldedNow = (priorFolded ++
+      committed.collect().map(_.getString(0)).filter(_ != "__compacted")).toSeq
+    CountLsm.compactSwap(spark, path, root, foldedNow) { tmp =>
+      cb.write.parquet(s"$tmp/cb/bid=__compacted")
+      tc.write.parquet(s"$tmp/tc/bid=__compacted")
+    }
+  }
 }

@@ -300,11 +300,7 @@ object NaiveBayes {
     * healed by [[healedRoot]] on the next access.
     */
   def compactCountModel(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    import spark.implicits._
     val root = healedRoot(spark, path)
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val priorFolded = foldedBids(spark, root)
     val lab0 = spark.read.parquet(s"$root/lab")
       .filter(!col("bid").isin(priorFolded.toSeq.map(x => x: Any): _*))
@@ -321,20 +317,10 @@ object NaiveBayes {
     // (the [[writeCountBatch]] retry guard reads this list)
     val foldedNow = (priorFolded ++
       committed.collect().map(_.getString(0)).filter(_ != "__compacted")).toSeq
-    val live = new Path(root)
-    val tmp = new Path(s"$path/.counts_compact_tmp")
-    val old = new Path(s"$path/.counts_old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    tok.write.parquet(s"$tmp/tok/bid=__compacted")
-    lab.coalesce(1).write.parquet(s"$tmp/lab/bid=__compacted")
-    foldedNow.toDF("bid").coalesce(1).write.parquet(s"$tmp/folded")
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compactCountModel: cannot move $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live)
-      throw new java.io.IOException(s"compactCountModel: cannot swap $tmp")
+    CountLsm.compactSwap(spark, path, root, foldedNow) { tmp =>
+      tok.write.parquet(s"$tmp/tok/bid=__compacted")
+      lab.coalesce(1).write.parquet(s"$tmp/lab/bid=__compacted")
     }
-    fs.delete(old, true); ()
   }
 
   /** The count store's `counts/` root, healing the one compaction
@@ -342,27 +328,9 @@ object NaiveBayes {
     * `.counts_old` survives (a crash between compaction's two
     * renames), restore it — no committed batch is ever lost.
     */
-  private def healedRoot(spark: SparkSession, path: String): String = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$path/counts")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$path/.counts_old")
-    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
-    live.toString
-  }
+  private def healedRoot(spark: SparkSession, path: String): String =
+    CountLsm.healedRoot(spark, path)
 
-  /** The bids ever folded into `bid=__compacted` — the ledger
-    * [[compactCountModel]] persists with the compacted partition so a
-    * crash-RETRY of an already-folded batch stays a no-op instead of
-    * double-counting. Driver-side by design: one short string per
-    * batch ever compacted (ingest-cadence-proportional, never
-    * data-proportional).
-    */
-  private[ops] def foldedBids(spark: SparkSession, root: String): Set[String] = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$root/folded")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(p.toString).collect().map(_.getString(0)).toSet
-  }
+  private def foldedBids(spark: SparkSession, root: String): Set[String] =
+    CountLsm.foldedBids(spark, root)
 }

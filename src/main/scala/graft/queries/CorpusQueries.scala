@@ -112,6 +112,74 @@ object CorpusQueries {
     LanguageModel.bigramNll(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q190: the bigram-LM gate's COUNT STORE ([[LanguageModel
+    * .writeCountBatch]] / [[LanguageModel.scoreFromCounts]]) — the
+    * [[graft.ops.NaiveBayes]] count-delta LSM applied to the
+    * generative model (bigram counts are additive sufficient
+    * statistics exactly like NB's): the corpus arrives as three
+    * batches, a mid-loop compaction folds the first two, a
+    * post-compaction RETRY of a folded batch must be a no-op (the
+    * [[graft.ops.CountLsm.foldedBids]] ledger), and the full corpus is
+    * scored from the summed counts. Oracle = q131's VERBATIM: batch
+    * decomposition, compaction, and retries cannot change a score.
+    */
+  private val lmCountStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(lmCountStores)
+  private val q190: Q = (s, dir) => {
+    val path = lmCountStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm_counts_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", p, "b0")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", p, "b1")
+      LanguageModel.compactCountModel(s, p)
+      // the q184 window, for the LM: a crash-retry of an already-folded
+      // batch interleaved with the compaction — must not double-count
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", p, "b0")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", p, "b2")
+      p
+    })
+    LanguageModel.scoreFromCounts(s, path, t(s, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** q191: UNLEARN a corpus batch from the LM count store
+    * ([[LanguageModel.deleteCountBatch]]) — the q181 law for the
+    * generative gate: a takedown batch's counts appended negated leave
+    * the summed model EQUAL to one trained without the batch,
+    * vocabulary and history shrinkage included. The oracle retrains
+    * from scratch on the survivors (q131's SQL restricted to the
+    * surviving slice): unlearn ≡ retrain-without.
+    */
+  private val lmUnlearnStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(lmUnlearnStores)
+  private val q191: Q = (s, dir) => {
+    val path = lmUnlearnStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm_unlearn_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", p, "keep")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", p, "takedown")
+      LanguageModel.deleteCountBatch(
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", p,
+        "del-takedown")
+      p
+    })
+    LanguageModel.scoreFromCounts(s, path,
+        t(s, dir, "documents").filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Held-out scoring against a STORED bigram model
     * ([[LanguageModel.writeModel]] / [[LanguageModel.scoreAgainst]]):
     * the model is trained once on the doc_id % 4 ≠ 3 slice and
@@ -1058,6 +1126,8 @@ object CorpusQueries {
     "q104_exact_k_sample" -> q104,
     "q127_hybrid_rrf" -> q127,
     "q131_bigram_lm" -> q131,
+    "q190_lm_count_store" -> q190,
+    "q191_lm_unlearn" -> q191,
     "q135_bigram_score_heldout" -> q135,
     "q173_nb_classify" -> q173,
     "q174_nb_stored" -> q174,
@@ -1308,6 +1378,32 @@ object CorpusQueries {
     * ONE string for q173 (in-session) and q174 (model at rest): where
     * the counts live cannot change a posterior.
     */
+  /** q131's self-trained bigram-LM SQL, restricted to the docs
+    * matching `pred` on BOTH the training and scoring side — the
+    * retrain-from-scratch oracle the unlearn query (q191) is judged
+    * against; with `TRUE` it is q131's oracle itself, shared verbatim
+    * by the count-store decomposition (q190).
+    */
+  private[queries] def bigramLmSqlFor(pred: String): String =
+    s"""WITH ${ExtQueries.tokensCte},
+       |d AS (SELECT doc_id, w FROM w WHERE $pred),
+       |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM d, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+       |       WHERE len(w) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT u.t) AS v FROM d, UNNEST(d.w) AS u(t)),
+       |scored AS (SELECT bg.doc_id,
+       |                  CAST(round(-ln(CAST(cb.cb + 1 AS DOUBLE)
+       |                                 / CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
+       |                       AS DECIMAL(28,10)) AS c
+       |           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private[queries] val bigramLmSql = bigramLmSqlFor("TRUE")
+
   private[queries] def nbClassifySqlFor(trainPred: String,
       wCte: String = ExtQueries.tokensCte): String =
     s"""WITH $wCte,
@@ -1798,22 +1894,13 @@ object CorpusQueries {
     // the Laplace bigram model replayed relationally: history counts
     // from the bigram relation, vocabulary over ALL tokens, identical
     // double division → ln → round-9 → DECIMAL-sum → round-6 mean
-    "q131_bigram_lm" ->
-      s"""WITH ${ExtQueries.tokensCte},
-         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-         |       FROM w, UNNEST(generate_series(1, len(w)-1)) AS g(i)
-         |       WHERE len(w) >= 2),
-         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-         |vocab AS (SELECT count(DISTINCT u.t) AS v FROM w, UNNEST(w.w) AS u(t)),
-         |scored AS (SELECT bg.doc_id,
-         |                  CAST(round(-ln(CAST(cb.cb + 1 AS DOUBLE)
-         |                                 / CAST(c1.c1 + vocab.v AS DOUBLE)), 9)
-         |                       AS DECIMAL(28,10)) AS c
-         |           FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q131_bigram_lm" -> bigramLmSql,
+    // q131's oracle VERBATIM: batch decomposition, compaction, and
+    // post-compaction retries cannot change a score
+    "q190_lm_count_store" -> bigramLmSql,
+    // unlearn == retrain-without: the oracle trains from scratch on
+    // the surviving slice (q181's law for the generative gate)
+    "q191_lm_unlearn" -> bigramLmSqlFor("doc_id % 4 <> 3"),
 
     // the train/score split replayed relationally: frozen counts and V
     // from the doc_id % 4 <> 3 slice, held-out bigrams LEFT-joined so

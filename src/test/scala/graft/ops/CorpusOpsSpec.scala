@@ -765,6 +765,95 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------------- robust outliers
 
+  test("LM count store: batch decomposition + compaction + folded retry == bigramNll") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a a"), (3L, "b c b"), (4L, "c a b"),
+      (5L, "a"), (6L, "")
+    ).toDF("doc_id", "text")
+    val oneShot = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_counts_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    try {
+      LanguageModel.writeCountBatch(docs.filter($"doc_id" <= 2),
+        "doc_id", "text", path, "b0")
+      LanguageModel.compactCountModel(spark, path)
+      // post-compaction retry of the folded batch: must be a no-op
+      LanguageModel.writeCountBatch(docs.filter($"doc_id" <= 2),
+        "doc_id", "text", path, "b0")
+      LanguageModel.writeCountBatch(docs.filter($"doc_id" > 2),
+        "doc_id", "text", path, "b1")
+      // same-bid retry before compaction: partition overwritten, not doubled
+      LanguageModel.writeCountBatch(docs.filter($"doc_id" > 2),
+        "doc_id", "text", path, "b1")
+      val stored = LanguageModel.scoreFromCounts(spark, path, docs,
+          "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(stored == oneShot)
+    } finally rm(new java.io.File(path))
+  }
+
+  test("LM count store: a torn batch (cb landed, tc did not) is invisible until retried") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_counts_torn"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    try {
+      LanguageModel.writeCountBatch(docs, "doc_id", "text", path, "b0")
+      val torn = Seq((9L, "q q q")).toDF("doc_id", "text")
+      LanguageModel.writeCountBatch(torn, "doc_id", "text", path, "torn")
+      // the commit marker (tc/, written LAST) vanishes; cb deltas survive
+      rm(new java.io.File(s"$path/counts/tc/bid=torn"))
+      val before = LanguageModel.scoreFromCounts(spark, path, docs,
+          "doc_id", "text").orderBy("doc_id").collect().toSeq
+      assert(before == LanguageModel.bigramNll(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+      LanguageModel.writeCountBatch(torn, "doc_id", "text", path, "torn")
+      val after = LanguageModel.scoreFromCounts(spark, path,
+          docs.union(torn), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(after == LanguageModel.bigramNll(docs.union(torn),
+        "doc_id", "text").orderBy("doc_id").collect().toSeq)
+    } finally rm(new java.io.File(path))
+  }
+
+  test("LM unlearn: negative deltas == retrain-without; vocab and history shrink; compaction purges zeros") {
+    val keep = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val takedown = Seq((3L, "c d c")).toDF("doc_id", "text")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_unlearn_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    try {
+      LanguageModel.writeCountBatch(keep, "doc_id", "text", path, "keep")
+      LanguageModel.writeCountBatch(takedown, "doc_id", "text", path, "td")
+      LanguageModel.deleteCountBatch(takedown, "doc_id", "text", path, "del-td")
+      // tokens c and d existed ONLY in the takedown: V must shrink 4 -> 2
+      val unlearned = LanguageModel.scoreFromCounts(spark, path, keep,
+          "doc_id", "text").orderBy("doc_id").collect().toSeq
+      val retrained = LanguageModel.bigramNll(keep, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(unlearned == retrained)
+      // compaction physically drops the zero-summed rows
+      LanguageModel.compactCountModel(spark, path)
+      assert(spark.read.parquet(s"$path/counts/cb")
+        .filter($"w1" === "c" || $"w2" === "c").count() == 0)
+      assert(spark.read.parquet(s"$path/counts/tc")
+        .filter($"tok".isin("c", "d")).count() == 0)
+      assert(LanguageModel.scoreFromCounts(spark, path, keep,
+          "doc_id", "text").orderBy("doc_id").collect().toSeq == retrained)
+    } finally rm(new java.io.File(path))
+  }
+
   test("robustOutliers flags the injected spike and nothing else") {
     val base = (1 to 101).map(i => (i.toLong, "a", 100.0 + (i % 11)))
     val spike = Seq((999L, "a", 10000.0))

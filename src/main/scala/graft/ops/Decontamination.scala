@@ -79,39 +79,128 @@ object Decontamination {
     * replay the build contract exactly.
     */
   def writeBenchIndex(benchmark: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 5, maxBenchShingleDf: Int = 0): Unit = {
+      path: String, k: Int = 5, maxBenchShingleDf: Int = 0): Unit =
+    writeBenchVersion(benchmark, idCol, textCol, path, "v0",
+      k, maxBenchShingleDf)
+
+  /** Add a benchmark VERSION to the index — real pipelines rotate eval
+    * releases (v1 ships, v2 supersedes it, v1 is retired), so the
+    * store is partitioned `bench_sh/ver=<version>/` with one frozen
+    * `_layout` for all of them: k and the df cap are properties of the
+    * INDEX (an overlap count must mean the same thing across
+    * versions), frozen at bootstrap — later versions reuse them and
+    * the passed parameters are ignored. Each version overwrites only
+    * its own partition (idempotent retry); the df cap is applied
+    * within the version (it is a property of that frozen eval set).
+    */
+  def writeBenchVersion(benchmark: DataFrame, idCol: String, textCol: String,
+      path: String, version: String, k: Int = 5,
+      maxBenchShingleDf: Int = 0): Unit = {
+    require(version.matches("[A-Za-z0-9_-]+"),
+      s"version '$version' must be a plain partition token")
     import benchmark.sparkSession.implicits._
-    val mode = org.apache.spark.sql.SaveMode.Overwrite
-    val benchShRaw = Dedup.shingleTable(benchmark, idCol, textCol, k)
+    val spark = benchmark.sparkSession
+    val (kUse, capUse) = layoutOf(spark, path).getOrElse((k, maxBenchShingleDf))
+    val benchShRaw = Dedup.shingleTable(benchmark, idCol, textCol, kUse)
       .toDF("bench_id", "sh")
     val benchSh =
-      if (maxBenchShingleDf <= 0) benchShRaw
+      if (capUse <= 0) benchShRaw
       else {
         val hot = benchShRaw.groupBy("sh")
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxBenchShingleDf)
+          .filter(col("df") > capUse)
           .select("sh")
         benchShRaw.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    benchSh.write.mode(mode).parquet(s"$path/bench_sh")
-    Seq((k, maxBenchShingleDf)).toDF("k", "max_bench_shingle_df")
-      .coalesce(1).write.mode(mode).parquet(s"$path/_layout")
+    benchSh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/bench_sh/ver=$version")
+    if (layoutOf(spark, path).isEmpty)
+      Seq((kUse, capUse)).toDF("k", "max_bench_shingle_df")
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_layout")
+  }
+
+  private def layoutOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some((r.getInt(0), r.getInt(1)))
+    }
+  }
+
+  /** RETIRE a benchmark version — the eval-rotation eviction: one row
+    * appended to the `_retired/` ledger; every probe masks the
+    * version's partition out, so retiring ≡ never having indexed it
+    * (the q166 mask law for this store). The shingles stay on disk
+    * until [[purgeBenchIndex]]; re-retiring is a no-op by read-side
+    * dedup.
+    */
+  def retireBenchVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: String): Unit = {
+    import spark.implicits._
+    Seq(version).toDF("ver").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/_retired")
+  }
+
+  private def retiredVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/_retired")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).collect().map(_.getString(0)).toSet
+  }
+
+  /** Physically remove retired versions' shingle partitions (the
+    * purge): each retired `ver=` directory is deleted whole — no other
+    * partition is touched, no statistics exist to heal. The `_retired`
+    * ledger is kept: a retired version stays retired (re-adding the
+    * eval is a NEW version by contract).
+    */
+  def purgeBenchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/bench_sh")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    retiredVersions(spark, path).foreach { v =>
+      fs.delete(new Path(s"$path/bench_sh/ver=$v"), true)
+    }
   }
 
   /** [[overlapReport]] against the STORED benchmark: the batch is
-    * shingled with the index's frozen k and joined against `bench_sh/`
-    * — broadcast by construction (evals are thousands of docs; the
-    * 100 TB side is the batch, scanned in place and never shuffled).
-    * Where the benchmark shingles live cannot change an overlap count.
+    * shingled with the index's frozen k and joined against the LIVE
+    * (non-retired) versions of `bench_sh/` — broadcast by construction
+    * (evals are thousands of docs; the 100 TB side is the batch,
+    * scanned in place and never shuffled). Where the benchmark
+    * shingles live — and which retired versions still sit on disk —
+    * cannot change an overlap count. With several live versions the
+    * bench relation is deduped on (bench_id, sh) so an eval doc
+    * carried by two releases cannot double-count an overlap; the
+    * single-version store skips that exchange (the q179 plan).
     */
   def overlapFromIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, minOverlap: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     val k = spark.read.parquet(s"$path/_layout").head().getInt(0)
+    val retired = retiredVersions(spark, path)
+    val benchAll = spark.read.parquet(s"$path/bench_sh")
+      .filter(!col("ver").isin(retired.toSeq.map(x => x: Any): _*))
+    val liveVers = benchAll.select(col("ver")).distinct()
+      .collect().map(_.getString(0))
+    val bench0 = benchAll.select(col("bench_id"), col("sh"))
+    val bench =
+      if (liveVers.length <= 1) bench0
+      else bench0.dropDuplicates("bench_id", "sh")
     val corpusSh = Dedup.shingleTable(corpus, idCol, textCol, k)
       .toDF("corpus_id", "sh")
     corpusSh
-      .join(broadcast(spark.read.parquet(s"$path/bench_sh")), "sh")
+      .join(broadcast(bench), "sh")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

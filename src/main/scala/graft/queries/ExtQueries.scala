@@ -1424,6 +1424,43 @@ object ExtQueries {
       .orderBy("corpus_id", "bench_id")
   }
 
+  /** q192: benchmark VERSION rotation at rest ([[Decontamination
+    * .writeBenchVersion]] / [[Decontamination.retireBenchVersion]] /
+    * [[Decontamination.purgeBenchIndex]]) — real pipelines rotate eval
+    * releases, so the frozen bench index gets the delete/replace
+    * lifecycle every other store has (q166's mask law): v1 (the q179
+    * eval slice) stays live; v2 is retired then PURGED (its `ver=`
+    * partition physically dropped); v3 is retired after the purge and
+    * probed under the MASK. Judged output = the q179 probe against the
+    * surviving store; oracle = q78's overlap SQL VERBATIM — a retired
+    * version ≡ one never indexed, in every overlap count.
+    */
+  private val benchVerIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(benchVerIndexes)
+  private val q192: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = benchVerIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bench_ver_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Decontamination.writeBenchVersion(
+        docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", p, "v1",
+        k = 5)
+      Decontamination.writeBenchVersion(
+        docs.filter(col("doc_id") % 20 === 13), "doc_id", "text", p, "v2")
+      Decontamination.retireBenchVersion(s, p, "v2")
+      Decontamination.purgeBenchIndex(s, p)
+      Decontamination.writeBenchVersion(
+        docs.filter(col("doc_id") % 20 === 3), "doc_id", "text", p, "v3")
+      Decontamination.retireBenchVersion(s, p, "v3")
+      p
+    })
+    Decontamination.overlapFromIndex(
+        docs.filter(col("doc_id") % 20 =!= 7), "doc_id", "text",
+        path, minOverlap = 3)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Gopher-style repetition quality signals
     * ([[TextAnalysis.repetitionSignals]]): duplicate-token fraction,
     * duplicate-bigram fraction, top-bigram fraction per document —
@@ -1626,6 +1663,7 @@ object ExtQueries {
     "q183_sig_store_optimize" -> q183,
     "q78_decontamination" -> q78,
     "q179_decontam_stored" -> q179,
+    "q192_bench_version_retire" -> q192,
     "q79_repetition" -> q79,
     "q81_pii_scrub" -> q81,
     "q82_kmeans" -> q82,
@@ -2676,6 +2714,9 @@ object ExtQueries {
     // the stored benchmark index MUST reproduce the from-text overlap
     // report exactly — where the eval shingles live cannot change it
     "q179_decontam_stored" -> decontaminationSql,
+    // q78's overlap SQL verbatim: a retired (or retired-and-purged)
+    // benchmark version ≡ one never indexed, in every overlap count
+    "q192_bench_version_retire" -> decontaminationSql,
 
     "q79_repetition" ->
       s"""WITH $tokensCte,

@@ -122,4 +122,51 @@ class DecontaminationSpec extends SparkSpec {
       assert(fromIndex.exists(_._1 == 1L))
     } finally rm(new java.io.File(dir))
   }
+
+  test("bench versions: union of live versions; retire == never indexed; purge physical; k frozen") {
+    val benchV1 = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val benchV2 = Seq(
+      (201L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "red green blue cyan magenta yellow black"),
+      (3L, "totally unrelated content about spark engines here"),
+    ).toDF("doc_id", "text")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_ver_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    def probe() = Decontamination
+      .overlapFromIndex(corpus, "doc_id", "text", dir, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    rm(new java.io.File(dir))
+    try {
+      Decontamination.writeBenchVersion(benchV1, "doc_id", "text", dir,
+        "v1", k = 5)
+      val v1Only = probe()
+      assert(v1Only.exists(_._2 == 101L) && !v1Only.exists(_._2 == 201L))
+      // a second version: the probe sees the UNION of live versions;
+      // its k=9 argument is IGNORED (layout frozen at bootstrap)
+      Decontamination.writeBenchVersion(benchV2, "doc_id", "text", dir,
+        "v2", k = 9)
+      val both = probe()
+      assert(both.exists(_._2 == 101L) && both.exists(_._2 == 201L))
+      // retiring v2 ≡ never having indexed it
+      Decontamination.retireBenchVersion(spark, dir, "v2")
+      assert(probe() == v1Only)
+      // double retire: no-op
+      Decontamination.retireBenchVersion(spark, dir, "v2")
+      assert(probe() == v1Only)
+      // purge drops v2's partition physically, changes no overlap
+      Decontamination.purgeBenchIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/bench_sh/ver=v2").exists)
+      assert(new java.io.File(s"$dir/bench_sh/ver=v1").isDirectory)
+      assert(probe() == v1Only)
+      // an eval doc carried by two live releases must not double-count
+      Decontamination.writeBenchVersion(benchV1, "doc_id", "text", dir, "v3")
+      assert(probe() == v1Only)
+    } finally rm(new java.io.File(dir))
+  }
 }

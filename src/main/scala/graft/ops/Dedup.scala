@@ -1175,6 +1175,66 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
   }
 
+  /** JUDGED recall contract for the Hamming banding family — the
+    * [[minhashRecallContract]] question asked of the media-dedup
+    * detectors (q158/q170/q177/q185 all stand on bands > distance
+    * pigeonhole coverage): what fraction of the EXACT Hamming ≤ h
+    * pairs does the banded detector surface, per (bands, maxHamming)
+    * configuration? For a valid configuration (maxHamming < bands) the
+    * pigeonhole makes recall exactly 1.0 — deterministic, not
+    * probabilistic — so the contract's bound is 1.0 and any slicing
+    * bug (band mask off-by-one, bkey truncation, a band dropped)
+    * fails it; a config whose banding CANNOT cover the verify
+    * threshold (maxHamming ≥ bands) is measured rather than rejected,
+    * so the contract CATCHES it (recall < 1 on any corpus with a
+    * cross-band-distance pair).
+    *
+    * Truth is computed independently of banding: a corpus-capped probe
+    * slice (id ≡ 7 mod `probeMod` — the q112 convention) is broadcast
+    * against the full signature relation for an exact `bit_count(xor)`
+    * scan, so truth cost is |corpus|·|probes|, never |corpus|².
+    * Output: (method, n_true, recall_ok) per configuration.
+    */
+  def hammingRecallContract(sig: DataFrame, idCol: String, sigCol: String,
+      bits: Int, probeMod: Int = 50,
+      configs: Seq[(Int, Int, Double)] = Seq((4, 3, 1.0), (6, 3, 1.0)))
+      : DataFrame = {
+    val rel = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = rel.select(col("id").as("pid"), col("sig").as("psig"))
+      .filter(pmod(col("pid"), lit(probeMod.toLong)) === 7)
+    val rows = configs.map { case (bands, maxHamming, bound) =>
+      val truth = rel.crossJoin(broadcast(probes))
+        .filter(col("id") =!= col("pid"))
+        .filter(hammingDistance(col("sig"), col("psig")) <= maxHamming)
+        .select(col("pid"), col("id").as("cid"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      // banding is independent of the verify threshold; clamp only the
+      // precondition argument so beyond-pigeonhole configs are MEASURED
+      val clamp = math.min(maxHamming, bands - 1)
+      val a = bandedSig(probes, "pid", "psig", bits, bands, clamp)
+        .select(col("id").as("pid"), col("sig").as("sig_a"),
+          col("band"), col("bkey"))
+      val b = bandedSig(rel, "id", "sig", bits, bands, clamp)
+        .select(col("id").as("cid"), col("sig").as("sig_b"),
+          col("band"), col("bkey"))
+      val cand = a.join(b, Seq("band", "bkey"))
+        .filter(col("pid") =!= col("cid"))
+        .filter(hammingDistance(col("sig_a"), col("sig_b")) <= maxHamming)
+        .select(col("pid"), col("cid"))
+        .dropDuplicates("pid", "cid")
+      truth.join(cand, Seq("pid", "cid"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nTrue))
+        .select(
+          lit(s"hamming_${bits}b_${bands}x_h$maxHamming").as("method"),
+          col("n_true"),
+          (col("n_hit").cast("double") >=
+            lit(bound) * col("n_true").cast("double")).as("recall_ok"))
+    }
+    CacheLifecycle.resolveAndRelease(rows.reduce(_.unionByName(_)), rel)
+  }
+
   /** Full-store Hamming pair sweep — the MAINTENANCE pass's pair
     * source: keep-best / cluster decisions over the whole media corpus
     * read the store's at-rest `bands/` relation (already banded,

@@ -54,6 +54,25 @@ object ExtQueries {
         threshold = 0.5, shingleK = 3)
       .orderBy("method")
 
+  /** Hamming-banding recall contract ([[graft.ops.Dedup
+    * .hammingRecallContract]]) — q176's judged-recall question asked
+    * of the MEDIA dedup family (q158/q164/q170/q177/q185 all stand on
+    * bands > distance pigeonhole coverage): over the really-decoded
+    * image fixture's 48-bit aHashes, the banded detector must surface
+    * EVERY exact Hamming ≤ 3 pair of the probe slice (pigeonhole is
+    * deterministic, so the judged bound is recall = 1.0 — for both the
+    * production 4-band config and a 6-band one). The oracle recomputes
+    * n_true from the exact pair SQL and emits literal TRUE; the
+    * beyond-pigeonhole failure mode (a config whose banding cannot
+    * cover its verify threshold) is caught in `SimhashNearDupSpec`.
+    */
+  private val q193: Q = (s, dir) =>
+    Dedup.hammingRecallContract(
+        imageFixtureSigs(t(s, dir, "documents")), "media_id", "ahash",
+        bits = 48, probeMod = 50,
+        configs = Seq((4, 3, 1.0), (6, 3, 1.0)))
+      .orderBy("method")
+
   /** SimHash: 32-bit signature over unigram tokens (relation form — one
     * hash per token, single grouped aggregation). 32 bits is the
     * scale-safe default width ([[Dedup.simhashTable]]): the narrow
@@ -1609,6 +1628,7 @@ object ExtQueries {
     "q20_dedup_exact" -> q20,
     "q21_minhash_neardup" -> q21,
     "q176_minhash_recall" -> q176,
+    "q193_hamming_recall" -> q193,
     "q22_simhash" -> q22,
     "q23_text_quality" -> q23,
     "q24_lang_id" -> q24,
@@ -2035,6 +2055,34 @@ object ExtQueries {
          |SELECT m.method, tp.n_true, true AS recall_ok
          |FROM (VALUES ('minhash_16x8'), ('minhash_8x4')) m(method) CROSS JOIN tp
          |ORDER BY method""".stripMargin,
+
+    // the exact probe-slice truth recomputed over the aHash CTEs (the
+    // banded detector's hit counts are engine-side; the recall-1.0
+    // floors are the judged assertion — pigeonhole is deterministic)
+    "q193_hamming_recall" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+        |       FROM sig c JOIN sig p
+        |         ON p.doc_id % 50 = 7 AND c.doc_id <> p.doc_id
+        |       WHERE bit_count(xor(c.h, p.h)) <= 3)
+        |SELECT m.method, tp.n_true, true AS recall_ok
+        |FROM (VALUES ('hamming_48b_4x_h3'), ('hamming_48b_6x_h3')) m(method)
+        |CROSS JOIN tp
+        |ORDER BY method""".stripMargin,
 
     "q22_simhash" ->
       s"""WITH $tokensCte,

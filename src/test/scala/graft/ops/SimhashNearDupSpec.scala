@@ -58,6 +58,44 @@ class SimhashNearDupSpec extends SparkSpec {
     assert(selfed == 0)
   }
 
+  test("hamming recall contract: valid configs hit 1.0; beyond-pigeonhole config caught") {
+    // 60 signatures in 4-member families whose members differ in up to
+    // 3 LOW bits of one band; plus one engineered CROSS-band pair at
+    // hamming 4 (bits 0 and 12 flipped -> two bands touched)
+    val base = spark.range(60).select(col("id").as("doc_id"),
+      (shiftright(col("id"), 2) * 1664525 + 1013904223)
+        .bitwiseAND(lit((1L << 48) - 1))
+        .bitwiseXOR(shiftleft(col("id") % 4, 1)).as("s"))
+    // probes are id % 50 == 7 (ids 7 and 57)
+    val truthAt = (h: Int) => {
+      val a = base.toDF("pid", "psig")
+      base.crossJoin(a.filter(col("pid") % 50 === 7))
+        .filter(col("doc_id") =!= col("pid"))
+        .filter(Dedup.hammingDistance(col("s"), col("psig")) <= h)
+        .count()
+    }
+    assert(truthAt(3) > 0)
+    val ok = Dedup.hammingRecallContract(base, "doc_id", "s", bits = 48,
+        probeMod = 50, configs = Seq((4, 3, 1.0), (6, 3, 1.0)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(ok == Map("hamming_48b_4x_h3" -> true, "hamming_48b_6x_h3" -> true))
+    // beyond pigeonhole: verify at hamming <= 4 with only 4 bands —
+    // a pair spreading its 4 flips across all 4 bands shares no band
+    // slice and is MISSED; the contract must report the broken config.
+    // id 997 ≡ 7 (mod 990) makes the engineered pair's left side a probe.
+    val withCross = base.unionByName(
+      Seq((997L, 0L), (998L, 1L | (1L << 12) | (1L << 24) | (1L << 36)))
+        .toDF("doc_id", "s"))
+    val broken = Dedup.hammingRecallContract(withCross, "doc_id", "s",
+        bits = 48, probeMod = 990, configs = Seq((4, 4, 1.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // probe 997 truly pairs with 998 at hamming 4, but no band slice is
+    // shared: recall_ok must be FALSE under the 1.0 bound
+    assert(broken.head._2 >= 1L)
+    assert(!broken.head._3,
+      "a banding that cannot cover its verify threshold must fail the contract")
+  }
+
   test("full-store pair sweep == the in-session detector; tombstones masked") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {

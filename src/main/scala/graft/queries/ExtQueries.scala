@@ -1141,6 +1141,51 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** q194: the image crawl loop's MAINTENANCE PASS composed end to end
+    * — the law the pieces (q170 probe, q171 delete, q187 stored
+    * keep-best) individually establish, run as one lifecycle: the
+    * stored corpus (evens; write + append) gets a keep-best decision
+    * pass ENTIRELY from the store (q187's sweep — no pixels), the
+    * losers are EVICTED ([[graft.ops.Dedup.deleteFromSignatureStore]] +
+    * purge), and a new batch (odds) probes the surviving store. After
+    * maintenance, new content dedups only against surviving canonical
+    * media — the oracle recomputes the evens' keep-best closure and
+    * restricts the cross-pair corpus side to the keepers.
+    */
+  private val sigMaintStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(sigMaintStores)
+  private val q194: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = sigMaintStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_imgsig_maint_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 4 === 0)),
+        "media_id", "ahash", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 4 === 2)),
+        "media_id", "ahash", p)
+      // decision pass from the store (q187), losers leave it (q171)
+      val losers = Dedup.keepBest(
+          s.read.parquet(s"$p/sigs")
+            .select(col("media_id"), lit(0L).as("score")),
+          "media_id",
+          Dedup.hammingPairsFromSignatureStore(s, p, maxHamming = 3)
+            .select(col("id_a"), col("id_b")),
+          "score")
+        .filter(!col("is_keeper"))
+        .select(col("media_id"))
+      Dedup.deleteFromSignatureStore(losers, "media_id", p)
+      Dedup.purgeSignatureStore(s, p)
+      p
+    })
+    Dedup.dedupAgainstSignatureStore(
+        imageFixtureSigs(docs.filter(col("doc_id") % 2 === 1)),
+        "media_id", "ahash", path, maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** q188: q187's stored keep-best for AUDIO — the modality matrix
     * closed on the decision side: the full corpus's 48-bit audio
     * fingerprints live in a q182-shaped store (write evens + APPEND
@@ -1678,6 +1723,7 @@ object ExtQueries {
     "q164_image_keep_best" -> q164,
     "q187_keep_best_stored_sig" -> q187,
     "q188_audio_keep_best" -> q188,
+    "q194_sig_store_maintenance" -> q194,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
     "q183_sig_store_optimize" -> q183,
@@ -2597,6 +2643,49 @@ object ExtQueries {
     "q187_keep_best_stored_sig" -> imageKeepBestSql,
     // the audio analog: q177's fingerprint CTEs + the same closure tail
     "q188_audio_keep_best" -> audioKeepBestSql,
+    // the maintenance-pass law: after stored keep-best + eviction, a
+    // new batch pairs ONLY against the evens' surviving keepers — the
+    // oracle recomputes the evens' closure and keeper window, then
+    // restricts q170's cross-pair SQL to them
+    "q194_sig_store_maintenance" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |         ((((d.doc_id // 4) * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+        |         ((((d.doc_id // 4) * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+        |         ((((d.doc_id // 4) * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+        |  FROM documents d,
+        |       UNNEST(generate_series(0, 7)) AS x(x),
+        |       UNNEST(generate_series(0, 5)) AS y(y)),
+        |g1 AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM px),
+        |s1 AS (SELECT doc_id, sum(gray) AS sg FROM g1 GROUP BY 1),
+        |sig AS (SELECT g1.doc_id,
+        |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+        |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+        |                             ELSE 0 END) AS BIGINT) AS h
+        |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
+        |ev AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |          FROM ev a JOIN ev b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |r(id, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+        |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+        |lab AS (SELECT e.doc_id AS media_id, coalesce(cl.rep, e.doc_id) AS cluster_id
+        |        FROM ev e LEFT JOIN cl ON cl.id = e.doc_id),
+        |keep AS (SELECT media_id FROM (
+        |           SELECT media_id, row_number() OVER (PARTITION BY cluster_id
+        |                                               ORDER BY media_id ASC) AS rk
+        |           FROM lab) WHERE rk = 1)
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id % 2 = 1 AND b.doc_id IN (SELECT media_id FROM keep)
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

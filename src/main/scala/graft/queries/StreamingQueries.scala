@@ -782,6 +782,86 @@ object StreamingQueries {
         graft.ops.NaiveBayes.readCountModel(s, streamNbPath(s, dir)))
       .orderBy("doc_id")
 
+  /** Streaming bigram-LM count ingest — q184's crawl loop for the
+    * GENERATIVE gate ([[graft.ops.LanguageModel.writeCountBatch]]):
+    * three mtime-ordered micro-batches (doc_id % 4 ∈ {0,1,2}) are each
+    * folded into the count-delta LSM by `foreachBatch` (batchId =
+    * micro-batch id — Structured Streaming's restart semantics REPLAY a
+    * batch id after a crash, and the store's idempotent per-bid
+    * overwrite plus the folded-bid ledger make the retry exact), and
+    * the ingested slice is scored from the summed counts. Oracle =
+    * q191's retrain-from-scratch SQL VERBATIM — the stream-built count
+    * store and the unlearn route must land on the same model.
+    */
+  private val streamLmStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    streamLmStores.values().forEach(p => rm(new java.io.File(p)))
+  }))
+  private def streamLmPath(s: SparkSession, dir: String): String =
+    streamLmStores.computeIfAbsent(dir, _ => {
+      import graft.ops.LanguageModel
+      val root = scratchDir("q195stage")
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val storeBase =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val storePath = s"$storeBase/graft_stream_lm_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (k <- 0 to 2) {
+        val tmp = new java.io.File(root, s"tmp$k")
+        docs.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      val ckRoot =
+        if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q195_${runSeq.get()}"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q195_${runSeq.get()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckRoot))
+      try {
+        val q = stream.writeStream
+          .option("checkpointLocation", ckRoot)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            LanguageModel.writeCountBatch(batch, "doc_id", "text",
+              storePath, s"mb$bid")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        rm(new java.io.File(ckRoot))
+        rm(root)
+      }
+      storePath
+    })
+
+  private val q195: Q = (s, dir) =>
+    graft.ops.LanguageModel.scoreFromCounts(s, streamLmPath(s, dir),
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Streaming LM quality gate — q117's maintained-state loop for the
     * perplexity filter ([[graft.ops.LanguageModel]]): the bigram model
     * is trained + calibrated ONCE on the doc_id % 4 = 0 slice and
@@ -941,6 +1021,7 @@ object StreamingQueries {
     "q175_stream_image_sig" -> q175,
     "q189_stream_audio_sig" -> q189,
     "q184_stream_nb_ingest" -> q184,
+    "q195_stream_lm_counts" -> q195,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
   )
@@ -1088,6 +1169,9 @@ object StreamingQueries {
     // micro-batch boundaries cannot change a posterior: counts are
     // additive, so the stream-built count store serves q173's answer
     "q184_stream_nb_ingest" -> CorpusQueries.nbClassifySql,
+    // q191's retrain-from-scratch SQL verbatim: the stream-built count
+    // store and the unlearn route must land on the same model
+    "q195_stream_lm_counts" -> CorpusQueries.bigramLmSqlFor("doc_id % 4 <> 3"),
 
     // the streaming gate replayed in one pass: frozen counts + V from
     // the doc_id % 4 = 0 train slice, the calibration threshold = the

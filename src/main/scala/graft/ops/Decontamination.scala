@@ -188,6 +188,22 @@ object Decontamination {
       path: String, minOverlap: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     val k = spark.read.parquet(s"$path/_layout").head().getInt(0)
+    overlapFromIndexShingles(
+      Dedup.shingleTable(corpus, idCol, textCol, k).toDF("corpus_id", "sh"),
+      path, minOverlap)
+  }
+
+  /** The probe over an ALREADY-SHINGLED corpus relation (corpus_id,
+    * sh) — the shared-tokenize composition hook: a pipeline that has
+    * the corpus's shingle relation in hand (q196's one-tokenize
+    * curation pass) probes the stored benchmark without re-reading
+    * text. The caller owns shingling at the index's frozen k; the
+    * version mask and multi-live dedup are identical to
+    * [[overlapFromIndex]]'s (this IS its tail).
+    */
+  def overlapFromIndexShingles(corpusSh: DataFrame, path: String,
+      minOverlap: Int = 3): DataFrame = {
+    val spark = corpusSh.sparkSession
     val retired = retiredVersions(spark, path)
     val benchAll = spark.read.parquet(s"$path/bench_sh")
       .filter(!col("ver").isin(retired.toSeq.map(x => x: Any): _*))
@@ -197,8 +213,6 @@ object Decontamination {
     val bench =
       if (liveVers.length <= 1) bench0
       else bench0.dropDuplicates("bench_id", "sh")
-    val corpusSh = Dedup.shingleTable(corpus, idCol, textCol, k)
-      .toDF("corpus_id", "sh")
     corpusSh
       .join(broadcast(bench), "sh")
       .groupBy("corpus_id", "bench_id")

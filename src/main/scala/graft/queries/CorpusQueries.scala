@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BloomPrune, Chunking, Dedup, LanguageModel, NaiveBayes, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomPrune, Chunking, Decontamination, Dedup, LanguageModel, NaiveBayes, Outliers, PageRank, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1069,6 +1069,68 @@ object CorpusQueries {
     graft.ops.CacheLifecycle.resolveAndRelease(out, sig.base)
   }
 
+  /** q196: q114's curation pipeline run OFF ITS AT-REST INDEXES — the
+    * capstone of the round-16/17 "decisions read the index you already
+    * paid for" arc: the dedup pair relation comes from the STORED
+    * shingle index of the gated corpus ([[Dedup.jaccardFromIndex]] —
+    * q144's source), the gate's contamination leg probes the STORED
+    * benchmark index ([[graft.ops.Decontamination
+    * .overlapFromIndexShingles]] — q179's store, fed by the pipeline's
+    * ONE tokenize rather than a re-read of text), and only the
+    * stateless per-document signals (language/quality/repetition/
+    * exact-dup hash) are computed in-session — they have no state to
+    * store. Output and oracle are q114's VERBATIM: the decision
+    * relation a training pipeline writes cannot depend on whether its
+    * pair source and contamination probe were in-session or at rest.
+    * At 100 TB the difference is the whole game: the periodic curation
+    * pass re-reads indexes (corpus-metadata-sized), not the corpus.
+    */
+  private val curationStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(curationStoreDirs)
+  private val q196: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val root = curationStoreDirs.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_curation_ix_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      // the eval split's bench index, frozen at the gate's (k=5, cap 0)
+      Decontamination.writeBenchIndex(
+        docs.filter(col("doc_id") % 20 === 7), "doc_id", "text",
+        s"$p/bench", k = 5)
+      // the GATED corpus's shingle index — the pair source the
+      // maintenance pass reads (built once, here; maintained by the
+      // q140/q167 append/delete lifecycle in production)
+      val gated = docs.join(
+        ExtQueries.curationGate(docs).select(col("doc_id")),
+        Seq("doc_id"), "leftsemi")
+      Dedup.writeStoredIndex(
+        Dedup.buildShingleIndex(gated, "doc_id", "text", shingleK = 3),
+        "doc_id", s"$p/shingle")
+      p
+    })
+    val sig = graft.ops.CurationSignals.build(docs, "doc_id", "text")
+    val contaminated = Decontamination.overlapFromIndexShingles(
+        sig.shingles(5).filter(col("doc_id") % 20 =!= 7)
+          .select(col("doc_id").as("corpus_id"), col("sh")),
+        s"$root/bench", minOverlap = 3)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val gate = ExtQueries.curationGateFromSignals(sig, Some(contaminated))
+      .localCheckpoint()
+    val pairs = Dedup.jaccardFromIndex(
+        Dedup.readStoredIndex(s, "doc_id", s"$root/shingle"),
+        "doc_id", threshold = 0.5, maxShingleDf = 1000)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.duplicateClusters(pairs).toDF("doc_id", "cluster_id")
+    val gated = docs.select(col("doc_id"), col("n_chars"))
+      .join(gate.select("doc_id"), Seq("doc_id"), "leftsemi")
+    val out = Dedup.keepBestWithClusters(gated, "doc_id", clusters, "n_chars")
+      .join(gate.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("is_keeper"),
+        Sampling.splitOn(col("cluster_id")).as("split"), col("quality"))
+      .orderBy("doc_id")
+    graft.ops.CacheLifecycle.resolveAndRelease(out, sig.base)
+  }
+
   /** SemDeDup ([[Similarity.semDedup]]): k-means semantic partition
     * (q82's exact one-round Lloyd) ∧ LSH-blocked exact-cosine near-dup
     * pairs (q28's 8-plane blocking, cosine ≥ 0.35) → within-cell
@@ -1088,6 +1150,7 @@ object CorpusQueries {
   val all: Map[String, Q] = Map(
     "q105_approx_percentile" -> q105,
     "q114_curation_pipeline" -> q114,
+    "q196_curation_at_rest" -> q196,
     "q115_semdedup" -> q115,
     "q112_ann_recall" -> q112,
     "q156_pq_recall" -> q156,
@@ -1378,6 +1441,55 @@ object CorpusQueries {
     * ONE string for q173 (in-session) and q174 (model at rest): where
     * the counts live cannot change a posterior.
     */
+  /** q114's end-to-end pipeline SQL — the gate CTE block (literally
+    * q84's), the gated 3-gram Jaccard pair pipeline, the recursive
+    * closure, the keeper window, and the cluster-hash split. Shared
+    * VERBATIM by q196 (the same pipeline run off its at-rest indexes):
+    * a decision relation is a property of the gate and the pair
+    * relation, not of where either was read from.
+    */
+  private[queries] val curationPipelineSql: String =
+    s"""WITH RECURSIVE ${ExtQueries.curationGateCtes},
+       |sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |        FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
+       |        WHERE len(w) >= 3),
+       |shg AS (SELECT * FROM sh3 SEMI JOIN gate USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+       |hot AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) > 1000),
+       |post AS (SELECT * FROM shg ANTI JOIN hot USING (sh)),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |r(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
+       |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+       |lab AS (SELECT g.doc_id, d.n_chars, g.quality,
+       |               coalesce(cl.rep, g.doc_id) AS cluster_id
+       |        FROM gate g
+       |        JOIN documents d ON d.doc_id = g.doc_id
+       |        LEFT JOIN cl ON cl.id = g.doc_id),
+       |u AS (SELECT *,
+       |             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT)
+       |               / 16777216.0 AS uu
+       |      FROM lab)
+       |SELECT doc_id, cluster_id,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper,
+       |       CASE WHEN uu < 0.8 THEN 'train'
+       |            WHEN uu < 0.9 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       quality
+       |FROM u ORDER BY doc_id""".stripMargin
+
   /** q131's self-trained bigram-LM SQL, restricted to the docs
     * matching `pred` on BOTH the training and scoring side — the
     * retrain-from-scratch oracle the unlearn query (q191) is judged
@@ -1680,47 +1792,11 @@ object CorpusQueries {
     // per-stage oracle composition: q84's gate CTEs verbatim → shingles
     // restricted to the gated corpus → q92's pair CTE → q110/q111's
     // recursive closure → keeper window + representative-hash split
-    "q114_curation_pipeline" ->
-      s"""WITH RECURSIVE ${ExtQueries.curationGateCtes},
-         |sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-         |        FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS g(i)
-         |        WHERE len(w) >= 3),
-         |shg AS (SELECT * FROM sh3 SEMI JOIN gate USING (doc_id)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
-         |hot AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) > 1000),
-         |post AS (SELECT * FROM shg ANTI JOIN hot USING (sh)),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |          FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes na ON na.doc_id = id_a
-         |  JOIN sizes nb ON nb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |r(id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.reach FROM edges e JOIN r ON e.dst = r.id),
-         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
-         |lab AS (SELECT g.doc_id, d.n_chars, g.quality,
-         |               coalesce(cl.rep, g.doc_id) AS cluster_id
-         |        FROM gate g
-         |        JOIN documents d ON d.doc_id = g.doc_id
-         |        LEFT JOIN cl ON cl.id = g.doc_id),
-         |u AS (SELECT *,
-         |             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT)
-         |               / 16777216.0 AS uu
-         |      FROM lab)
-         |SELECT doc_id, cluster_id,
-         |       (row_number() OVER (PARTITION BY cluster_id
-         |                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS is_keeper,
-         |       CASE WHEN uu < 0.8 THEN 'train'
-         |            WHEN uu < 0.9 THEN 'val'
-         |            ELSE 'test' END AS split,
-         |       quality
-         |FROM u ORDER BY doc_id""".stripMargin,
+    "q114_curation_pipeline" -> curationPipelineSql,
+    // q114's oracle VERBATIM: the pipeline's decision relation cannot
+    // depend on whether its pair source and contamination probe were
+    // computed in-session or read from the at-rest indexes
+    "q196_curation_at_rest" -> curationPipelineSql,
 
     "q111_keep_best" -> keepBestOracle,
 

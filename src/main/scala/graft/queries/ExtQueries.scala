@@ -1620,8 +1620,16 @@ object ExtQueries {
     * oracle is untouched. Returns the LAZY gate plan; the caller owns
     * the base pin's release.
     */
+  /** @param contaminatedIds when Some, the gate's contamination leg is
+    *   supplied externally (a `doc_id` relation — q196 sources it from
+    *   the STORED bench index via [[graft.ops.Decontamination
+    *   .overlapFromIndexShingles]]); None keeps the inline q84/q114
+    *   computation over `sig`'s own 5-gram shingles.
+    */
   private[queries] def curationGateFromSignals(
-      sig: graft.ops.CurationSignals): org.apache.spark.sql.DataFrame = {
+      sig: graft.ops.CurationSignals,
+      contaminatedIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val base = sig.base
     val tok = sig.tokens
     // every per-doc token aggregate in ONE grouped pass (map-side combined)
@@ -1645,15 +1653,18 @@ object ExtQueries {
       ((col("n_tok") - col("n_tok_d")).cast("double") /
         col("n_tok").cast("double")).as("dup_token_frac"))
     // 5-gram contamination shingles from the SAME token relation
-    val sh5 = sig.shingles(5)
-    val benchSh = sh5.filter(col("doc_id") % 20 === 7)
-      .select(col("doc_id").as("bench_id"), col("sh"))
-    val contaminated = sh5.filter(col("doc_id") % 20 =!= 7)
-      .join(benchSh, "sh")
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= 3)
-      .select(col("doc_id")).distinct()
+    // (unless the caller supplies the relation — q196's stored probe)
+    val contaminated = contaminatedIds.getOrElse {
+      val sh5 = sig.shingles(5)
+      val benchSh = sh5.filter(col("doc_id") % 20 === 7)
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      sh5.filter(col("doc_id") % 20 =!= 7)
+        .join(benchSh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+        .select(col("doc_id")).distinct()
+    }
     // exact-dup keepers ride the cached base relation's hash column
     val keepers = base.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))

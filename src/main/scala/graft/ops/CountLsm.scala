@@ -59,11 +59,36 @@ private[ops] object CountLsm {
       folded: Set[String]): org.apache.spark.sql.DataFrame =
     df.filter(!col("bid").isin(folded.toSeq.map(x => x: Any): _*))
 
+  /** Read a `bid=`-partitioned delta relation with the partition column
+    * pinned back to STRING: batch ids are string tokens by contract,
+    * but Spark's partition-type inference re-types an all-digit
+    * directory name ("bid=2024") as int, which would break every
+    * string-keyed ledger comparison and `getString` collect downstream.
+    * Every store read goes through here so the bid column's type is a
+    * property of the contract, not of which batch ids happen to exist.
+    */
+  def readDeltas(spark: SparkSession, root: String,
+      sub: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(s"$root/$sub")
+    df.withColumn("bid", col("bid").cast("string"))
+  }
+
   /** The compaction swap: `writeTmp` populates a fresh root at `tmp`
     * (the caller writes its folded `bid=__compacted` relations there),
     * this persists the accumulated folded-bid ledger beside them, then
     * swaps live→old, tmp→live. The one crash window between the two
     * renames is healed by [[healedRoot]] on the next access.
+    *
+    * SINGLE-WRITER CONTRACT: the count stores assume one maintenance
+    * writer at a time (the standard LSM discipline — ingest batches
+    * may interleave with each other because each owns its `bid=`
+    * partition, but compaction must not race an ingest: a
+    * `writeCountBatch` interleaving with this swap could land its
+    * delta partitions in the root being renamed aside while its commit
+    * marker lands in the new root, leaving a marker with no counts).
+    * The [[foldedBids]] ledger covers sequential retries only; run
+    * compaction from the one scheduler that owns the store's
+    * maintenance window, exactly as the BM25/ANN compactions are run.
     */
   def compactSwap(spark: SparkSession, path: String, root: String,
       foldedNow: Seq[String])(writeTmp: String => Unit): Unit = {

@@ -96,11 +96,20 @@ object Decontamination {
   def writeBenchVersion(benchmark: DataFrame, idCol: String, textCol: String,
       path: String, version: String, k: Int = 5,
       maxBenchShingleDf: Int = 0): Unit = {
-    require(version.matches("[A-Za-z0-9_-]+"),
-      s"version '$version' must be a plain partition token")
+    requireVersionToken(version)
     import benchmark.sparkSession.implicits._
     val spark = benchmark.sparkSession
     val (kUse, capUse) = layoutOf(spark, path).getOrElse((k, maxBenchShingleDf))
+    // freeze the layout BEFORE the version's shingles land: probes
+    // require `_layout` to exist, so a crash between the two writes
+    // must leave a layout with no shingles (harmless — the version
+    // retry rebuilds at the frozen k), never shingles built at a k a
+    // later bootstrap could silently re-freeze differently
+    if (layoutOf(spark, path).isEmpty)
+      Seq((kUse, capUse)).toDF("k", "max_bench_shingle_df")
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/_layout")
     val benchShRaw = Dedup.shingleTable(benchmark, idCol, textCol, kUse)
       .toDF("bench_id", "sh")
     val benchSh =
@@ -114,12 +123,20 @@ object Decontamination {
       }
     benchSh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/bench_sh/ver=$version")
-    if (layoutOf(spark, path).isEmpty)
-      Seq((kUse, capUse)).toDF("k", "max_bench_shingle_df")
-        .coalesce(1).write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/_layout")
   }
+
+  /** A version must be a plain partition token everywhere it names a
+    * directory — enforced at BOTH the write and retire entry points
+    * AND re-checked on every ledger value [[purgeBenchIndex]] is about
+    * to turn into a delete path: a ledger row containing '/' or '..'
+    * segments would otherwise resolve at the filesystem level and
+    * delete outside the store. The non-digit requirement keeps Spark's
+    * partition-type inference from re-typing an all-digit `ver=2024`
+    * directory as int (which would break every string-keyed mask).
+    */
+  private def requireVersionToken(version: String): Unit =
+    require(version.matches("[A-Za-z0-9_-]+") && !version.matches("[0-9]+"),
+      s"version '$version' must be a plain non-all-digit partition token")
 
   private def layoutOf(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(Int, Int)] = {
@@ -142,6 +159,7 @@ object Decontamination {
     */
   def retireBenchVersion(spark: org.apache.spark.sql.SparkSession,
       path: String, version: String): Unit = {
+    requireVersionToken(version)
     import spark.implicits._
     Seq(version).toDF("ver").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -169,6 +187,9 @@ object Decontamination {
     val root = new Path(s"$path/bench_sh")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     retiredVersions(spark, path).foreach { v =>
+      // re-validate each ledger value before it becomes a delete path:
+      // the ledger is data, and fs.delete resolves '/'-or-'..' segments
+      requireVersionToken(v)
       fs.delete(new Path(s"$path/bench_sh/ver=$v"), true)
     }
   }
@@ -205,7 +226,11 @@ object Decontamination {
       minOverlap: Int = 3): DataFrame = {
     val spark = corpusSh.sparkSession
     val retired = retiredVersions(spark, path)
+    // ver pinned back to string ([[CountLsm.readDeltas]]'s rule): the
+    // write path rejects all-digit versions, but a hand-built store
+    // must still read by contract, not by inference
     val benchAll = spark.read.parquet(s"$path/bench_sh")
+      .withColumn("ver", col("ver").cast("string"))
       .filter(!col("ver").isin(retired.toSeq.map(x => x: Any): _*))
     val liveVers = benchAll.select(col("ver")).distinct()
       .collect().map(_.getString(0))

@@ -250,9 +250,9 @@ object LanguageModel {
       path: String): (DataFrame, DataFrame, DataFrame) = {
     val root = CountLsm.healedRoot(spark, path)
     val folded = CountLsm.foldedBids(spark, root)
-    val tc0 = CountLsm.dropFolded(spark.read.parquet(s"$root/tc"), folded)
+    val tc0 = CountLsm.dropFolded(CountLsm.readDeltas(spark, root, "tc"), folded)
     val committed = tc0.select(col("bid")).distinct()
-    val cb = CountLsm.dropFolded(spark.read.parquet(s"$root/cb"), folded)
+    val cb = CountLsm.dropFolded(CountLsm.readDeltas(spark, root, "cb"), folded)
       .join(broadcast(committed), Seq("bid"), "left_semi")
       .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
       .filter(col("cb") >= 1)
@@ -285,11 +285,11 @@ object LanguageModel {
   def compactCountModel(spark: SparkSession, path: String): Unit = {
     val root = CountLsm.healedRoot(spark, path)
     val priorFolded = CountLsm.foldedBids(spark, root)
-    val tc0 = CountLsm.dropFolded(spark.read.parquet(s"$root/tc"), priorFolded)
+    val tc0 = CountLsm.dropFolded(CountLsm.readDeltas(spark, root, "tc"), priorFolded)
     val committed = tc0.select(col("bid")).distinct()
     // zero-summed rows (ingested then unlearned) are physically dropped
     // here — compaction doubles as the unlearned data's purge
-    val cb = CountLsm.dropFolded(spark.read.parquet(s"$root/cb"), priorFolded)
+    val cb = CountLsm.dropFolded(CountLsm.readDeltas(spark, root, "cb"), priorFolded)
       .join(broadcast(committed), Seq("bid"), "left_semi")
       .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
       .filter(col("cb") =!= 0)

@@ -280,10 +280,10 @@ object NaiveBayes {
     // belt-and-braces side of the [[writeCountBatch]] guard) reads as
     // the compacted copy only, never both
     val folded = foldedBids(spark, root)
-    val lab0 = spark.read.parquet(s"$root/lab")
-      .filter(!col("bid").isin(folded.toSeq.map(x => x: Any): _*))
+    val lab0 = CountLsm.dropFolded(
+      CountLsm.readDeltas(spark, root, "lab"), folded)
     val committed = lab0.select(col("bid")).distinct()
-    val tok = spark.read.parquet(s"$root/tok")
+    val tok = CountLsm.readDeltas(spark, root, "tok")
       .join(broadcast(committed), Seq("bid"), "left_semi")
       .groupBy(col("label"), col("tok")).agg(sum(col("c")).as("c"))
     val lab = lab0.groupBy(col("label"))
@@ -302,10 +302,10 @@ object NaiveBayes {
   def compactCountModel(spark: SparkSession, path: String): Unit = {
     val root = healedRoot(spark, path)
     val priorFolded = foldedBids(spark, root)
-    val lab0 = spark.read.parquet(s"$root/lab")
-      .filter(!col("bid").isin(priorFolded.toSeq.map(x => x: Any): _*))
+    val lab0 = CountLsm.dropFolded(
+      CountLsm.readDeltas(spark, root, "lab"), priorFolded)
     val committed = lab0.select(col("bid")).distinct()
-    val tok = spark.read.parquet(s"$root/tok")
+    val tok = CountLsm.readDeltas(spark, root, "tok")
       .join(broadcast(committed), Seq("bid"), "left_semi")
       .groupBy(col("label"), col("tok")).agg(sum(col("c")).as("c"))
       .localCheckpoint()

@@ -167,6 +167,26 @@ class DecontaminationSpec extends SparkSpec {
       // an eval doc carried by two live releases must not double-count
       Decontamination.writeBenchVersion(benchV1, "doc_id", "text", dir, "v3")
       assert(probe() == v1Only)
+      // version tokens are validated at EVERY directory-naming entry
+      // point: a traversal segment must never reach fs.delete, and an
+      // all-digit token would be re-typed by partition inference
+      for (bad <- Seq("../v1", "a/b", "v1/..", "2024", "")) {
+        intercept[IllegalArgumentException] {
+          Decontamination.writeBenchVersion(benchV1, "doc_id", "text", dir, bad)
+        }
+        intercept[IllegalArgumentException] {
+          Decontamination.retireBenchVersion(spark, dir, bad)
+        }
+      }
+      // a poisoned ledger row (written around the API) is caught at
+      // purge time, BEFORE any delete path is built from it
+      Seq("../../etc").toDF("ver").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$dir/_retired")
+      intercept[IllegalArgumentException] {
+        Decontamination.purgeBenchIndex(spark, dir)
+      }
+      assert(new java.io.File(s"$dir/bench_sh/ver=v1").isDirectory)
     } finally rm(new java.io.File(dir))
   }
 }

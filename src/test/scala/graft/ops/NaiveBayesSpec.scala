@@ -121,6 +121,35 @@ class NaiveBayesSpec extends SparkSpec {
     } finally rmTree(new java.io.File(dir))
   }
 
+  test("count store: ALL-DIGIT batch ids survive partition-type inference (bid read as string)") {
+    // a store whose every bid is numeric ("2024", "2025") makes Spark
+    // infer the bid partition column as int; the typed readDeltas pins
+    // it back to string so ledger comparisons and the compaction
+    // collect keep working — same model as the lettered decomposition
+    val held = Seq((10L, "a b z"), (11L, "c c")).toDF("doc_id", "text")
+    val oneShot = NaiveBayes.classify(held, "doc_id", "text",
+        NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang"))
+      .orderBy("doc_id").collect().toSeq
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_digit"
+    rmTree(new java.io.File(dir))
+    try {
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" <= 2),
+        "doc_id", "text", "lang", dir, "2024")
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" > 2),
+        "doc_id", "text", "lang", dir, "2025")
+      assert(NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq == oneShot)
+      NaiveBayes.compactCountModel(spark, dir)
+      // the ledger holds the digit bids; a folded retry stays a no-op
+      NaiveBayes.writeCountBatch(trainDocs.filter($"doc_id" <= 2),
+        "doc_id", "text", "lang", dir, "2024")
+      assert(NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, dir))
+        .orderBy("doc_id").collect().toSeq == oneShot)
+    } finally rmTree(new java.io.File(dir))
+  }
+
   test("unlearn: negative deltas == a model that never saw the batch, vocab shrinkage included") {
     val held = Seq((10L, "a b z"), (11L, "c c"), (12L, "d d")).toDF("doc_id", "text")
     val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_unlearn_spec"

@@ -305,6 +305,40 @@ object AnnIndex {
       .filter(col("sim") >= threshold)
   }
 
+  /** Full-store within-bucket cosine pair sweep — the MAINTENANCE
+    * pass's pair source for the vector index ([[graft.ops.Dedup
+    * .hammingPairsFromSignatureStore]]'s question asked of the
+    * bucket-partitioned embedding store): every ordered pair of STORED
+    * vectors sharing an LSH bucket at exact round-6 cosine ≥
+    * `threshold`, computed ENTIRELY from the at-rest `bucket=`
+    * partitions — the primary embedding table is never read. At 100 TB
+    * of vectors a periodic canonicalization pass costs an index scan
+    * (the vectors and norms are already materialized per bucket, and
+    * the pair join's equi-key is the partition value the files are
+    * already laid out by) instead of a corpus re-embed/re-bucket.
+    * Pairs are IDENTICAL to [[graft.ops.Similarity.nearDupPairs]]'s
+    * under the same plane family by construction — buckets were
+    * assigned at write time with the same md5 planes and the verify is
+    * the same round-6 cosine — so where the vectors live cannot change
+    * a pair. Tombstoned (deleted, un-purged) ids are masked out first:
+    * a decision must not see evicted vectors. Returns
+    * (id_a, id_b, sim) with id_a < id_b.
+    */
+  def cosinePairsFromIndex(spark: SparkSession, path: String, idCol: String,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val store = tombstoneMask(spark, path, idCol, spark.read.parquet(path))
+      .select(col(idCol).as("id"), col("v"), col("nrm"), col("bucket"))
+    val a = store.toDF("id_a", "v_a", "nrm_a", "bucket")
+    val b = store.toDF("id_b", "v_b", "nrm_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(GraftFunctions.dotNative(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** DELETE vectors from a bucket/cell-partitioned at-rest index — the
     * eviction the ANN family needs once a dedup loop starts dropping
     * keep-best losers (the [[graft.ops.Retrieval.deleteFromBm25Index]]

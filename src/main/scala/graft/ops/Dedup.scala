@@ -1190,9 +1190,16 @@ object Dedup {
     * cross-band-distance pair).
     *
     * Truth is computed independently of banding: a corpus-capped probe
-    * slice (id ≡ 7 mod `probeMod` — the q112 convention) is broadcast
-    * against the full signature relation for an exact `bit_count(xor)`
-    * scan, so truth cost is |corpus|·|probes|, never |corpus|².
+    * slice is broadcast against the full signature relation for an
+    * exact `bit_count(xor)` scan. The slice stride is
+    * `max(probeMod, n/40)` — the [[graft.ops.ProductQuantize
+    * .pqRecallContract]] convention: a FIXED mod-50 slice makes the
+    * probe count grow with the corpus and the truth side O(n²/50)
+    * (measured as the fastest-growing judged query at sf1, 3.4× on
+    * 10× data), while statistical power is flat past a few dozen
+    * probes — so the stride widens deterministically to cap the
+    * sample at ~40 and truth cost at |corpus|·~40 at ANY scale. The
+    * oracle replays `greatest(probeMod, n // 40)` exactly.
     * Output: (method, n_true, recall_ok) per configuration.
     */
   def hammingRecallContract(sig: DataFrame, idCol: String, sigCol: String,
@@ -1201,8 +1208,9 @@ object Dedup {
       : DataFrame = {
     val rel = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stride = math.max(probeMod.toLong, rel.count() / 40)
     val probes = rel.select(col("id").as("pid"), col("sig").as("psig"))
-      .filter(pmod(col("pid"), lit(probeMod.toLong)) === 7)
+      .filter(pmod(col("pid"), lit(stride)) === 7)
     val rows = configs.map { case (bands, maxHamming, bound) =>
       val truth = rel.crossJoin(broadcast(probes))
         .filter(col("id") =!= col("pid"))

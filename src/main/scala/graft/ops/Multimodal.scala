@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns next to typed metadata; decode / feature
@@ -608,6 +608,154 @@ object Multimodal {
     */
   def framePositions(durationMs: Long, stepMs: Long): Seq[Long] =
     0L.to(math.max(durationMs - 1, 0L)).by(math.max(stepMs, 1L))
+
+  // ------------------------------------------------- video container codec
+
+  /** Encode frames as a minimal GVID container: ASCII header
+    * `GV1\n<nframes> <frameMs>\n` followed by the frames as 4-byte
+    * big-endian-length-prefixed payloads, each an encoded STILL (PPM or
+    * PNG — whatever [[decodeImage]]/[[decodePpm]] speak). An original
+    * pure-JVM container so the video decode path executes END TO END
+    * with no external libraries (the [[decodePpm]] precedent: real
+    * parse, real bytes, real truncation checks); a production pipeline
+    * swaps in an ffmpeg-class demuxer behind the same
+    * payload → (frameMs, frames) boundary and nothing downstream
+    * changes.
+    */
+  def encodeVideo(frames: Seq[Array[Byte]], frameMs: Long): Array[Byte] = {
+    require(frames.nonEmpty, "a video needs at least one frame")
+    require(frameMs > 0, s"frameMs must be positive, got $frameMs")
+    val header = s"GV1\n${frames.length} $frameMs\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames.map(_.length + 4).sum)
+    out.write(header)
+    frames.foreach { f =>
+      out.write((f.length >>> 24) & 0xff); out.write((f.length >>> 16) & 0xff)
+      out.write((f.length >>> 8) & 0xff); out.write(f.length & 0xff)
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a GVID payload to (frameMs, frames). Truncated frame data is
+    * rejected, not silently dropped (the [[decodePpm]] contract).
+    */
+  def decodeVideo(payload: Array[Byte]): (Long, Vector[Array[Byte]]) = {
+    val nl1 = payload.indexOf('\n'.toByte)
+    require(nl1 == 3 && payload(0) == 'G' && payload(1) == 'V' &&
+      payload(2) == '1', "not a GVID payload")
+    val nl2 = payload.indexOf('\n'.toByte, nl1 + 1)
+    require(nl2 > nl1, "truncated GVID header")
+    val parts = new String(payload, nl1 + 1, nl2 - nl1 - 1, "US-ASCII").split(" ")
+    require(parts.length == 2, "bad GVID header")
+    val n = parts(0).toInt
+    val frameMs = parts(1).toLong
+    require(n > 0 && frameMs > 0, s"bad GVID header: n=$n frameMs=$frameMs")
+    var pos = nl2 + 1
+    val frames = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      require(pos + 4 <= payload.length, s"truncated GVID at frame $i")
+      val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+        ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      pos += 4
+      require(len >= 0 && pos + len <= payload.length,
+        s"truncated GVID frame $i: need $len bytes, have ${payload.length - pos}")
+      frames += java.util.Arrays.copyOfRange(payload, pos, pos + len)
+      pos += len
+      i += 1
+    }
+    (frameMs, frames.result())
+  }
+
+  /** Duration of a GVID clip without decoding the frames (header-only). */
+  def videoDurationMs(payload: Array[Byte]): Long = {
+    val (frameMs, frames) = decodeVideo(payload)
+    frameMs * frames.length
+  }
+
+  /** Per-frame perceptual signatures of a video corpus — the content
+    * half of video dedup (images have [[imageHashTable]], audio
+    * [[audioHashTable]]; this closes the matrix): each clip is demuxed
+    * ([[decodeVideo]]), frames are SAMPLED at `stepMs`
+    * ([[framePositions]] — a content decision never decodes every
+    * frame; the standard proportional-sampling contract), each sampled
+    * frame's still is decoded ([[decodePpm]] for PPM stills,
+    * [[decodeImage]] otherwise) and [[aHash]]ed. Returns
+    * (media_id, frame_idx, fhash) — one row per DISTINCT sampled frame
+    * slot. One demux + hash pass per partition, the same
+    * `mapPartitions`-at-the-codec-boundary contract as every decoder
+    * here; the pair search downstream never touches pixels again.
+    */
+  def videoFrameHashTable(media: DataFrame, stepMs: Long,
+      hw: Int = 8, hh: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false),
+    ))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val (frameMs, frames) = decodeVideo(r.getAs[Array[Byte]](1))
+        val idxs = framePositions(frameMs * frames.length, stepMs)
+          .map(pos => (pos / frameMs).toInt).distinct
+          .filter(_ < frames.length)
+        idxs.map { fi =>
+          val still = frames(fi)
+          val img =
+            if (still.length >= 2 && still(0) == 'P' && still(1) == '6')
+              decodePpm(still)
+            else decodeImage(still)
+          Row(id, fi, aHash(img, hw, hh))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame-slot packing for the signature-store key: video dedup rides
+    * the SAME at-rest store machinery as images/audio ([[graft.ops
+    * .Dedup.writeSignatureStore]] is keyed on one long id), so a frame
+    * row's key is `media_id · 4096 + frame_idx` — 12 bits of frame
+    * slot, 51 bits of video id. Sampled-frame counts are bounded by
+    * the sampling contract (a content decision reads tens of frames,
+    * never thousands), so 4096 slots is a ceiling, not a limit.
+    */
+  val videoFrameShift: Int = 12
+  private val videoFrameMask = (1L << videoFrameShift) - 1
+
+  /** The packed frame key column ([[videoFrameShift]] layout). */
+  def videoFrameKey(id: Column, frameIdx: Column): Column =
+    shiftleft(id, videoFrameShift) + frameIdx.cast("long")
+
+  /** The video id of a packed frame key (inverse of [[videoFrameKey]]). */
+  def videoIdOfFrameKey(fid: Column): Column =
+    shiftright(fid, videoFrameShift)
+
+  /** The shared VIDEO tail over FRAME-level packed-key pairs (the
+    * output of [[graft.ops.Dedup.hammingNearDupFromSig]] /
+    * [[graft.ops.Dedup.dedupAgainstSignatureStore]] over
+    * [[videoFrameKey]]-keyed signatures): keep ALIGNED pairs only
+    * (same frame slot — a frame-0 vs frame-2 collision is not video
+    * similarity evidence), unpack the video ids, and emit one row per
+    * video pair matching on at least `minFrames` sampled slots:
+    * (aCol, bCol, n_frames). Column names pass through, so the same
+    * tail serves self-join pairs (id_a, id_b) and batch-vs-store pairs
+    * (new_id, corpus_id).
+    */
+  def videoPairsFromFramePairs(framePairs: DataFrame, aCol: String,
+      bCol: String, minFrames: Int = 2): DataFrame = {
+    framePairs
+      .filter(col(aCol).bitwiseAND(lit(videoFrameMask)) ===
+        col(bCol).bitwiseAND(lit(videoFrameMask)))
+      .select(shiftright(col(aCol), videoFrameShift).as(aCol),
+        shiftright(col(bCol), videoFrameShift).as(bCol))
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minFrames)
+  }
 
   /** Batched decode: one decoder instance per partition (amortizes codec
     * init), payload → feature vector + cheap metadata.

@@ -332,12 +332,20 @@ object Similarity {
       probeEvery: Long = 50, probeOffset: Long = 7, k: Int = 10,
       numTables: Int = 4, numPlanes: Int = 4, numCentroids: Int = 8,
       nprobe: Int = 4, lshBound: Double = 0.3, ivfBound: Double = 0.35,
-      mpBound: Double = 0.7, dim: Int = 0): DataFrame =
+      mpBound: Double = 0.7, dim: Int = 0): DataFrame = {
+    // corpus-capped probe stride (the [[graft.ops.ProductQuantize
+    // .pqRecallContract]] convention): the brute ground-truth tier is
+    // inherently a probes×corpus product, so a fixed mod-50 slice goes
+    // quadratic-ish as the corpus grows; max(probeEvery, n/40) caps
+    // the sample at ~40 probes at any scale (statistical power is
+    // flat past a few dozen), and the oracle replays the cap exactly
+    val stride = math.max(probeEvery, embeddings.count() / 40)
     contractFromHits(
-      recallFromBucketer(embeddings, idCol, vecCol, probeEvery, probeOffset,
+      recallFromBucketer(embeddings, idCol, vecCol, stride, probeOffset,
         k, numCentroids, nprobe, multiTableBucketer(numTables, numPlanes),
         mpFlipBits = numPlanes, dim = dim),
       k, lshBound, ivfBound, mpBound)
+  }
 
   /** Fold per-probe hit counts into the judged per-method rows (split
     * out so the spec can run the identical contract over a broken

@@ -1583,8 +1583,13 @@ object CorpusQueries {
     // deterministic mean-recall bounds (exact integer comparison on the
     // Spark side): the oracle recomputes the probe-set size and emits
     // literal TRUE per method
+    // the probe stride is corpus-capped (greatest(50, n//40) — the
+    // q156 convention: the brute truth tier is a probes×corpus sweep,
+    // so the sample stays ~40 at any scale)
     "q112_ann_recall" ->
-      """WITH p AS (SELECT count(*) AS n_probes FROM embeddings WHERE vec_id % 50 = 7)
+      """WITH c AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT count(*) AS n_probes FROM embeddings, c
+        |      WHERE vec_id % greatest(50, c.n // 40) = 7)
         |SELECT method, n_probes, true AS recall_ok
         |FROM (SELECT 'ivf' AS method FROM p
         |      UNION ALL SELECT 'lsh_multitable' FROM p

@@ -299,6 +299,90 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** q197: SemDeDup-style keep-best decisions FROM THE STORED VECTOR
+    * INDEX — the q187/q144 pattern for embeddings, the one modality
+    * that had cross-dedup at rest (q180) but no stored decision pass:
+    * the full corpus lives in the bucket-partitioned index (half
+    * written, half APPENDED — the ingest lineage), the pair relation
+    * is [[graft.ops.AnnIndex.cosinePairsFromIndex]]'s at-rest
+    * within-bucket sweep (vectors + norms read from the `bucket=`
+    * partitions the crawl loop already paid for — the primary
+    * embedding table is never touched), and one keeper per cosine
+    * component is chosen by the deterministic lowest-id rule
+    * (SemDeDup's keep-component-min, the q164 convention). Oracle =
+    * q28's bucket-pair CTE + q164's recursive closure + keeper window
+    * over ALL vectors: a keep decision is a property of the pair
+    * relation, not of where the vectors lived.
+    */
+  private val annKeepBestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(annKeepBestIndexes)
+  private val q197: Q = (s, dir) => {
+    val path = annKeepBestIndexes.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ann_kb_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.write(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      graft.ops.AnnIndex.append(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      p
+    })
+    val pairs = graft.ops.AnnIndex
+      .cosinePairsFromIndex(s, path, "vec_id", threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+    Dedup.keepBest(
+        s.read.parquet(path).select(col("vec_id"), lit(0L).as("score")),
+        "vec_id", pairs, "score")
+      .select(col("vec_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy("vec_id")
+  }
+
+  /** q198: the vector index's MAINTENANCE PASS composed end to end —
+    * q194's lifecycle law for the last modality missing it: the stored
+    * corpus (evens; write + append) gets a keep-best decision pass
+    * ENTIRELY from the index (q197's sweep — the embedding table is
+    * never read), the losers are EVICTED ([[graft.ops.AnnIndex
+    * .deleteFromIndex]] + [[graft.ops.AnnIndex.purgeIndex]]), and a
+    * new batch (odds) probes the surviving index (q180's
+    * [[graft.ops.AnnIndex.crossDedupAgainstIndex]]). After
+    * maintenance, new vectors dedup only against surviving canonical
+    * vectors — the oracle recomputes the evens' keep-best closure and
+    * restricts the cross-pair corpus side to the keepers.
+    */
+  private val annMaintIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(annMaintIndexes)
+  private val q198: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = annMaintIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ann_maint_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.write(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      graft.ops.AnnIndex.append(emb.filter(col("vec_id") % 4 === 2),
+        "vec_id", "embedding", p, numPlanes = 8, dim = embDim)
+      // decision pass from the index (q197), losers leave it (q168's
+      // tombstone machinery + physical purge)
+      val losers = Dedup.keepBest(
+          s.read.parquet(p).select(col("vec_id"), lit(0L).as("score")),
+          "vec_id",
+          graft.ops.AnnIndex
+            .cosinePairsFromIndex(s, p, "vec_id", threshold = 0.35)
+            .select(col("id_a"), col("id_b")),
+          "score")
+        .filter(!col("is_keeper"))
+        .select(col("vec_id"))
+      graft.ops.AnnIndex.deleteFromIndex(losers, "vec_id", p)
+      graft.ops.AnnIndex.purgeIndex(s, p, "vec_id")
+      p
+    })
+    graft.ops.AnnIndex.crossDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        path, threshold = 0.35, numPlanes = 8, dim = embDim)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Multi-probe of the at-rest index ([[graft.ops.AnnIndex.probeMulti]]):
     * q116's layout probed over the query's bucket PLUS its 8 Hamming-1
     * neighbors — the served counterpart of q112's judged multiprobe
@@ -1186,6 +1270,161 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ------------------------------------------------------ video dedup
+
+  /** The deterministic VIDEO fixture: each document's media is a
+    * 4-frame GVID clip (1000 ms/frame) whose frame j is the keyed
+    * gradient raster of group key `(doc_id/4)·7 + 3j + 1` (collision-
+    * free across (group, frame) by 7∤3·Δj), REALLY encoded through PNG
+    * and the [[Multimodal.encodeVideo]] container. The 4 per-group
+    * variants perturb one ODD pixel (invisible to the 8×6 aHash grid
+    * over the 16×12 raster, which samples even coordinates only — the
+    * q164 trick, so the oracle replays the unperturbed arithmetic),
+    * making each group a 4-clique of content-identical clips.
+    */
+  private[queries] def videoFixtureMedia(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until 4).map { j =>
+          val img = Multimodal.keyedGradientRaster((id / 4) * 7 + 3 * j + 1,
+            16, 12)
+          Multimodal.encodePng(
+            Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97 + j))
+        }
+        (id, Multimodal.encodeVideo(frames, frameMs = 1000L))
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** The fixture's sampled per-frame signatures packed for the
+    * signature store: frames sampled every 2000 ms (slots 0 and 2 of
+    * the 4-frame clip — a content decision never decodes every frame),
+    * each sampled still aHashed, keys packed by
+    * [[Multimodal.videoFrameKey]] — (fid, fhash).
+    */
+  private[queries] def videoFixtureFidSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Multimodal.videoFrameHashTable(videoFixtureMedia(docs), stepMs = 2000L)
+      .select(Multimodal.videoFrameKey(col("media_id"), col("frame_idx"))
+        .as("fid"), col("fhash"))
+
+  /** q199: VIDEO content near-dup — the q158 question asked of the
+    * last modality without content dedup (q88 stops at frame
+    * sampling): clips are demuxed ([[Multimodal.decodeVideo]] — a real
+    * pure-JVM container parse), frames SAMPLED at 2 s, each sampled
+    * still PNG-decoded and aHashed, the per-frame signatures ride the
+    * SAME pigeonhole Hamming banding as every fingerprint here (packed
+    * frame keys — [[Multimodal.videoFrameKey]]), and two clips pair
+    * when ≥ 2 ALIGNED sampled slots match at Hamming ≤ 3
+    * ([[Multimodal.videoPairsFromFramePairs]]). Pixels are touched
+    * once, in the signature scan; the pair search runs on 48-bit
+    * longs. Oracle replays frame positions + the per-frame aHash
+    * arithmetic + the aligned pair SQL.
+    */
+  private val q199: Q = (s, dir) =>
+    Multimodal.videoPairsFromFramePairs(
+        Dedup.hammingNearDupFromSig(
+            videoFixtureFidSigs(t(s, dir, "documents")),
+            "fid", "fhash", bits = 48, bands = 4, maxHamming = 3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", minFrames = 2)
+      .orderBy("id_a", "id_b")
+
+  /** q200: the video crawl loop AT REST — q170's lineage for clips:
+    * the even documents' packed frame signatures live in the
+    * signature-agnostic store (half written, half APPENDED), the odd
+    * documents arrive as a batch whose frame rows probe the store
+    * ([[graft.ops.Dedup.dedupAgainstSignatureStore]] — scan pruned to
+    * the batch's band-bucket partitions), and the frame-level cross
+    * pairs fold to video pairs by the same aligned ≥ 2-slot rule.
+    * Oracle = q199's CTEs with the sides split odd×even: the at-rest
+    * layout cannot change a pair.
+    */
+  private val videoSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(videoSigStores)
+  private val q200: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = videoSigStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_videosig_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        videoFixtureFidSigs(docs.filter(col("doc_id") % 4 === 0)),
+        "fid", "fhash", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        videoFixtureFidSigs(docs.filter(col("doc_id") % 4 === 2)),
+        "fid", "fhash", p)
+      p
+    })
+    Multimodal.videoPairsFromFramePairs(
+        Dedup.dedupAgainstSignatureStore(
+            videoFixtureFidSigs(docs.filter(col("doc_id") % 2 === 1)),
+            "fid", "fhash", path, maxHamming = 3)
+          .select(col("new_id"), col("corpus_id")),
+        "new_id", "corpus_id", minFrames = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** q201: the video store's MAINTENANCE PASS — q194's lifecycle law
+    * for clips, closing the modality matrix on the decision side too:
+    * the stored corpus (evens) gets a keep-best pass entirely from the
+    * at-rest banded sweep ([[graft.ops.Dedup
+    * .hammingPairsFromSignatureStore]] → aligned video pairs →
+    * lowest-id keeper per component — not a pixel decoded), losers are
+    * evicted as WHOLE CLIPS (every packed frame row of a losing video
+    * leaves the store; evicting a clip frame-by-frame would leave
+    * orphan slots that keep pairing), and a new batch (odds) probes
+    * the surviving store. Oracle recomputes the evens' video-pair
+    * closure + keeper window and restricts the cross pairs to keepers.
+    */
+  private val videoMaintStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(videoMaintStores)
+  private val q201: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = videoMaintStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_videosig_maint_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      Dedup.writeSignatureStore(
+        videoFixtureFidSigs(docs.filter(col("doc_id") % 4 === 0)),
+        "fid", "fhash", p, bits = 48, bands = 4, sigBuckets = 16)
+      Dedup.appendToSignatureStore(
+        videoFixtureFidSigs(docs.filter(col("doc_id") % 4 === 2)),
+        "fid", "fhash", p)
+      val storedSigs = s.read.parquet(s"$p/sigs")
+      val videoPairs = Multimodal.videoPairsFromFramePairs(
+        Dedup.hammingPairsFromSignatureStore(s, p, maxHamming = 3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", minFrames = 2)
+      val losers = Dedup.keepBest(
+          storedSigs
+            .select(Multimodal.videoIdOfFrameKey(col("fid")).as("media_id"))
+            .distinct()
+            .withColumn("score", lit(0L)),
+          "media_id", videoPairs.select(col("id_a"), col("id_b")), "score")
+        .filter(!col("is_keeper"))
+        .select(col("media_id"))
+      val loserFids = storedSigs
+        .join(losers,
+          Multimodal.videoIdOfFrameKey(storedSigs("fid")) === losers("media_id"),
+          "left_semi")
+        .select(col("fid"))
+      Dedup.deleteFromSignatureStore(loserFids, "fid", p)
+      Dedup.purgeSignatureStore(s, p)
+      p
+    })
+    Multimodal.videoPairsFromFramePairs(
+        Dedup.dedupAgainstSignatureStore(
+            videoFixtureFidSigs(docs.filter(col("doc_id") % 2 === 1)),
+            "fid", "fhash", path, maxHamming = 3)
+          .select(col("new_id"), col("corpus_id")),
+        "new_id", "corpus_id", minFrames = 2)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** q188: q187's stored keep-best for AUDIO — the modality matrix
     * closed on the decision side: the full corpus's 48-bit audio
     * fingerprints live in a q182-shaped store (write evens + APPEND
@@ -1693,6 +1932,8 @@ object ExtQueries {
     "q27_ann_lsh" -> q27,
     "q28_embedding_neardup" -> q28,
     "q180_embed_cross_dedup" -> q180,
+    "q197_embed_keep_best_stored" -> q197,
+    "q198_ann_index_maintenance" -> q198,
     "q29_multimodal_meta" -> q29,
     "q37_ivf_ann" -> q37,
     "q44_semantic_dedup" -> q44,
@@ -1735,6 +1976,9 @@ object ExtQueries {
     "q187_keep_best_stored_sig" -> q187,
     "q188_audio_keep_best" -> q188,
     "q194_sig_store_maintenance" -> q194,
+    "q199_video_frame_dedup" -> q199,
+    "q200_video_sig_store" -> q200,
+    "q201_video_store_maintenance" -> q201,
     "q170_image_sig_store" -> q170,
     "q171_image_sig_delete" -> q171,
     "q183_sig_store_optimize" -> q183,
@@ -1841,6 +2085,33 @@ object ExtQueries {
       |FROM sig a JOIN sig b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
       |WHERE bit_count(xor(a.h, b.h)) <= 3
       |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** The video fixture's per-sampled-frame aHash CTE chain ending in
+    * `sig(doc_id, f, h)`: frame slots 0 and 2 (the 2000 ms sampling of
+    * the 4×1000 ms clip), the keyed-raster arithmetic at group key
+    * `(doc_id/4)·7 + 3f + 1`, the even-coordinate grid subsample (the
+    * q164 trick — odd-pixel perturbations are invisible), the integer
+    * threshold, the bit fold. Shared by q199 (in-session pairs), q200
+    * (signature store) and q201 (maintenance).
+    */
+  private[queries] val videoSigCte =
+    """fx AS (SELECT d.doc_id, f.f AS f,
+      |              ((d.doc_id // 4) * 7 + 3 * f.f + 1) AS kk
+      |       FROM documents d, UNNEST([0, 2]) AS f(f)),
+      |px AS (SELECT fx.doc_id, fx.f, x.x AS x, y.y AS y,
+      |              (((kk * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+      |              (((kk * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+      |              (((kk * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+      |       FROM fx,
+      |            UNNEST(generate_series(0, 7)) AS x(x),
+      |            UNNEST(generate_series(0, 5)) AS y(y)),
+      |g1 AS (SELECT doc_id, f, x, y, (r + g + b) // 3 AS gray FROM px),
+      |s1 AS (SELECT doc_id, f, sum(gray) AS sg FROM g1 GROUP BY 1, 2),
+      |sig AS (SELECT g1.doc_id, g1.f,
+      |               CAST(sum(CASE WHEN 48*g1.gray > s1.sg
+      |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
+      |                             ELSE 0 END) AS BIGINT) AS h
+      |        FROM g1 JOIN s1 USING (doc_id, f) GROUP BY 1, 2)""".stripMargin
 
   private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
@@ -2132,9 +2403,11 @@ object ExtQueries {
         |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
         |                             ELSE 0 END) AS BIGINT) AS h
         |        FROM g1 JOIN s1 USING (doc_id) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM sig),
         |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true
         |       FROM sig c JOIN sig p
-        |         ON p.doc_id % 50 = 7 AND c.doc_id <> p.doc_id
+        |         ON p.doc_id % (SELECT greatest(50, n // 40) FROM n) = 7
+        |        AND c.doc_id <> p.doc_id
         |       WHERE bit_count(xor(c.h, p.h)) <= 3)
         |SELECT m.method, tp.n_true, true AS recall_ok
         |FROM (VALUES ('hamming_48b_4x_h3'), ('hamming_48b_6x_h3')) m(method)
@@ -2483,6 +2756,59 @@ object ExtQueries {
          |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
          |ORDER BY new_id, corpus_id""".stripMargin,
 
+    // q28's bucket-pair CTE + q164's recursive closure + keeper window
+    // over ALL vectors: a keep decision is a property of the pair
+    // relation, never of the at-rest layout it was read from
+    "q197_embed_keep_best_stored" ->
+      s"""WITH RECURSIVE $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
+         |pairs AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+         |          FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |          WHERE ${cosSql("a.v", "bb.v")} >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, r.reach FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |lab AS (SELECT e.vec_id, coalesce(cl.rep, e.vec_id) AS cluster_id
+         |        FROM e LEFT JOIN cl ON cl.id = e.vec_id)
+         |SELECT vec_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY vec_id ASC) = 1) AS is_keeper
+         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // the maintenance-pass law for vectors: after stored keep-best +
+    // eviction, a new batch pairs ONLY against the evens' surviving
+    // keepers — the evens' closure + keeper window, then q180's cross
+    // SQL restricted to them
+    "q198_ann_index_maintenance" ->
+      s"""WITH RECURSIVE $embCte,
+         |b AS (SELECT vec_id, v, ${duckBucket(planes8)} AS bucket FROM e),
+         |ev AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+         |pairs AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+         |          FROM ev a JOIN ev bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |          WHERE ${cosSql("a.v", "bb.v")} >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, r.reach FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |lab AS (SELECT ev.vec_id AS vid, coalesce(cl.rep, ev.vec_id) AS cluster_id
+         |        FROM ev LEFT JOIN cl ON cl.id = ev.vec_id),
+         |keep AS (SELECT vid FROM (
+         |           SELECT vid, row_number() OVER (PARTITION BY cluster_id
+         |                                          ORDER BY vid ASC) AS rk
+         |           FROM lab) WHERE rk = 1)
+         |SELECT a.vec_id AS new_id, bb.vec_id AS corpus_id, ${cosSql("a.v", "bb.v")} AS sim
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket
+         |  AND a.vec_id % 2 = 1 AND bb.vec_id IN (SELECT vid FROM keep)
+         |WHERE ${cosSql("a.v", "bb.v")} >= 0.35
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -2697,6 +3023,63 @@ object ExtQueries {
         |  ON a.doc_id % 2 = 1 AND b.doc_id IN (SELECT media_id FROM keep)
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // the sampled-frame aHash CTEs + the ALIGNED pair SQL (same frame
+    // slot) + the >= 2-matched-slots video fold
+    "q199_video_frame_dedup" ->
+      s"""WITH $videoSigCte,
+         |fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM sig a JOIN sig b ON a.f = b.f AND a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames
+         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q199's CTEs with the sides split odd (batch) x even (store): the
+    // at-rest layout and the write/append decomposition cannot change
+    // a frame match, so they cannot change a video pair
+    "q200_video_sig_store" ->
+      s"""WITH $videoSigCte,
+         |fp AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |       FROM sig a JOIN sig b
+         |         ON a.f = b.f AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3)
+         |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_frames
+         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // the q194 maintenance law for clips: the evens' video-pair
+    // closure + keeper window, then the odd batch's cross pairs
+    // restricted to keepers
+    "q201_video_store_maintenance" ->
+      s"""WITH RECURSIVE $videoSigCte,
+         |ev AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+         |fpe AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM ev a JOIN ev b ON a.f = b.f AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.h, b.h)) <= 3),
+         |vp AS (SELECT id_a, id_b FROM fpe GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |r(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, r.reach FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cl AS (SELECT id, min(reach) AS rep FROM r GROUP BY id),
+         |vids AS (SELECT DISTINCT doc_id FROM ev),
+         |lab AS (SELECT v.doc_id AS media_id, coalesce(cl.rep, v.doc_id) AS cluster_id
+         |        FROM vids v LEFT JOIN cl ON cl.id = v.doc_id),
+         |keep AS (SELECT media_id FROM (
+         |           SELECT media_id, row_number() OVER (PARTITION BY cluster_id
+         |                                               ORDER BY media_id ASC) AS rk
+         |           FROM lab) WHERE rk = 1),
+         |fpo AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |        FROM sig a JOIN sig b
+         |          ON a.f = b.f AND a.doc_id % 2 = 1
+         |         AND b.doc_id IN (SELECT media_id FROM keep)
+         |        WHERE bit_count(xor(a.h, b.h)) <= 3)
+         |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_frames
+         |FROM fpo GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // mirrors resizeImage's nearest-neighbor floor sampling (sx = x*8//5,
     // sy = y*6//4) composed with gradientPpm's pixel arithmetic; the

@@ -76,6 +76,38 @@ class AnnIndexSpec extends SparkSpec {
     rm(new java.io.File(p))
   }
 
+  test("cosinePairsFromIndex == nearDupPairs over the same corpus; tombstones mask the sweep") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ann_spec_sweep"
+    rm(new java.io.File(p))
+    // write/append decomposition: where the vectors live and how they
+    // arrived cannot change a pair
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", p, numPlanes = 8, dim = 64)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", p, numPlanes = 8, dim = 64)
+    val fromStore = AnnIndex.cosinePairsFromIndex(spark, p, "vec_id",
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inSession = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromStore == inSession)
+    assert(fromStore.nonEmpty)
+    // a tombstoned id leaves the decision pass before the purge
+    import spark.implicits._
+    val victim = fromStore.head._1
+    AnnIndex.deleteFromIndex(Seq(victim).toDF("vec_id"), "vec_id", p)
+    val masked = AnnIndex.cosinePairsFromIndex(spark, p, "vec_id",
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(masked == fromStore.filterNot(t => t._1 == victim || t._2 == victim))
+    rm(new java.io.File(p))
+  }
+
   test("delete: mask hides rows from every probe; purge rewrites only affected buckets") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {

@@ -590,4 +590,83 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
     assert(out == Map(1L -> 4L, 2L -> 10L))
   }
+
+  test("GVID codec: roundtrip, header-only duration, truncation and bad magic rejected") {
+    val f0 = Multimodal.encodePpm(Multimodal.keyedGradientRaster(3L, 4, 4))
+    val f1 = Multimodal.encodePng(Multimodal.keyedGradientRaster(4L, 4, 4))
+    val clip = Multimodal.encodeVideo(Seq(f0, f1), frameMs = 250L)
+    val (ms, frames) = Multimodal.decodeVideo(clip)
+    assert(ms == 250L && frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq)
+    assert(Multimodal.videoDurationMs(clip) == 500L)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeVideo(clip.dropRight(3)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeVideo("XV1\n1 10\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.encodeVideo(Seq.empty, 100L))
+  }
+
+  test("videoFrameHashTable: sampled slots only, hash == the frame's aHash, format-mixed stills") {
+    import spark.implicits._
+    val rasters = (0 until 4).map(j => Multimodal.keyedGradientRaster(10L + j, 16, 12))
+    // mixed still formats inside one clip: PPM and PNG both decode
+    val stills = rasters.zipWithIndex.map { case (img, j) =>
+      if (j % 2 == 0) Multimodal.encodePpm(img) else Multimodal.encodePng(img)
+    }
+    val clip = Multimodal.encodeVideo(stills, frameMs = 1000L)
+    val out = Multimodal.videoFrameHashTable(
+        Seq((7L, clip)).toDF("media_id", "payload"), stepMs = 2000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 4000 ms at step 2000 samples slots 0 and 2 only
+    assert(out.keySet == Set((7L, 0), (7L, 2)))
+    assert(out((7L, 0)) == Multimodal.aHash(rasters(0)))
+    assert(out((7L, 2)) == Multimodal.aHash(rasters(2)))
+  }
+
+  test("videoPairsFromFramePairs: aligned slots only, minFrames fold, key pack/unpack") {
+    import spark.implicits._
+    def fid(v: Long, f: Long) = (v << Multimodal.videoFrameShift) + f
+    val framePairs = Seq(
+      (fid(1, 0), fid(2, 0)), // aligned slot 0
+      (fid(1, 2), fid(2, 2)), // aligned slot 2 -> (1,2) has 2 frames
+      (fid(1, 0), fid(3, 2)), // MISALIGNED: never video evidence
+      (fid(1, 0), fid(4, 0)), // (1,4) only 1 aligned frame
+    ).toDF("id_a", "id_b")
+    val out = Multimodal.videoPairsFromFramePairs(framePairs, "id_a", "id_b",
+        minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 2L)))
+    // at minFrames = 1 the single-slot pair appears; the misaligned never
+    val loose = Multimodal.videoPairsFromFramePairs(framePairs, "id_a", "id_b",
+        minFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L, 2L), (1L, 4L, 1L)))
+  }
+
+  test("video dedup end-to-end: same-group variants form 4-cliques, cross-group none") {
+    import spark.implicits._
+    // the q199 fixture in miniature: 2 groups x 4 odd-pixel variants
+    val media = (0L until 8L).map { id =>
+      val frames = (0 until 4).map { j =>
+        val img = Multimodal.keyedGradientRaster((id / 4) * 7 + 3 * j + 1, 16, 12)
+        Multimodal.encodePng(
+          Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97 + j))
+      }
+      (id, Multimodal.encodeVideo(frames, frameMs = 1000L))
+    }.toDF("media_id", "payload")
+    val fidSigs = Multimodal.videoFrameHashTable(media, stepMs = 2000L)
+      .select(Multimodal.videoFrameKey(col("media_id"), col("frame_idx"))
+        .as("fid"), col("fhash"))
+    val pairs = Multimodal.videoPairsFromFramePairs(
+        Dedup.hammingNearDupFromSig(fidSigs, "fid", "fhash",
+          bits = 48, bands = 4, maxHamming = 3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      g <- 0L to 1L; i <- 0L until 4L; j <- i + 1 until 4L
+    } yield (g * 4 + i, g * 4 + j, 2L)).toSet
+    assert(pairs == expected)
+  }
 }

@@ -678,6 +678,28 @@ class PlanGuardSpec extends SparkSpec {
       s"bucket must be filtered as a partition:\n${scan.get}")
   }
 
+  test("q197 stored embed keep-best: the pair sweep reads the bucket index, never the embedding table") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ann_sweep_guard"
+    graft.ops.AnnIndex.write(emb, "vec_id", "embedding", path,
+      numPlanes = 8, dim = 64)
+    val p = graft.ops.AnnIndex.cosinePairsFromIndex(spark, path, "vec_id",
+      threshold = 0.2).queryExecution.executedPlan.toString
+    // the maintenance pass must cost an index scan, not a corpus
+    // re-embed/re-bucket: every leaf is a parquet scan of the store
+    // (vectors + norms already materialized per bucket), the primary
+    // embedding table is never touched, and no object-mapped stage runs
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"pair sweep must not run a decode/bucketing stage:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"pair sweep must never read the primary embedding table:\n$p")
+    assert(p.contains("graft_ann_sweep_guard"),
+      s"pair sweep must scan the at-rest index:\n$p")
+    // the equi-key is the partition value the files are laid out by
+    assert(p.contains("bucket"), s"pair join must key on the bucket:\n$p")
+  }
+
   test("q179 stored decontamination: the bench shingles broadcast; the corpus never shuffles for them") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -603,6 +603,77 @@ object IvfIndex {
     fs.delete(tmp, true)
   }
 
+  // ---------------------------------------------------- drift monitoring
+
+  /** Persist the BUILD-TIME cell-balance profile beside `_centroids`
+    * (`_drift/`, one row: build_max, build_total — the max per-cell
+    * row count and the total). Cell balance IS the serving-cost
+    * contract the frozen quantizer can silently lose: a probe reads
+    * nprobe/numCentroids of the corpus only while cells hold
+    * comparable populations, and as the ingest distribution shifts
+    * away from the build's, new rows pile into few cells and erode
+    * exactly that ratio. The profile freezes what "balanced" meant at
+    * build time so [[driftCheck]] has a denominator; a [[rebuild]]
+    * drops it with the rest of the old root — re-profile after
+    * rebuilding (the refreshed quantizer defines a new baseline).
+    * Integer counts only: the verdict arithmetic must replay exactly
+    * in any engine (no float means, no summation-order anywhere).
+    */
+  def writeDriftProfile(spark: SparkSession, path: String): Unit = {
+    spark.read.parquet(path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("nr"))
+      .agg(max(col("nr")).as("build_max"), sum(col("nr")).as("build_total"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_drift")
+  }
+
+  /** JUDGED drift verdict for a candidate ingest batch — the DECISION
+    * half of the frozen-quantizer lifecycle ([[append]] freezes the
+    * geometry by contract; [[rebuild]] refreshes it; this is the
+    * monitor that says WHEN): the batch is assigned against the STORED
+    * `_centroids` (the exact arithmetic [[append]] would use — round-6
+    * cosine argmax, smaller-cid tie-break), its per-cell counts are
+    * folded to (batch_max, batch_total), and the verdict fires when
+    * the batch's imbalance exceeds the build profile's by
+    * `fireNum/fireDen`:
+    *
+    *   batch_max/batch_total > (fireNum/fireDen)·build_max/build_total
+    *   ⟺  batch_max·build_total·fireDen > build_max·batch_total·fireNum
+    *
+    * — compared as exact integer products, so the boolean is
+    * deterministic and the oracle recomputes it relationally (the
+    * assignment is the q37 SQL, the counts are GROUP BYs). A batch
+    * drawn from the build distribution keeps the ratio ≈ 1 and does
+    * not fire; a shifted batch concentrates into few cells and does —
+    * `IvfIndexSpec` pins both, plus recovery (after rebuild +
+    * re-profile the same batch stops firing). Returns one row:
+    * (build_max, build_total, batch_max, batch_total, rebuild_fired).
+    */
+  def driftCheck(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, fireNum: Long = 3, fireDen: Long = 2): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ndot = GraftFunctions.dotNative _
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val e = batch.select(col(idCol),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+    val simToCent = round(ndot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+    val counts = e.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"), simToCent.as("csim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("nr"))
+    counts
+      .agg(max(col("nr")).as("batch_max"), sum(col("nr")).as("batch_total"))
+      .crossJoin(broadcast(spark.read.parquet(s"$path/_drift")))
+      .select(col("build_max"), col("build_total"),
+        col("batch_max"), col("batch_total"),
+        (col("batch_max") * col("build_total") * lit(fireDen) >
+          col("build_max") * col("batch_total") * lit(fireNum))
+          .as("rebuild_fired"))
+  }
+
   /** DELETE vectors from the cell-partitioned index — [[AnnIndex
     * .deleteFromIndex]] verbatim (one `_tombstones/` append; probes
     * mask; the frozen coarse quantizer deliberately does NOT change,

@@ -618,6 +618,44 @@ object ExtQueries {
       queryVec0(s, dir), k = 5, nprobe = 2, excludeId = Some(0L))
   }
 
+  /** q202: the DRIFT-TRIGGERED rebuild contract ([[graft.ops.IvfIndex
+    * .driftCheck]]) — the decision half of the frozen-quantizer
+    * lifecycle q136 leaves unjudged (q128 freezes the geometry on
+    * ingest by contract, q136 judges the rebuild mechanics; nothing
+    * judged WHEN a rebuild should fire): the build's cell-balance
+    * profile is frozen beside `_centroids` (`_drift/` — integer
+    * max/total cell counts), and each candidate batch is assigned
+    * against the frozen quantizer and compared — fire when the batch's
+    * max-cell fraction exceeds 1.5× the build's, as exact integer
+    * products. Two judged scenarios: an ALIGNED batch (the odd half —
+    * same distribution, must not fire) and a DRIFTED one (the corpus
+    * folded through |x|, which collapses it into the positive orthant
+    * and concentrates the assignment — must fire). The oracle
+    * recomputes assignments (q37's argmax SQL), counts, and the
+    * integer verdicts relationally.
+    */
+  private val ivfDriftIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(ivfDriftIndexes)
+  private val q202: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = ivfDriftIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_drift_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.write(emb, "vec_id", "embedding", p, numCentroids = 8)
+      graft.ops.IvfIndex.writeDriftProfile(s, p)
+      p
+    })
+    def verdict(tag: String, batch: org.apache.spark.sql.DataFrame) =
+      graft.ops.IvfIndex.driftCheck(batch, "vec_id", "embedding", path)
+        .select(lit(tag).as("scenario"), col("build_max"), col("build_total"),
+          col("batch_max"), col("batch_total"), col("rebuild_fired"))
+    verdict("aligned", emb.filter(col("vec_id") % 2 === 1))
+      .unionByName(verdict("drifted", emb.select(col("vec_id"),
+        transform(col("embedding"), x => abs(x)).as("embedding"))))
+      .orderBy("scenario")
+  }
+
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
     * the 4×-smaller int8 form — the candidate-generation tier of a
@@ -1963,6 +2001,7 @@ object ExtQueries {
     "q172_span_excise" -> q172,
     "q134_ivf_quant_probe" -> q134,
     "q136_ivf_rebuild" -> q136,
+    "q202_ivf_drift_rebuild" -> q202,
     "q168_ivf_delete" -> q168,
     "q137_ivf_quant_ingest" -> q137,
     "q139_ivf_two_tier" -> q139,
@@ -3150,6 +3189,39 @@ object ExtQueries {
     // swap the layout) reproduces the fresh build exactly — same
     // oracle, fourth plan: refresh changes layout, never answers
     "q136_ivf_rebuild" -> ivfTop5Sql,
+
+    // the drift verdict's assignment is q37's argmax SQL; counts and
+    // the fire comparison are exact integer arithmetic, recomputed
+    // relationally per scenario (aligned = odd half, drifted = |x|)
+    "q202_ivf_drift_rebuild" -> {
+      def cellCounts(src: String): String =
+        s"""(SELECT cid AS cell, count(*) AS nr FROM (
+           |   SELECT $src.vec_id, c.cid,
+           |          row_number() OVER (PARTITION BY $src.vec_id
+           |            ORDER BY round(list_dot_product($src.v, c.cv) / ($src.nrm * c.cnrm), 6) DESC,
+           |                     c.cid) AS rn
+           |   FROM $src, c) WHERE rn = 1 GROUP BY 1)""".stripMargin
+      def stat(cnts: String): String =
+        s"(SELECT max(nr) AS batch_max, CAST(sum(nr) AS BIGINT) AS batch_total FROM $cnts x)"
+      s"""WITH $embCte,
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+         |bs AS (SELECT max(nr) AS build_max, CAST(sum(nr) AS BIGINT) AS build_total
+         |       FROM ${cellCounts("en")} x),
+         |al AS (SELECT vec_id, v, nrm FROM en WHERE vec_id % 2 = 1),
+         |als AS ${stat(cellCounts("al"))},
+         |de AS (SELECT vec_id, list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) AS v
+         |       FROM embeddings),
+         |dn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM de),
+         |dls AS ${stat(cellCounts("dn"))}
+         |SELECT s.scenario, bs.build_max, bs.build_total, s.batch_max, s.batch_total,
+         |       (s.batch_max * bs.build_total * 2 > bs.build_max * s.batch_total * 3)
+         |         AS rebuild_fired
+         |FROM bs, (SELECT 'aligned' AS scenario, batch_max, batch_total FROM als
+         |          UNION ALL
+         |          SELECT 'drifted', batch_max, batch_total FROM dls) s
+         |ORDER BY s.scenario""".stripMargin
+    },
 
     // delete semantics for the IVF index: centroids FROZEN from the
     // full build corpus (seed 4 is deleted as a row yet still ranks

@@ -619,6 +619,46 @@ class IvfIndexSpec extends SparkSpec {
     rm(new java.io.File(pQ))
   }
 
+  test("driftCheck: aligned batch never fires, a shifted batch does, rebuild+re-profile recovers") {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_drift"
+    rm(new java.io.File(p))
+    IvfIndex.write(emb, "vec_id", "embedding", p, numCentroids = 8)
+    IvfIndex.writeDriftProfile(spark, p)
+    // the cross-engine-exact integer ratio the verdict compares:
+    // (batch_max/batch_total) / (build_max/build_total), as a double
+    // only for the spec's ordering assertions
+    def ratio(batch: org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val r = IvfIndex.driftCheck(batch, "vec_id", "embedding", p).head()
+      (r.getAs[Long]("batch_max").toDouble * r.getAs[Long]("build_total") /
+        (r.getAs[Long]("build_max").toDouble * r.getAs[Long]("batch_total")),
+        r.getAs[Boolean]("rebuild_fired"))
+    }
+    // a batch drawn from the build distribution keeps the ratio ~1
+    val (alignedRatio, alignedFired) = ratio(emb.filter(col("vec_id") % 2 === 1))
+    assert(!alignedFired && alignedRatio < 1.5)
+    // |x| collapses the corpus into the positive orthant: assignment
+    // concentrates, the max-cell fraction blows past 1.5x the build's
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val (driftRatio, driftFired) = ratio(drifted)
+    assert(driftFired && driftRatio > 1.5)
+    // remediation: fold the drifted batch in, rebuild the quantizer
+    // over the grown corpus (Lloyd-refined), re-profile — the SAME
+    // batch's imbalance ratio drops sharply against the refreshed
+    // baseline (the new geometry carves the positive orthant into its
+    // own cells; the batch stays a skewed SLICE of the mixed corpus,
+    // so the contract is a measured improvement, not ratio 1)
+    IvfIndex.append(spark,
+      drifted.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", p)
+    IvfIndex.rebuild(spark, p, "vec_id", numCentroids = 8, kmeansIters = 1)
+    IvfIndex.writeDriftProfile(spark, p)
+    val (rebuiltRatio, _) = ratio(drifted)
+    assert(rebuiltRatio < driftRatio * 0.6,
+      s"rebuild must sharply cut the drift ratio: $driftRatio -> $rebuiltRatio")
+    rm(new java.io.File(p))
+  }
+
   test("probeCellsOf: a zero-norm query degrades to cid order, never a NaN throw") {
     // qnrm = 0 makes every cell sim 0/0 = NaN; the probe must still
     // return nprobe cells (ranked last = all tied -> cid ascending),

@@ -1903,13 +1903,17 @@ object ExtQueries {
     *   .overlapFromIndexShingles]]); None keeps the inline q84/q114
     *   computation over `sig`'s own 5-gram shingles.
     */
-  private[queries] def curationGateFromSignals(
-      sig: graft.ops.CurationSignals,
-      contaminatedIds: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame = {
-    val base = sig.base
+  /** The per-doc gate SIGNALS over an already-built
+    * [[graft.ops.CurationSignals]] — (doc_id, quality, lang_pred,
+    * dup_token_frac), every per-doc token aggregate in ONE grouped
+    * pass (map-side combined). Factored out of
+    * [[curationGateFromSignals]] so the STREAMING crawl→curate loop
+    * (q203) computes the identical signals per micro-batch — the
+    * signals are per-doc, so batch boundaries cannot change them.
+    */
+  private[queries] def gateSignals(
+      sig: graft.ops.CurationSignals): org.apache.spark.sql.DataFrame = {
     val tok = sig.tokens
-    // every per-doc token aggregate in ONE grouped pass (map-side combined)
     def cntIn(words: Seq[String]) =
       count(when(col("tok").isin(words.map(x => x: Any): _*), 1))
     val markers = TextAnalysis.langMarkers
@@ -1922,13 +1926,21 @@ object ExtQueries {
     val langPred = markers.foldRight(lit("und")) { case ((l, _), acc) =>
       when(maxC > 0 && col(s"c_$l") === maxC, lit(l)).otherwise(acc)
     }
-    val signals = perDoc.select(col("doc_id"),
+    perDoc.select(col("doc_id"),
       ((col("n_stop").cast("double") / col("n_tok").cast("double")) * lit(0.5) +
         least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.5))
         .as("quality"),
       langPred.as("lang_pred"),
       ((col("n_tok") - col("n_tok_d")).cast("double") /
         col("n_tok").cast("double")).as("dup_token_frac"))
+  }
+
+  private[queries] def curationGateFromSignals(
+      sig: graft.ops.CurationSignals,
+      contaminatedIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val base = sig.base
+    val signals = gateSignals(sig)
     // 5-gram contamination shingles from the SAME token relation
     // (unless the caller supplies the relation — q196's stored probe)
     val contaminated = contaminatedIds.getOrElse {
@@ -3628,12 +3640,14 @@ object ExtQueries {
        |    FROM en, c1n)
        |  WHERE rn = 1)""".stripMargin
 
-  /** The q84 gate as a CTE block ending in
-    * `gate(doc_id, quality, dup_token_frac)` — reused verbatim by the
-    * q114 end-to-end pipeline oracle so the gate stage of both oracles
-    * is literally the same SQL.
+  /** The gate's per-doc SIGNAL CTEs (quality, language, repetition,
+    * contamination — everything except the exact-dup keeper leg),
+    * ending in `cont(doc_id)`. Shared by [[curationGateCtes]] (which
+    * adds the corpus-min keeper) and the streaming crawl→curate oracle
+    * (q203 — whose exact-dup leg is first-seen-wins per micro-batch,
+    * so the keeper SQL differs while every signal is identical).
     */
-  private[queries] lazy val curationGateCtes: String =
+  private[queries] lazy val gateSignalCtes: String =
     s"""$tokensCte,
        |sig AS (
        |  SELECT d.doc_id,
@@ -3666,7 +3680,15 @@ object ExtQueries {
        |  SELECT DISTINCT c.doc_id
        |  FROM (SELECT * FROM sh5 WHERE doc_id % 20 <> 7) c
        |  JOIN (SELECT * FROM sh5 WHERE doc_id % 20 = 7) b ON c.sh = b.sh
-       |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3),
+       |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3)""".stripMargin
+
+  /** The q84 gate as a CTE block ending in
+    * `gate(doc_id, quality, dup_token_frac)` — reused verbatim by the
+    * q114 end-to-end pipeline oracle so the gate stage of both oracles
+    * is literally the same SQL.
+    */
+  private[queries] lazy val curationGateCtes: String =
+    s"""$gateSignalCtes,
        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |gate AS (
        |  SELECT l.doc_id, round(l.quality, 6) AS quality,

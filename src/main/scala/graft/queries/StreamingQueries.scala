@@ -1008,6 +1008,152 @@ object StreamingQueries {
     }
   }
 
+  /** q203: the UNIFIED streaming crawl→curate loop — the per-index
+    * `foreachBatch` loops (q117/q140 shingle dedup, q159 BM25, q195 LM
+    * counts) composed into ONE production ingest path. The documents
+    * arrive as 4 mtime-ordered micro-batches; per batch, in order:
+    *
+    *  1. GATE — the q84 per-doc signals ([[ExtQueries.gateSignals]]
+    *     over one shared tokenize: quality ≥ 0.3, lang = en,
+    *     dup_token_frac ≤ 0.6) plus decontamination against the STORED
+    *     benchmark index frozen BEFORE the stream (q179's contract —
+    *     the eval set ships first, every batch probes it at rest);
+    *  2. EXACT dedup, first-seen-wins — a gated doc is dropped when
+    *     its text hash matches an ADMITTED doc from an earlier batch,
+    *     or a lower-id gated doc in its own batch (the streaming
+    *     replacement for q84's corpus-min keeper: a stream cannot keep
+    *     the global minimum it has not seen yet);
+    *  3. NEAR dedup against the STORED shingle index (q140's at-rest
+    *     loop: Jaccard ≥ 0.5, df cap 1000, batch-vs-index);
+    *  4. FOLD survivors into EVERY text store: the shingle index
+    *     (partition appends — the state later batches dedup against),
+    *     the BM25 index, and the bigram-LM count store.
+    *
+    * Judged row-level: (doc_id, gated, kept) for every non-benchmark
+    * document; the oracle replays the gate signals (q84's CTEs) and
+    * the 4 exact+near rounds from scratch (q117's round pattern with
+    * the exact-dup layer interleaved). The BM25/LM fold mechanics are
+    * judged by their own queries (q152–q155/q159, q190/q195 — counts
+    * and postings are additive, so the decomposition here adds no new
+    * store semantics); `StreamingQueriesSpec` pins the composed
+    * decisions' invariants (kept ⊆ gated, no surviving exact pair, no
+    * surviving cross-batch near-dup pair).
+    */
+  private val q203: Q = (s, dir) => {
+    import graft.ops.{Decontamination, Dedup, LanguageModel, Retrieval}
+    val root = scratchDir("q203")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 0 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 2000L)
+    }
+    val shPath = new java.io.File(root, "shingle").toString
+    val bmPath = new java.io.File(root, "bm25").toString
+    val lmPath = new java.io.File(root, "lm").toString
+    val benchPath = new java.io.File(root, "bench").toString
+    // the eval set is frozen at rest BEFORE any training data flows
+    Decontamination.writeBenchIndex(docs.filter(col("doc_id") % 20 === 7),
+      "doc_id", "text", benchPath, k = 5)
+    // driver-side loop state: accumulated decisions + admitted hashes
+    var results = List.empty[DataFrame]
+    var seenHashes: Option[DataFrame] = None
+    var batchNo = 0
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q203_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q203_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val nonBench = batch.filter(col("doc_id") % 20 =!= 7)
+          // ONE tokenize feeds signals, 5-gram probe AND 3-gram dedup
+          val sig = graft.ops.CurationSignals.build(nonBench, "doc_id", "text")
+          val contaminated = Decontamination.overlapFromIndexShingles(
+              sig.shingles(5).select(col("doc_id").as("corpus_id"), col("sh")),
+              benchPath, minOverlap = 3)
+            .select(col("corpus_id").as("doc_id")).distinct()
+          val gated = nonBench.select(col("doc_id"))
+            .join(ExtQueries.gateSignals(sig), "doc_id")
+            .filter(col("lang_pred") === "en" &&
+              col("quality") >= 0.3 && col("dup_token_frac") <= 0.6)
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"))
+            .localCheckpoint()
+          // exact: within-batch min-id per hash, then vs admitted hashes
+          val wHash = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("text_hash")).orderBy(col("doc_id"))
+          val batchKeeper = gated
+            .join(sig.base.select(col("doc_id"), col("text_hash")), "doc_id")
+            .withColumn("rk", row_number().over(wHash))
+            .filter(col("rk") === 1)
+            .select(col("doc_id"), col("text_hash"))
+          val exactSurv = seenHashes.foldLeft(batchKeeper)(
+              (d, seen) => d.join(seen, Seq("text_hash"), "left_anti"))
+            .localCheckpoint()
+          // near: batch-vs-stored-index (empty index on batch 0)
+          val sh3 = sig.shingles(3)
+            .join(exactSurv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+          val dupIds = Dedup.dedupAgainstIndex(sh3,
+              Dedup.readStoredIndex(s, "doc_id", shPath), "doc_id",
+              threshold = 0.5, maxShingleDf = 1000)
+            .select(col("new_id").as("doc_id")).distinct()
+          val admitted = exactSurv
+            .join(dupIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val admittedIds = admitted.select(col("doc_id"))
+          // fold the survivors into every text store (pure appends)
+          Dedup.appendToStoredIndex(sh3, admittedIds, "doc_id", shPath)
+          val admittedDocs = nonBench
+            .join(admittedIds, Seq("doc_id"), "left_semi")
+          Retrieval.appendToBm25Index(admittedDocs, "doc_id", "text",
+            bmPath, termBucketsIfNew = 16)
+          LanguageModel.writeCountBatch(admittedDocs, "doc_id", "text",
+            lmPath, s"b$batchNo")
+          val decided = nonBench.select(col("doc_id"))
+            .join(gated.withColumn("__g", lit(true)), Seq("doc_id"), "left")
+            .join(admittedIds.withColumn("__k", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__g"), lit(false)).as("gated"),
+              coalesce(col("__k"), lit(false)).as("kept"))
+            .localCheckpoint()
+          results = decided :: results
+          seenHashes = Some(seenHashes
+            .map(_.unionByName(admitted.select(col("text_hash"))))
+            .getOrElse(admitted.select(col("text_hash")))
+            .localCheckpoint())
+          batchNo += 1
+          sig.base.unpersist(blocking = false)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.reduce(_ unionByName _).orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
@@ -1024,6 +1170,7 @@ object StreamingQueries {
     "q195_stream_lm_counts" -> q195,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
+    "q203_stream_crawl_curate" -> q203,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1144,7 +1291,68 @@ object StreamingQueries {
          |         OR d.doc_id IN (SELECT new_id FROM d3)) AS kept
          |FROM documents d ORDER BY doc_id""".stripMargin
 
+  /** The from-scratch replay of the unified crawl→curate loop: q84's
+    * gate-signal CTEs (minus the corpus-min keeper), then per
+    * micro-batch the first-seen-wins exact layer interleaved with
+    * q117's near-dup round pattern — admitted docs' shingles become
+    * the next round's index, admitted hashes the next round's
+    * exact-dup mask.
+    */
+  private lazy val crawlCurateOracle: String = {
+    def round(k: Int): String =
+      s"""e$k AS (SELECT doc_id FROM (
+         |         SELECT gt.doc_id, h.h,
+         |                row_number() OVER (PARTITION BY h.h ORDER BY gt.doc_id) AS rk
+         |         FROM gt JOIN hsh h ON h.doc_id = gt.doc_id WHERE gt.doc_id % 4 = $k)
+         |       WHERE rk = 1
+         |         AND h NOT IN (SELECT h2.h FROM adm${k - 1} p JOIN hsh h2 ON h2.doc_id = p.doc_id)),
+         |hot$k AS (SELECT sh FROM c$k GROUP BY sh HAVING count(*) > 1000),
+         |post$k AS (SELECT * FROM c$k ANTI JOIN hot$k USING (sh)),
+         |i$k AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS n_inter
+         |        FROM (SELECT sh.* FROM sh JOIN e$k USING (doc_id)) a
+         |        JOIN post$k b ON a.sh = b.sh GROUP BY 1, 2),
+         |d$k AS (SELECT DISTINCT new_id FROM i$k
+         |        JOIN sizes na ON na.doc_id = new_id
+         |        JOIN sizes nb ON nb.doc_id = corpus_id
+         |        WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5),
+         |a$k AS (SELECT doc_id FROM e$k WHERE doc_id NOT IN (SELECT new_id FROM d$k)),
+         |adm$k AS (SELECT * FROM adm${k - 1} UNION ALL SELECT * FROM a$k),
+         |c${k + 1} AS (SELECT sh.* FROM sh JOIN adm$k USING (doc_id))""".stripMargin
+    s"""WITH ${ExtQueries.gateSignalCtes},
+       |gt AS (SELECT l.doc_id FROM lang l JOIN rep r ON r.doc_id = l.doc_id
+       |       WHERE l.doc_id % 20 <> 7
+       |         AND l.doc_id NOT IN (SELECT doc_id FROM cont)
+       |         AND l.lang_pred = 'en'
+       |         AND l.quality >= 0.3
+       |         AND r.dup_token_frac <= 0.6),
+       |hsh AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM w, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS gs(i)
+       |       WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |e0 AS (SELECT doc_id FROM (
+       |         SELECT gt.doc_id, h.h,
+       |                row_number() OVER (PARTITION BY h.h ORDER BY gt.doc_id) AS rk
+       |         FROM gt JOIN hsh h ON h.doc_id = gt.doc_id WHERE gt.doc_id % 4 = 0)
+       |       WHERE rk = 1),
+       |adm0 AS (SELECT doc_id FROM e0),
+       |c1 AS (SELECT sh.* FROM sh JOIN adm0 USING (doc_id)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT d.doc_id,
+       |       d.doc_id IN (SELECT doc_id FROM gt) AS gated,
+       |       d.doc_id IN (SELECT doc_id FROM adm3) AS kept
+       |FROM documents d
+       |WHERE d.doc_id % 20 <> 7
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private lazy val oracleTail: Map[String, String] = Map(
+    // the unified loop's decisions, replayed from scratch: gate
+    // signals + 4 rounds of (first-seen-wins exact ∘ index near-dup)
+    "q203_stream_crawl_curate" -> crawlCurateOracle,
+
     // q27's oracle verbatim (via q116): neither the partitioned layout
     // nor the batch-append ingest path can change the top-5 answer
     "q118_stream_ann_ingest" -> ExtQueries.annTop5Sql,

@@ -46,6 +46,35 @@ class StreamingQueriesSpec extends SparkSpec {
         .orderBy("user_id", "session_start"))
   }
 
+  test("q203 crawl-curate loop: kept ⊆ gated, exact pairs resolved, cross-batch near-dups resolved") {
+    import graft.ops.Dedup
+    val out = run("q203_stream_crawl_curate").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // universe: every non-benchmark document, exactly once
+    assert(out.length == docs.filter(col("doc_id") % 20 =!= 7).count())
+    assert(out.map(_._1).distinct.length == out.length)
+    // a doc the gate dropped can never be admitted
+    out.foreach { case (id, gated, kept) =>
+      assert(!kept || gated, s"doc $id kept without being gated")
+    }
+    val keptIds = out.filter(_._3).map(_._1)
+    assert(keptIds.nonEmpty && keptIds.length < out.length)
+    import spark.implicits._
+    val keptDocs = docs.join(keptIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    // exact dedup: no two admitted docs share a text hash
+    assert(keptDocs.count() ==
+      keptDocs.select(md5(col("text"))).distinct().count())
+    // near dedup: no admitted pair from DIFFERENT batches at Jaccard
+    // >= 0.5 (the loop checks batch-vs-index only, so same-batch pairs
+    // are outside its contract)
+    val crossBatch = Dedup.jaccardNearDup(keptDocs, "doc_id", "text",
+        threshold = 0.5, shingleK = 3, maxShingleDf = 1000)
+      .filter(pmod(col("id_a"), lit(4)) =!= pmod(col("id_b"), lit(4)))
+      .count()
+    assert(crossBatch == 0, s"$crossBatch surviving cross-batch near-dup pairs")
+  }
+
   test("q74 streaming interval join equals batch interval join") {
     val ev = batchEvents
     val p = ev.filter(col("event_type") === "purchase")

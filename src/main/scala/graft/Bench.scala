@@ -163,16 +163,26 @@ object Bench {
     }
     // post-sweep adjudication: anything still wide-gap or regressed vs
     // the prior artifact gets more samples while budget remains — noise
-    // re-converges, real regressions survive with ≥5 runs behind them
-    states.filter(st => st.failed.isEmpty && st.times.nonEmpty &&
-        (st.gapTooWide || st.regressedVsPrior))
-      .foreach { st =>
-        var extra = 0
-        while (st.failed.isEmpty && (st.gapTooWide || st.regressedVsPrior) &&
-            extra < 2 * maxExtra && elapsedSec < 1.5 * budgetSec) {
-          st.once(); extra += 1
-        }
+    // re-converges, real regressions survive with ≥5 runs behind them.
+    // QUIESCE first (round-17 verdict, worklist #7): the sf1 wide-gap
+    // family sat entirely in the sweep's tail-contention window — GC
+    // debt and page-cache churn from a hundred neighboring queries
+    // inflate medians 2-4× over bests. One full GC + settle before the
+    // pass, and one GC between flagged queries, lets adjudication
+    // sample a quiet JVM instead of re-measuring the noise.
+    val flagged = states.filter(st => st.failed.isEmpty && st.times.nonEmpty &&
+      (st.gapTooWide || st.regressedVsPrior))
+    if (flagged.nonEmpty && elapsedSec < 1.5 * budgetSec) {
+      System.gc(); Thread.sleep(3000)
+    }
+    flagged.foreach { st =>
+      System.gc()
+      var extra = 0
+      while (st.failed.isEmpty && (st.gapTooWide || st.regressedVsPrior) &&
+          extra < 2 * maxExtra && elapsedSec < 1.5 * budgetSec) {
+        st.once(); extra += 1
       }
+    }
 
     val results = states.map(st =>
       (st.name, st.min, st.median, st.times.size,

@@ -524,11 +524,108 @@ object Dedup {
     * [[foldIn]] chain exactly, so every probe/fold law carries over.
     */
   def writeStoredIndex(index: ShingleIndex, idCol: String,
-      path: String): Unit = {
+      path: String, shBuckets: Int = 0): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
-    index.postings.write.mode(mode).parquet(s"$path/postings")
+    writeShRel(index.postings, path, "postings", shBuckets, mode)
     index.docSizes.write.mode(mode).parquet(s"$path/sizes")
-    index.dfs.write.mode(mode).parquet(s"$path/dfs")
+    writeShRel(index.dfs, path, "dfs", shBuckets, mode)
+    writeStoredLayout(index.postings.sparkSession, path, shBuckets)
+  }
+
+  /** The deterministic shingle→bucket column of the BUCKETED stored
+    * layout ([[graft.ops.Retrieval.termBucketOf]]'s map, 's'-prefixed):
+    * first 6 md5 hex chars of the shingle as an integer mod
+    * `numBuckets`. A FUNCTION OF THE SHINGLE, which is what makes
+    * bucket pruning exact: a shingle's every posting row and every df
+    * delta live wholly inside its own `sb=` partition, so pruning to a
+    * batch's buckets keeps complete posting lists and complete df sums
+    * for every shingle the batch can match.
+    */
+  private def shBucketCol(sh: Column, numBuckets: Int): Column =
+    concat(lit("s"),
+      pmod(conv(substring(md5(sh), 1, 6), 16, 10).cast("long"),
+        lit(numBuckets.toLong)))
+
+  private def writeShRel(rel: DataFrame, path: String, name: String,
+      shBuckets: Int, mode: org.apache.spark.sql.SaveMode): Unit = {
+    if (shBuckets > 0)
+      rel.withColumn("sb", shBucketCol(col("sh"), shBuckets))
+        .repartition(col("sb"))
+        .write.mode(mode).partitionBy("sb").parquet(s"$path/$name")
+    else rel.write.mode(mode).parquet(s"$path/$name")
+    ()
+  }
+
+  /** `_layout/` self-description (sh_buckets; 0 = flat legacy layout) —
+    * maintenance reads THIS, never a caller parameter, so the bucket
+    * map is frozen at build time (the [[graft.ops.Retrieval]] rule:
+    * re-bucketing per batch would scatter a shingle's postings across
+    * buckets and break partition pruning).
+    */
+  private def writeStoredLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, shBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(shBuckets).toDF("sh_buckets").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_layout")
+  }
+
+  /** The stored index's bucket count; 0 for flat/legacy (no `_layout`). */
+  def storedLayoutOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).head().getInt(0)
+    else 0
+  }
+
+  /** [[dedupAgainstIndex]] against the BUCKETED stored index with the
+    * scan PRUNED to the batch's shingle buckets — the measured fix for
+    * the one non-flat probe in `bench_sf10_probes.json`: the flat
+    * layout's probe scans the whole postings relation (3.05 s at the
+    * sf10-class store vs 0.68 s at sf1-class), while BM25's bucketed
+    * probe reads |query terms| buckets. Here the batch's distinct `sb`
+    * values (driver exchange ≤ sh_buckets — layout-bounded, never
+    * batch-bounded) become PARTITION IN-lists on BOTH postings and
+    * dfs, and the probe's cost is the batch's buckets' files instead
+    * of the corpus's. Decisions are IDENTICAL to the flat probe's by
+    * construction (the bucket is a function of the shingle, so pruned
+    * posting lists and df sums are complete for every shingle the
+    * batch can match); tombstoned docs are masked exactly as in
+    * [[readStoredIndex]]. Falls back to the flat read when the layout
+    * is unbucketed.
+    */
+  def dedupAgainstStoredIndex(batchShingles: DataFrame, idCol: String,
+      path: String, threshold: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
+    val spark = batchShingles.sparkSession
+    val nb = storedLayoutOf(spark, path)
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val hasPostings = postingsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(postingsPath)
+    // flat/legacy layout, or a bootstrapping loop whose layout landed
+    // before its first postings append → the full-index read (which
+    // handles the missing-index case as the empty index)
+    if (nb <= 0 || !hasPostings)
+      return dedupAgainstIndex(batchShingles,
+        readStoredIndex(spark, idCol, path), idCol, threshold, maxShingleDf)
+    val batch = batchShingles.localCheckpoint() // probed twice: sb + join
+    val sbs = batch.select(shBucketCol(col("sh"), nb).as("sb")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val mask = storedTombstonesOf(spark, path)
+    def masked(df: DataFrame) =
+      mask.foldLeft(df)((d, ts) => d.join(ts, Seq(idCol), "left_anti"))
+    val postings = masked(spark.read.parquet(s"$path/postings")
+        .filter(col("sb").isin(sbs.map(x => x: Any): _*)))
+      .select(col(idCol), col("sh"))
+    val dfs = spark.read.parquet(s"$path/dfs")
+      .filter(col("sb").isin(sbs.map(x => x: Any): _*))
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+    dedupAgainstIndex(batch,
+      ShingleIndex(postings,
+        masked(spark.read.parquet(s"$path/sizes")), dfs),
+      idCol, threshold, maxShingleDf)
   }
 
   /** Fold a batch's surviving documents into the STORED index — the
@@ -551,19 +648,32 @@ object Dedup {
     * writers first (the maintenance-lock caveat [[compactStoredDfs]]
     * documents).
     */
+  /** @param shBucketsIfNew against a path with no index yet, bootstrap
+    *   the layout at this bucket count (0 = flat) — the [[graft.ops
+    *   .Retrieval.appendToBm25Index]] convention that lets a streaming
+    *   loop start from nothing in the bucketed shape; an existing
+    *   index's frozen layout always wins.
+    */
   def appendToStoredIndex(batchShingles: DataFrame, keepIds: DataFrame,
-      idCol: String, path: String): Unit = {
+      idCol: String, path: String, shBucketsIfNew: Int = 0): Unit = {
+    val spark = batchShingles.sparkSession
     val mode = org.apache.spark.sql.SaveMode.Append
+    val layoutPath = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    if (shBucketsIfNew > 0 && !layoutPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(layoutPath))
+      writeStoredLayout(spark, path, shBucketsIfNew)
+    val nb = storedLayoutOf(spark, path)
     val keep = batchShingles
       .join(keepIds.select(col(idCol)), Seq(idCol), "leftsemi")
       .localCheckpoint()
     // dfs and sizes land BEFORE postings — a torn concurrent read can
     // only under-count candidates, never mis-score one (see scaladoc)
-    keep.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$path/dfs")
+    writeShRel(keep.groupBy(col("sh")).agg(count(lit(1)).as("df")),
+      path, "dfs", nb, mode)
     keep.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
       .write.mode(mode).parquet(s"$path/sizes")
-    keep.write.mode(mode).parquet(s"$path/postings")
+    writeShRel(keep, path, "postings", nb, mode)
     keep.unpersist()
     ()
   }
@@ -622,7 +732,9 @@ object Dedup {
       .localCheckpoint()
     val mode = org.apache.spark.sql.SaveMode.Append
     doomed.write.mode(mode).parquet(s"$path/tombstones")
-    negDfs.write.mode(mode).parquet(s"$path/dfs")
+    // negative deltas land in the shingle's own sb= partition when the
+    // layout is bucketed — the pruned probe's df sums stay complete
+    writeShRel(negDfs, path, "dfs", storedLayoutOf(spark, path), mode)
     ()
   }
 
@@ -659,18 +771,27 @@ object Dedup {
         fs.delete(old, true)
         ()
       }
+      val nb = storedLayoutOf(spark, path)
       swapIn("postings") { tmp =>
-        spark.read.parquet(s"$path/postings")
-          .join(t, Seq(idCol), "left_anti").write.parquet(tmp.toString)
+        // the read-back carries the sb partition column when bucketed —
+        // rewrite under the same frozen layout
+        val rel = spark.read.parquet(s"$path/postings")
+          .join(t, Seq(idCol), "left_anti")
+        if (nb > 0) rel.repartition(col("sb"))
+          .write.partitionBy("sb").parquet(tmp.toString)
+        else rel.write.parquet(tmp.toString)
       }
       swapIn("sizes") { tmp =>
         spark.read.parquet(s"$path/sizes")
           .join(t, Seq(idCol), "left_anti").write.parquet(tmp.toString)
       }
       swapIn("dfs") { tmp =>
-        spark.read.parquet(s"$path/postings")
+        val rel = spark.read.parquet(s"$path/postings")
           .groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .write.parquet(tmp.toString)
+        if (nb > 0) rel.withColumn("sb", shBucketCol(col("sh"), nb))
+          .repartition(col("sb"))
+          .write.partitionBy("sb").parquet(tmp.toString)
+        else rel.write.parquet(tmp.toString)
       }
       fs.delete(new Path(s"$path/tombstones"), true)
       ()
@@ -699,8 +820,12 @@ object Dedup {
       val mask = storedTombstonesOf(spark, path)
       def masked(df: DataFrame) =
         mask.foldLeft(df)((d, ts) => d.join(ts, Seq(idCol), "left_anti"))
+      // the bucketed layout's sb partition column is dropped here: the
+      // in-session ShingleIndex contract is (id, sh)/(id, n)/(sh, df),
+      // layout-free — pruned probes go through dedupAgainstStoredIndex
       ShingleIndex(
-        masked(spark.read.parquet(s"$path/postings")),
+        masked(spark.read.parquet(s"$path/postings"))
+          .select(col(idCol), col("sh")),
         masked(spark.read.parquet(s"$path/sizes")),
         spark.read.parquet(s"$path/dfs")
           .groupBy(col("sh")).agg(sum(col("df")).as("df")))
@@ -732,9 +857,13 @@ object Dedup {
     val old = new Path(s"$path/.dfs_compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    spark.read.parquet(dfs.toString)
+    val folded = spark.read.parquet(dfs.toString)
       .groupBy(col("sh")).agg(sum(col("df")).as("df"))
-      .write.parquet(tmp.toString)
+    val nb = storedLayoutOf(spark, path)
+    if (nb > 0) folded.withColumn("sb", shBucketCol(col("sh"), nb))
+      .repartition(col("sb"))
+      .write.partitionBy("sb").parquet(tmp.toString)
+    else folded.write.parquet(tmp.toString)
     // rename-aside swap: dfs → old, tmp → dfs, then drop old. A crash
     // after the first rename but before the second leaves `old` as the
     // recovery copy; one never deletes the only copy of the relation.

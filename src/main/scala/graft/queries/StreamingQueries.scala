@@ -944,9 +944,10 @@ object StreamingQueries {
     * against q117's oracle VERBATIM: where the maintained state lives
     * cannot change a keep decision.
     */
-  private val q140: Q = (s, dir) => {
+  private def storedDedupLoop(s: SparkSession, dir: String, tag: String,
+      shBuckets: Int): DataFrame = {
     import graft.ops.Dedup
-    val root = scratchDir("q140")
+    val root = scratchDir(tag)
     val in = new java.io.File(root, "in"); in.mkdirs()
     val ixPath = new java.io.File(root, "index").toString
     val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -969,8 +970,8 @@ object StreamingQueries {
       .option("latestFirst", "false")
       .parquet(in.toString)
     val ckRoot =
-      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q140_${runSeq.get()}"
-      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q140_${runSeq.get()}"
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_${tag}_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_${tag}_${runSeq.get()}"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete(); ()
@@ -981,16 +982,23 @@ object StreamingQueries {
         .option("checkpointLocation", ckRoot)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sh = Dedup.shingleTable(batch, "doc_id", "text", 3).localCheckpoint()
-          val ix = Dedup.readStoredIndex(s, "doc_id", ixPath)
-          val pairs = Dedup.dedupAgainstIndex(sh, ix, "doc_id",
-            threshold = 0.5, maxShingleDf = 1000)
+          // bucketed layout → the PRUNED probe (partition IN-list over
+          // the batch's sb values); flat layout → the full-index read
+          val pairs =
+            if (shBuckets > 0)
+              Dedup.dedupAgainstStoredIndex(sh, "doc_id", ixPath,
+                threshold = 0.5, maxShingleDf = 1000)
+            else
+              Dedup.dedupAgainstIndex(sh,
+                Dedup.readStoredIndex(s, "doc_id", ixPath), "doc_id",
+                threshold = 0.5, maxShingleDf = 1000)
           val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
           val decided = batch.select(col("doc_id"))
             .join(dupIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
             .select(col("doc_id"), coalesce(col("__dup"), lit(false)).unary_!.as("kept"))
             .localCheckpoint()
           Dedup.appendToStoredIndex(sh, decided.filter(col("kept")),
-            "doc_id", ixPath)
+            "doc_id", ixPath, shBucketsIfNew = shBuckets)
           results = decided :: results
           batchNo += 1
           // mid-loop OPTIMIZE: batches 2 and 3 probe a compacted dfs —
@@ -1007,6 +1015,24 @@ object StreamingQueries {
       rm(root)
     }
   }
+
+  private val q140: Q = (s, dir) => storedDedupLoop(s, dir, "q140", 0)
+
+  /** q204: q140's at-rest dedup loop over the BUCKETED stored layout —
+    * postings and df deltas in `sb=` partitions of a frozen
+    * shingle→bucket map, each micro-batch's probe pruning the store
+    * scan to its own buckets' partitions ([[graft.ops.Dedup
+    * .dedupAgainstStoredIndex]]) — the BM25 tb= layout for the dedup
+    * index. `bench_sf10_probes.json` measures WHEN that pays: pruning
+    * wins for probes whose shingle set is small against the bucket
+    * count (BM25's 3-term query; tiny containment lookups at high
+    * bucket counts) and saturates for shingle-rich batches, so the
+    * 100 TB recipe is bucket count ∝ store size and THIS query is the
+    * law that makes the layout switch safe — judged against
+    * q117/q140's oracle VERBATIM (with mid-stream bucketed dfs
+    * compaction in-loop): layout cannot change a keep decision.
+    */
+  private val q204: Q = (s, dir) => storedDedupLoop(s, dir, "q204", 16)
 
   /** q203: the UNIFIED streaming crawl→curate loop — the per-index
     * `foreachBatch` loops (q117/q140 shingle dedup, q159 BM25, q195 LM
@@ -1112,6 +1138,12 @@ object StreamingQueries {
           val sh3 = sig.shingles(3)
             .join(exactSurv.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .localCheckpoint()
+          // FLAT stored layout by choice: a quarter-corpus batch's
+          // shingle set saturates any test-scale bucket IN-list
+          // (bench_sf10_probes.json measures the regimes — bucketing
+          // pays for term-bounded probes, not shingle-rich batches;
+          // q204 proves the layout switch is semantics-free when a
+          // deployment's batch/bucket ratio crosses the threshold)
           val dupIds = Dedup.dedupAgainstIndex(sh3,
               Dedup.readStoredIndex(s, "doc_id", shPath), "doc_id",
               threshold = 0.5, maxShingleDf = 1000)
@@ -1170,6 +1202,7 @@ object StreamingQueries {
     "q195_stream_lm_counts" -> q195,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
+    "q204_bucketed_dedup_index" -> q204,
     "q203_stream_crawl_curate" -> q203,
   )
 
@@ -1239,6 +1272,9 @@ object StreamingQueries {
     // session state (q118's layout-cannot-change-results argument, for
     // the dedup index)
     "q140_stored_dedup_index" -> incrDedupOracle,
+    // ... and the sb=-BUCKETED layout with its pruned probe cannot
+    // change a decision either: same oracle, third judged plan
+    "q204_bucketed_dedup_index" -> incrDedupOracle,
   ) ++ oracleTail
 
   /** The from-scratch replay of the incremental dedup loop — shared

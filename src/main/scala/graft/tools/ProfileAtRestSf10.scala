@@ -114,6 +114,10 @@ object ProfileAtRestSf10 {
         s"$base/sig", bits = 48, bands = 4, sigBuckets = 16)
       val shIx = Dedup.buildShingleIndex(docs, "doc_id", "text", 3)
       Dedup.writeStoredIndex(shIx, "doc_id", s"$base/shingle")
+      Dedup.writeStoredIndex(shIx, "doc_id", s"$base/shingle_b",
+        shBuckets = 64)
+      Dedup.writeStoredIndex(shIx, "doc_id", s"$base/shingle_b1k",
+        shBuckets = 1024)
       Decontamination.writeBenchIndex(docs0.limit(200), "doc_id", "text",
         s"$base/bench", k = 5)
       LanguageModel.writeCountBatch(docs, "doc_id", "text", s"$base/lm", "b0")
@@ -154,6 +158,23 @@ object ProfileAtRestSf10 {
             Dedup.shingleTable(probeDocs, "doc_id", "text", 3),
             Dedup.readStoredIndex(spark, "doc_id", s"$base/shingle"),
             "doc_id", threshold = 0.5, maxShingleDf = 1000))),
+        "shingle_batch_dedup_bucketed" -> timed(() => force(
+          Dedup.dedupAgainstStoredIndex(
+            Dedup.shingleTable(probeDocs, "doc_id", "text", 3),
+            "doc_id", s"$base/shingle_b",
+            threshold = 0.5, maxShingleDf = 1000))),
+        // the regime where pruning can pay: probe shingles << buckets
+        // (a 2-doc containment-style lookup vs the 1024-bucket layout)
+        "shingle_tiny_probe" -> timed(() => force(
+          Dedup.dedupAgainstIndex(
+            Dedup.shingleTable(probeDocs.limit(2), "doc_id", "text", 3),
+            Dedup.readStoredIndex(spark, "doc_id", s"$base/shingle"),
+            "doc_id", threshold = 0.5, maxShingleDf = 1000))),
+        "shingle_tiny_probe_bucketed1k" -> timed(() => force(
+          Dedup.dedupAgainstStoredIndex(
+            Dedup.shingleTable(probeDocs.limit(2), "doc_id", "text", 3),
+            "doc_id", s"$base/shingle_b1k",
+            threshold = 0.5, maxShingleDf = 1000))),
         "bench_overlap_probe" -> timed(() => force(
           Decontamination.overlapFromIndex(probeDocs, "doc_id", "text",
             s"$base/bench", minOverlap = 3))),

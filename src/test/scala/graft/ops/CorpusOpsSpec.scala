@@ -459,6 +459,73 @@ class CorpusOpsSpec extends SparkSpec {
     rm(new java.io.File(pDel)); rm(new java.io.File(pRef))
   }
 
+  test("bucketed shingle store: pruned probe == flat decisions across append/delete/compact/purge") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    val pB = s"${sys.props("java.io.tmpdir")}/graft_shingle_spec_bkt"
+    val pF = s"${sys.props("java.io.tmpdir")}/graft_shingle_spec_bkt_ref"
+    rm(new java.io.File(pB)); rm(new java.io.File(pF))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val oddSh = Dedup.shingleTable(odds, "doc_id", "text", 3).localCheckpoint()
+    // same corpus, two layouts; append half so the bucketed append path
+    // (layout-read, sb-partitioned dfs/postings) is exercised too
+    def build(p: String, buckets: Int): Unit = {
+      Dedup.writeStoredIndex(
+        Dedup.buildShingleIndex(evens.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", 3), "doc_id", p, shBuckets = buckets)
+      Dedup.appendToStoredIndex(
+        Dedup.shingleTable(evens.filter(col("doc_id") % 4 === 2),
+          "doc_id", "text", 3),
+        evens.filter(col("doc_id") % 4 === 2).select(col("doc_id")),
+        "doc_id", p)
+    }
+    build(pB, 16); build(pF, 0)
+    // the bucketed relation is physically partitioned
+    assert(new java.io.File(s"$pB/postings").listFiles
+      .exists(_.getName.startsWith("sb=")), "postings must be sb-partitioned")
+    def probePruned() = Dedup.dedupAgainstStoredIndex(oddSh, "doc_id", pB,
+        threshold = 0.5, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    def probeFlat(p: String) = Dedup.dedupAgainstIndex(oddSh,
+        Dedup.readStoredIndex(spark, "doc_id", p), "doc_id",
+        threshold = 0.5, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val ref = probeFlat(pF)
+    assert(ref.nonEmpty)
+    assert(probePruned() == ref, "pruned probe must equal the flat layout's")
+    assert(probeFlat(pB) == ref, "full read of the bucketed store must agree too")
+    // the partition IN-list must land as a PartitionFilters entry
+    val plan = Dedup.dedupAgainstStoredIndex(oddSh, "doc_id", pB,
+        threshold = 0.5, maxShingleDf = 1000)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("sb"))
+    assert(scan.isDefined, s"no sb PartitionFilters entry in the probe scan:\n$plan")
+    // delete + compact + purge preserve decisions under the layout
+    val doomed = evens.filter(col("doc_id") % 8 === 0).select(col("doc_id"))
+    Dedup.deleteFromStoredIndex(doomed, "doc_id", pB)
+    Dedup.deleteFromStoredIndex(doomed, "doc_id", pF)
+    val refDel = probeFlat(pF)
+    assert(probePruned() == refDel, "masked bucketed probe must track the flat one")
+    Dedup.compactStoredDfs(spark, pB)
+    assert(probePruned() == refDel, "bucketed dfs compaction must be semantics-neutral")
+    Dedup.purgeStoredIndex(spark, "doc_id", pB)
+    assert(probePruned() == refDel, "bucketed purge must be semantics-neutral")
+    assert(new java.io.File(s"$pB/postings").listFiles
+      .exists(_.getName.startsWith("sb=")),
+      "purge must rewrite under the same bucketed layout")
+    rm(new java.io.File(pB)); rm(new java.io.File(pF))
+  }
+
   test("bm25 delete: tombstone mask == never-ingested; purge physical; double-delete no-op") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val query = Seq("vector", "stream", "window")

@@ -554,6 +554,100 @@ object ProductQuantize {
     * exploded (id, sub) rows would be m× smaller than the documented
     * per-vector MSE).
     */
+  // ---------------------------------------------------- drift monitoring
+
+  /** Per-vector quantization distortion against a codebook —
+    * (id, dist): Σ_sub min_cid round(|sv|² − 2·sv·cv + |cv|², 6),
+    * summed as DECIMAL. Every term is [[dist2]], the round-6
+    * assignment metric itself, and the min over codewords is
+    * tie-break-free (a VALUE min, not an argmin), so the per-vector
+    * decimal — and any boolean derived from it — replays exactly in
+    * any engine. One broadcast join over the exploded subvector
+    * relation; nothing corpus-sized moves.
+    */
+  private[graft] def distortion(embeddings: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, m: Int): DataFrame =
+    subvectors(embeddings, idCol, vecCol, m)
+      .join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"), dist2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(col("d2")).as("md2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("md2").cast(DecimalType(28, 6))).as("dist"))
+
+  /** Persist the BUILD-TIME quantization-distortion profile beside the
+    * stored codebook (`_qdrift/`, one row: tau, build_bad,
+    * build_total). Where [[graft.ops.IvfIndex.writeDriftProfile]]
+    * freezes the coarse quantizer's cell-BALANCE contract (serving
+    * cost), this freezes the codebook's RECONSTRUCTION contract
+    * (serving accuracy): the frozen-codebook append rule
+    * ([[graft.ops.IvfIndex.appendPq]]) codes every future batch
+    * against build-time codewords, and as the ingest distribution
+    * shifts away from the build's, per-vector quantization error grows
+    * — silently degrading every ADC score assembled from those codes.
+    * The profile counts build vectors whose [[distortion]] exceeds
+    * `tau` (a fixed ≤ 6-decimal threshold, frozen WITH the counts —
+    * the bad/total ratio is only comparable against a batch measured
+    * at the same tau). Integer counts of a deterministic per-row
+    * boolean: the verdict arithmetic replays exactly in any engine
+    * (the q202 discipline — no float means anywhere).
+    */
+  def writeQuantizationDriftProfile(build: DataFrame, idCol: String,
+      vecCol: String, path: String, tau: Double): Unit = {
+    val spark = build.sparkSession
+    GraftFunctions.register(spark)
+    val codebook = spark.read.parquet(s"$path/_codebook")
+    val m = codebook.select(max(col("sub"))).head().getInt(0) + 1
+    distortion(build, idCol, vecCol, codebook, m)
+      .agg(
+        sum(when(col("dist") > lit(tau).cast(DecimalType(28, 6)), 1L)
+          .otherwise(0L)).as("build_bad"),
+        count(lit(1)).as("build_total"))
+      .select(lit(tau).as("tau"), col("build_bad"), col("build_total"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_qdrift")
+  }
+
+  /** JUDGED drift verdict for a candidate ingest batch against the
+    * FROZEN codebook — [[graft.ops.IvfIndex.driftCheck]]'s decision
+    * law asked of the product quantizer (the OTHER half of the frozen
+    * geometry: q202 monitors where rows LAND, this monitors how well
+    * they RECONSTRUCT): the batch's distortions are measured with the
+    * exact arithmetic [[encode]] minimizes, counted against the
+    * profile's frozen tau, and the verdict fires when the batch's bad
+    * fraction exceeds the build's by `fireNum/fireDen`:
+    *
+    *   batch_bad/batch_total > (fireNum/fireDen)·build_bad/build_total
+    *   ⟺  batch_bad·build_total·fireDen > build_bad·batch_total·fireNum
+    *
+    * — exact integer products. A batch drawn from the build
+    * distribution keeps the fraction ≈ the build's and does not fire;
+    * a shifted batch reconstructs poorly under build-time codewords
+    * and does. After a retrain ([[train]] on the shifted corpus +
+    * re-profile) the same batch stops firing —
+    * `ProductQuantizeSpec` pins all three. Returns one row:
+    * (build_bad, build_total, batch_bad, batch_total, rebuild_fired).
+    */
+  def quantizationDrift(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, fireNum: Long = 3, fireDen: Long = 2): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val codebook = spark.read.parquet(s"$path/_codebook")
+    val m = codebook.select(max(col("sub"))).head().getInt(0) + 1
+    distortion(batch, idCol, vecCol, codebook, m)
+      .crossJoin(broadcast(spark.read.parquet(s"$path/_qdrift")))
+      .groupBy(col("build_bad"), col("build_total"))
+      .agg(
+        sum(when(col("dist") > col("tau").cast(DecimalType(28, 6)), 1L)
+          .otherwise(0L)).as("batch_bad"),
+        count(lit(1)).as("batch_total"))
+      .select(col("build_bad"), col("build_total"),
+        col("batch_bad"), col("batch_total"),
+        (col("batch_bad") * col("build_total") * lit(fireDen) >
+          col("build_bad") * col("batch_total") * lit(fireNum))
+          .as("rebuild_fired"))
+  }
+
   def reconstructionMse(embeddings: DataFrame, idCol: String,
       vecCol: String, codebook: DataFrame, m: Int = 4): Double = {
     GraftFunctions.register(embeddings.sparkSession)

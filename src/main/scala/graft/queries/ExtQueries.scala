@@ -656,6 +656,52 @@ object ExtQueries {
       .orderBy("scenario")
   }
 
+  /** q207: the CODEBOOK-drift rebuild contract ([[graft.ops
+    * .ProductQuantize.quantizationDrift]]) — q202's decision law asked
+    * of the OTHER frozen quantizer. q202 monitors where rows LAND
+    * (cell balance = serving cost); this monitors how well they
+    * RECONSTRUCT (quantization distortion = serving accuracy), and the
+    * two are complementary by construction: the staged drift here is a
+    * RE-EMBEDDED corpus (an upstream encoder change — every vector
+    * rescaled 3×, an exact IEEE double multiply both engines replay),
+    * which the cosine cell assignment cannot see at all (cells are
+    * scale-invariant — q202's monitor stays silent) while ADC scores
+    * assembled from build-time codewords degrade ~9× in squared error.
+    * The build profile freezes (tau=2.0, build_bad, build_total)
+    * beside `_codebook`; the verdict compares bad fractions as exact
+    * integer products (measured margins: build/aligned distortion
+    * < 0.99 at every tested SF, re-embedded > 6.6 — ~7× on each side
+    * of tau). Oracle recomputes the codebook (the q146 training
+    * replay), per-vector decimal distortions, counts, and verdicts
+    * relationally.
+    */
+  private val pqDriftIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(pqDriftIndexes)
+  private val q207: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = pqDriftIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_pq_drift_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.IvfIndex.writePq(emb, "vec_id", "embedding", p,
+        numCentroids = 8, m = 4, k = 8, pqIters = 1)
+      graft.ops.ProductQuantize.writeQuantizationDriftProfile(emb,
+        "vec_id", "embedding", p, tau = 2.0)
+      p
+    })
+    def verdict(tag: String, batch: org.apache.spark.sql.DataFrame) =
+      graft.ops.ProductQuantize.quantizationDrift(batch, "vec_id",
+          "embedding", path)
+        .select(lit(tag).as("scenario"), col("build_bad"),
+          col("build_total"), col("batch_bad"), col("batch_total"),
+          col("rebuild_fired"))
+    verdict("aligned", emb.filter(col("vec_id") % 2 === 1))
+      .unionByName(verdict("re_embedded", emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(3.0)).as("embedding"))))
+      .orderBy("scenario")
+  }
+
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
     * the 4×-smaller int8 form — the candidate-generation tier of a
@@ -1463,6 +1509,81 @@ object ExtQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ------------------------------------- unified media crawl fixture
+
+  /** q206's CROSS-MODAL duplicate keys: each modality derives its
+    * content from a sparse anchored-duplicate map over doc_id —
+    * image `id%8=1 → id−1`, audio `id%8=3 → id−2`, video
+    * `id%8=5 → id−5` — chosen so the three modalities' duplicate pairs
+    * straddle DIFFERENT micro-batch boundaries (id%4) and the unified
+    * loop's cross-modal coupling is observable: 8g+1 is image-dropped
+    * in batch 1, so its audio signature never enters the audio store,
+    * and its audio duplicate 8g+3 SURVIVES batch 3 — an outcome three
+    * independent per-modality loops cannot produce. The oracle replays
+    * the same key arithmetic relationally; incidental cross-key
+    * near-collisions agree on both sides because both derive
+    * signatures from doc_id through identical formulas.
+    */
+  private def crawlKey(id: Long, residue: Long, back: Long): Long =
+    if (id % 8 == residue) id - back else id
+
+  /** The q206 image leg: keyed gradient raster of the image crawl key,
+    * odd-pixel perturbed (invisible to the even-coordinate aHash
+    * grid), really encoded + re-decoded through PNG, aHashed. */
+  private[queries] def crawlImageSigs(docs: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.imageHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.keyedGradientRaster(crawlKey(id, 1, 1), 16, 12)
+          (id, Multimodal.encodePng(
+            Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97)))
+        }
+        .toDF("media_id", "payload"),
+      hw = 8, hh = 6)
+  }
+
+  /** The q206 audio leg: keyed tone PCM of the audio crawl key, one
+    * non-strided sample perturbed, really decoded, 48-bit fingerprint. */
+  private[queries] def crawlAudioSigs(docs: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.audioHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.perturbSample(
+            Multimodal.keyedTonePcm(crawlKey(id, 3, 2), 480),
+            1 + (id % 4).toInt, 997))
+        }
+        .toDF("media_id", "payload"),
+      bits = 48)
+  }
+
+  /** The q206 video leg: 4-frame GVID clip whose frame j is the keyed
+    * raster of `key·7 + 3j + 1` (collision-free across (key, frame)),
+    * sampled every 2000 ms and per-frame aHashed into packed frame
+    * keys — (fid, fhash), the q200 store shape. */
+  private[queries] def crawlVideoFidSigs(docs: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    Multimodal.videoFrameHashTable(
+      docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val k = crawlKey(id, 5, 5)
+          val frames = (0 until 4).map { j =>
+            val img = Multimodal.keyedGradientRaster(k * 7 + 3 * j + 1, 16, 12)
+            Multimodal.encodePng(
+              Multimodal.perturbPixel(img, 1 + 2 * (id % 4).toInt, 1, 97 + j))
+          }
+          (id, Multimodal.encodeVideo(frames, frameMs = 1000L))
+        }
+        .toDF("media_id", "payload"),
+      stepMs = 2000L)
+      .select(Multimodal.videoFrameKey(col("media_id"), col("frame_idx"))
+        .as("fid"), col("fhash"))
+  }
+
   /** q188: q187's stored keep-best for AUDIO — the modality matrix
     * closed on the decision side: the full corpus's 48-bit audio
     * fingerprints live in a q182-shaped store (write evens + APPEND
@@ -2014,6 +2135,7 @@ object ExtQueries {
     "q134_ivf_quant_probe" -> q134,
     "q136_ivf_rebuild" -> q136,
     "q202_ivf_drift_rebuild" -> q202,
+    "q207_pq_drift_rebuild" -> q207,
     "q168_ivf_delete" -> q168,
     "q137_ivf_quant_ingest" -> q137,
     "q139_ivf_two_tier" -> q139,
@@ -2163,6 +2285,22 @@ object ExtQueries {
       |                             THEN (1::BIGINT << (g1.y*8 + g1.x))
       |                             ELSE 0 END) AS BIGINT) AS h
       |        FROM g1 JOIN s1 USING (doc_id, f) GROUP BY 1, 2)""".stripMargin
+
+  /** q200's odd-batch-vs-even-store video cross-pair SQL (the frame
+    * CTEs, sides split, aligned ≥ 2-slot fold). Shared VERBATIM by
+    * q200 (write+append store) and the streaming q205 (stream-built
+    * store): neither the ingest path nor micro-batch boundaries can
+    * change a frame match, so they cannot change a video pair.
+    */
+  private[queries] lazy val videoSigCrossSql: String =
+    s"""WITH $videoSigCte,
+       |fp AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+       |       FROM sig a JOIN sig b
+       |         ON a.f = b.f AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |       WHERE bit_count(xor(a.h, b.h)) <= 3)
+       |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_frames
+       |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   private[queries] val tokensCte =
     "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents)"
@@ -3089,15 +3227,7 @@ object ExtQueries {
     // q199's CTEs with the sides split odd (batch) x even (store): the
     // at-rest layout and the write/append decomposition cannot change
     // a frame match, so they cannot change a video pair
-    "q200_video_sig_store" ->
-      s"""WITH $videoSigCte,
-         |fp AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
-         |       FROM sig a JOIN sig b
-         |         ON a.f = b.f AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-         |       WHERE bit_count(xor(a.h, b.h)) <= 3)
-         |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_frames
-         |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "q200_video_sig_store" -> videoSigCrossSql,
 
     // the q194 maintenance law for clips: the evens' video-pair
     // closure + keeper window, then the odd batch's cross pairs
@@ -3232,6 +3362,43 @@ object ExtQueries {
          |FROM bs, (SELECT 'aligned' AS scenario, batch_max, batch_total FROM als
          |          UNION ALL
          |          SELECT 'drifted', batch_max, batch_total FROM dls) s
+         |ORDER BY s.scenario""".stripMargin
+    },
+
+    // the codebook-drift verdict: PQ training replayed (q146's CTEs),
+    // per-vector distortion = Σ_sub min over codewords of the round-6
+    // assignment metric summed as DECIMAL, bad counts at the frozen
+    // tau=2.0, verdicts as exact integer products. The re-embedded
+    // batch is an exact IEEE rescale (3 · CAST(x AS DOUBLE)).
+    "q207_pq_drift_rebuild" -> {
+      def distCte(svRel: String, mdName: String, bdName: String): String =
+        s"""$mdName AS (SELECT s.vec_id, s.sub,
+           |        min(round(list_dot_product(s.sv, s.sv)
+           |                  - 2*list_dot_product(s.sv, cb.cv)
+           |                  + list_dot_product(cb.cv, cb.cv), 6)) AS md2
+           |        FROM $svRel s JOIN cb ON cb.sub = s.sub GROUP BY 1, 2),
+           |$bdName AS (SELECT vec_id, sum(CAST(md2 AS DECIMAL(28,6))) AS dist
+           |            FROM $mdName GROUP BY 1)""".stripMargin
+      s"""WITH ${pqCtesFor("")},
+         |${distCte("sv", "md", "bd")},
+         |bs AS (SELECT CAST(sum(CASE WHEN dist > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS build_bad,
+         |              CAST(count(*) AS BIGINT) AS build_total FROM bd),
+         |als AS (SELECT CAST(sum(CASE WHEN dist > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS batch_bad,
+         |               CAST(count(*) AS BIGINT) AS batch_total
+         |        FROM bd WHERE vec_id % 2 = 1),
+         |re AS (SELECT vec_id, list_transform(embedding, x -> 3 * CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |rsv AS (SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+         |        FROM re, UNNEST(generate_series(0, 3)) AS s(s)),
+         |${distCte("rsv", "rmd", "rbd")},
+         |rls AS (SELECT CAST(sum(CASE WHEN dist > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS batch_bad,
+         |               CAST(count(*) AS BIGINT) AS batch_total FROM rbd)
+         |SELECT s.scenario, bs.build_bad, bs.build_total, s.batch_bad, s.batch_total,
+         |       (s.batch_bad * bs.build_total * 2 > bs.build_bad * s.batch_total * 3)
+         |         AS rebuild_fired
+         |FROM bs, (SELECT 'aligned' AS scenario, batch_bad, batch_total FROM als
+         |          UNION ALL
+         |          SELECT 're_embedded', batch_bad, batch_total FROM rls) s
          |ORDER BY s.scenario""".stripMargin
     },
 

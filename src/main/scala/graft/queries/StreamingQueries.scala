@@ -592,6 +592,8 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamAudioSigStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamVideoSigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles match {
@@ -602,6 +604,7 @@ object StreamingQueries {
     }
     streamImageSigStores.values().forEach(p => rm(new java.io.File(p)))
     streamAudioSigStores.values().forEach(p => rm(new java.io.File(p)))
+    streamVideoSigStores.values().forEach(p => rm(new java.io.File(p)))
   }))
 
   /** The shared streaming signature-store crawl loop (q175 image /
@@ -614,7 +617,8 @@ object StreamingQueries {
     */
   private def streamSigStorePath(s: SparkSession, dir: String, tag: String,
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
-      sigsOf: DataFrame => DataFrame, sigCol: String): String =
+      sigsOf: DataFrame => DataFrame, sigCol: String,
+      idCol: String = "media_id"): String =
     cache.computeIfAbsent(dir, _ => {
       import graft.ops.Dedup
       val root = scratchDir(s"${tag}stage")
@@ -653,10 +657,10 @@ object StreamingQueries {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val sigs = sigsOf(batch)
             if (!new java.io.File(storePath, "_layout").isDirectory)
-              Dedup.writeSignatureStore(sigs, "media_id", sigCol,
+              Dedup.writeSignatureStore(sigs, idCol, sigCol,
                 storePath, bits = 48, bands = 4, sigBuckets = 16)
             else
-              Dedup.appendToSignatureStore(sigs, "media_id", sigCol,
+              Dedup.appendToSignatureStore(sigs, idCol, sigCol,
                 storePath)
             ()
           }
@@ -698,6 +702,31 @@ object StreamingQueries {
         streamSigStorePath(s, dir, "q189", streamAudioSigStores,
           ExtQueries.audioFixtureSigs, "afp"),
         maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+
+  /** Streaming VIDEO-signature ingest — the q175/q189 crawl loop over
+    * the q200 store, closing the modality matrix's last streaming
+    * hole: even documents' clips arrive as 4 micro-batches, each
+    * really demuxed + per-sampled-frame aHashed
+    * ([[graft.queries.ExtQueries.videoFixtureFidSigs]] — packed frame
+    * keys) and folded into the at-rest store by `foreachBatch`; the
+    * odd documents then probe the stream-built store as a batch, and
+    * the frame pairs fold to video pairs by the aligned ≥ 2-slot rule.
+    * Judged against q200's cross-pair oracle VERBATIM: the ingest path
+    * cannot change a pair.
+    */
+  private val q205: Q = (s, dir) =>
+    graft.ops.Multimodal.videoPairsFromFramePairs(
+        graft.ops.Dedup.dedupAgainstSignatureStore(
+            ExtQueries.videoFixtureFidSigs(
+              s.read.parquet(s"$dir/documents.parquet")
+                .filter(col("doc_id") % 2 === 1)),
+            "fid", "fhash",
+            streamSigStorePath(s, dir, "q205", streamVideoSigStores,
+              ExtQueries.videoFixtureFidSigs, "fhash", idCol = "fid"),
+            maxHamming = 3)
+          .select(col("new_id"), col("corpus_id")),
+        "new_id", "corpus_id", minFrames = 2)
       .orderBy("new_id", "corpus_id")
 
   /** Streaming classifier training — q159's crawl-loop shape for the
@@ -1186,6 +1215,124 @@ object StreamingQueries {
     }
   }
 
+  /** q206: the UNIFIED streaming MEDIA crawl loop — q203's composition
+    * law for the signature-store family. The documents arrive as 4
+    * mtime-ordered micro-batches; per batch each modality's signature
+    * is derived from the REALLY-decoded payload (image aHash, audio
+    * fingerprint, video sampled-frame hashes —
+    * [[ExtQueries.crawlImageSigs]]/`crawlAudioSigs`/`crawlVideoFidSigs`
+    * over the cross-modal duplicate keys), the batch probes each
+    * at-rest signature store ([[graft.ops.Dedup
+    * .dedupAgainstSignatureStore]] — scan pruned to the batch's
+    * band-bucket partitions; video frame pairs fold by the aligned
+    * ≥ 2-slot rule), and a document is ADMITTED only when it is novel
+    * in EVERY modality. Only admitted documents' signatures fold into
+    * the three stores — the cross-modal coupling that makes this ONE
+    * loop rather than three: a doc dropped for an image duplicate
+    * never pollutes the audio store, so a later audio near-dup of it
+    * SURVIVES (the fixture stages exactly that chain at 8g+1 → 8g+3).
+    * Judged row-level (doc_id, kept); the oracle replays the three
+    * signature arithmetics and the 4 admitted-set rounds from scratch
+    * (q117's round pattern, three modalities per round).
+    */
+  private val q206: Q = (s, dir) => {
+    import graft.ops.{Dedup, Multimodal}
+    val root = scratchDir("q206")
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (k <- 0 to 3) {
+      val tmp = new java.io.File(root, s"tmp$k")
+      docs.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"batch$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 2000L)
+    }
+    val imgPath = new java.io.File(root, "imgsig").toString
+    val audPath = new java.io.File(root, "audsig").toString
+    val vidPath = new java.io.File(root, "vidsig").toString
+    var results = List.empty[DataFrame]
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(in.toString)
+    val ckRoot =
+      if (new java.io.File("/dev/shm").isDirectory) s"/dev/shm/graft_ck_q206_${runSeq.get()}"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ck_q206_${runSeq.get()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckRoot))
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckRoot)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // decode once per modality — signatures, never pixels, flow on
+          val imgSigs = ExtQueries.crawlImageSigs(batch).localCheckpoint()
+          val audSigs = ExtQueries.crawlAudioSigs(batch).localCheckpoint()
+          val vidSigs = ExtQueries.crawlVideoFidSigs(batch).localCheckpoint()
+          def dupIds(sigs: DataFrame, idCol: String, sigCol: String,
+              path: String, video: Boolean): DataFrame =
+            if (!new java.io.File(path, "_layout").isDirectory)
+              batch.select(col("doc_id")).limit(0)
+            else {
+              val pairs = Dedup.dedupAgainstSignatureStore(sigs, idCol,
+                sigCol, path, maxHamming = 3)
+              val docPairs =
+                if (video) Multimodal.videoPairsFromFramePairs(
+                  pairs.select(col("new_id"), col("corpus_id")),
+                  "new_id", "corpus_id", minFrames = 2)
+                else pairs
+              docPairs.select(col("new_id").as("doc_id")).distinct()
+            }
+          // a doc is admitted only when novel in EVERY modality
+          val dropped = dupIds(imgSigs, "media_id", "ahash", imgPath, video = false)
+            .unionByName(dupIds(audSigs, "media_id", "afp", audPath, video = false))
+            .unionByName(dupIds(vidSigs, "fid", "fhash", vidPath, video = true))
+            .distinct().localCheckpoint()
+          val admitted = batch.select(col("doc_id"))
+            .join(dropped, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          // fold ONLY admitted signatures into each store
+          def fold(sigs: DataFrame, idCol: String, sigCol: String,
+              path: String): Unit =
+            if (!new java.io.File(path, "_layout").isDirectory)
+              Dedup.writeSignatureStore(sigs, idCol, sigCol, path,
+                bits = 48, bands = 4, sigBuckets = 16)
+            else Dedup.appendToSignatureStore(sigs, idCol, sigCol, path)
+          fold(imgSigs.join(admitted,
+            imgSigs("media_id") === admitted("doc_id"), "left_semi"),
+            "media_id", "ahash", imgPath)
+          fold(audSigs.join(admitted,
+            audSigs("media_id") === admitted("doc_id"), "left_semi"),
+            "media_id", "afp", audPath)
+          fold(vidSigs.join(admitted,
+            Multimodal.videoIdOfFrameKey(vidSigs("fid")) === admitted("doc_id"),
+            "left_semi"),
+            "fid", "fhash", vidPath)
+          val decided = batch.select(col("doc_id"))
+            .join(admitted.withColumn("__k", lit(true)), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__k"), lit(false)).as("kept"))
+            .localCheckpoint()
+          results = decided :: results
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.reduce(_ unionByName _).orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rm(new java.io.File(ckRoot))
+      rm(root)
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q72_stream_dedup" -> q72,
     "q73_stream_sessions" -> q73,
@@ -1198,12 +1345,14 @@ object StreamingQueries {
     "q159_stream_bm25_ingest" -> q159,
     "q175_stream_image_sig" -> q175,
     "q189_stream_audio_sig" -> q189,
+    "q205_stream_video_sig" -> q205,
     "q184_stream_nb_ingest" -> q184,
     "q195_stream_lm_counts" -> q195,
     "q138_stream_lm_gate" -> q138,
     "q140_stored_dedup_index" -> q140,
     "q204_bucketed_dedup_index" -> q204,
     "q203_stream_crawl_curate" -> q203,
+    "q206_stream_media_crawl" -> q206,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1384,10 +1533,102 @@ object StreamingQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The from-scratch replay of the unified MEDIA crawl loop: the
+    * three modality signature chains re-derived from doc_id through
+    * the crawl-key arithmetic ([[ExtQueries.crawlImageSigs]] family —
+    * kk per modality, then the aHash / fingerprint / frame-hash
+    * formulas the other media oracles already replay), then q117's
+    * 4-round admitted-set pattern with THREE dup relations per round
+    * (image pairs, audio pairs, aligned ≥ 2-slot video pairs) — a doc
+    * is admitted only when novel in every modality, and only admitted
+    * docs' signatures join the next round's corpus side.
+    */
+  private lazy val mediaCrawlOracle: String = {
+    def round(k: Int): String =
+      s"""di$k AS (SELECT DISTINCT a.doc_id FROM isig a, isig b
+         |         WHERE a.doc_id % 4 = $k
+         |           AND b.doc_id IN (SELECT doc_id FROM adm${k - 1})
+         |           AND bit_count(xor(a.h, b.h)) <= 3),
+         |da$k AS (SELECT DISTINCT a.doc_id FROM asig a, asig b
+         |         WHERE a.doc_id % 4 = $k
+         |           AND b.doc_id IN (SELECT doc_id FROM adm${k - 1})
+         |           AND bit_count(xor(a.h, b.h)) <= 3),
+         |dv$k AS (SELECT DISTINCT doc_id FROM (
+         |           SELECT a.doc_id, b.doc_id AS bid
+         |           FROM vsig a JOIN vsig b ON a.f = b.f
+         |           WHERE a.doc_id % 4 = $k
+         |             AND b.doc_id IN (SELECT doc_id FROM adm${k - 1})
+         |             AND bit_count(xor(a.h, b.h)) <= 3
+         |           GROUP BY 1, 2 HAVING count(*) >= 2)),
+         |a$k AS (SELECT doc_id FROM documents WHERE doc_id % 4 = $k
+         |        AND doc_id NOT IN (SELECT doc_id FROM di$k)
+         |        AND doc_id NOT IN (SELECT doc_id FROM da$k)
+         |        AND doc_id NOT IN (SELECT doc_id FROM dv$k)),
+         |adm$k AS (SELECT * FROM adm${k - 1} UNION ALL SELECT * FROM a$k)""".stripMargin
+    s"""WITH ik AS (SELECT d.doc_id,
+       |            CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1
+       |                 ELSE d.doc_id END AS kk FROM documents d),
+       |ipx AS (SELECT ik.doc_id, x.x AS x, y.y AS y,
+       |               (((kk * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+       |               (((kk * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+       |               (((kk * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+       |        FROM ik,
+       |             UNNEST(generate_series(0, 7)) AS x(x),
+       |             UNNEST(generate_series(0, 5)) AS y(y)),
+       |ig AS (SELECT doc_id, x, y, (r + g + b) // 3 AS gray FROM ipx),
+       |isum AS (SELECT doc_id, sum(gray) AS sg FROM ig GROUP BY 1),
+       |isig AS (SELECT ig.doc_id,
+       |                CAST(sum(CASE WHEN 48*ig.gray > isum.sg
+       |                              THEN (1::BIGINT << (ig.y*8 + ig.x))
+       |                              ELSE 0 END) AS BIGINT) AS h
+       |         FROM ig JOIN isum USING (doc_id) GROUP BY 1),
+       |akk AS (SELECT d.doc_id,
+       |             CASE WHEN d.doc_id % 8 = 3 THEN d.doc_id - 2
+       |                  ELSE d.doc_id END AS kk FROM documents d),
+       |av AS (SELECT akk.doc_id, f.f AS f,
+       |              (((kk * 43 + 13) % 509 + 16) * (10 * f.f + 1)
+       |                 + (kk * 29 + 7) % 101) % 4096 - 2048 AS v
+       |       FROM akk, UNNEST(generate_series(0, 47)) AS f(f)),
+       |asum AS (SELECT doc_id, sum(v) AS sv FROM av GROUP BY 1),
+       |asig AS (SELECT av.doc_id,
+       |                CAST(sum(CASE WHEN 48 * av.v > asum.sv
+       |                              THEN (1::BIGINT << av.f)
+       |                              ELSE 0 END) AS BIGINT) AS h
+       |         FROM av JOIN asum USING (doc_id) GROUP BY 1),
+       |vfx AS (SELECT d.doc_id, f.f AS f,
+       |               (CASE WHEN d.doc_id % 8 = 5 THEN d.doc_id - 5
+       |                     ELSE d.doc_id END) * 7 + 3 * f.f + 1 AS kk
+       |        FROM documents d, UNNEST([0, 2]) AS f(f)),
+       |vpx AS (SELECT vfx.doc_id, vfx.f, x.x AS x, y.y AS y,
+       |               (((kk * 37 + 11) % 251 + 16) * (2*x.x + 1) + 3*(2*y.y)) % 256 AS r,
+       |               (((kk * 59 + 23) % 241 + 16) * (2*y.y + 1) + 5*(2*x.x)) % 256 AS g,
+       |               (((kk * 83 + 41) % 239 + 16) * (2*x.x + 2*y.y + 1) + 7) % 256 AS b
+       |        FROM vfx,
+       |             UNNEST(generate_series(0, 7)) AS x(x),
+       |             UNNEST(generate_series(0, 5)) AS y(y)),
+       |vg AS (SELECT doc_id, f, x, y, (r + g + b) // 3 AS gray FROM vpx),
+       |vsum AS (SELECT doc_id, f, sum(gray) AS sg FROM vg GROUP BY 1, 2),
+       |vsig AS (SELECT vg.doc_id, vg.f,
+       |                CAST(sum(CASE WHEN 48*vg.gray > vsum.sg
+       |                              THEN (1::BIGINT << (vg.y*8 + vg.x))
+       |                              ELSE 0 END) AS BIGINT) AS h
+       |         FROM vg JOIN vsum USING (doc_id, f) GROUP BY 1, 2),
+       |adm0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT d.doc_id,
+       |       d.doc_id IN (SELECT doc_id FROM adm3) AS kept
+       |FROM documents d ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val oracleTail: Map[String, String] = Map(
     // the unified loop's decisions, replayed from scratch: gate
     // signals + 4 rounds of (first-seen-wins exact ∘ index near-dup)
     "q203_stream_crawl_curate" -> crawlCurateOracle,
+    // the unified MEDIA loop's decisions, replayed from scratch: three
+    // signature chains + 4 admitted-set rounds, three modalities each
+    "q206_stream_media_crawl" -> mediaCrawlOracle,
 
     // q27's oracle verbatim (via q116): neither the partitioned layout
     // nor the batch-append ingest path can change the top-5 answer
@@ -1409,6 +1650,10 @@ object StreamingQueries {
     // q182's cross-pair oracle verbatim: the streaming ingest path
     // cannot change an audio pair
     "q189_stream_audio_sig" -> ExtQueries.audioSigCrossSql,
+    // q200's cross-pair oracle verbatim: micro-batch boundaries cannot
+    // change a sampled-frame signature, so they cannot change a video
+    // pair
+    "q205_stream_video_sig" -> ExtQueries.videoSigCrossSql,
 
     // micro-batch boundaries cannot change a posterior: counts are
     // additive, so the stream-built count store serves q173's answer

@@ -59,6 +59,49 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(mseLloyd < mseOne, s"k=$K no better than k=1")
   }
 
+  test("codebook drift contract: aligned no-fire, re-embedded fires, retrain + re-profile recovers") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_pqdrift_spec_" +
+      s"${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles match {
+        case null => ()
+        case kids => kids.foreach(rm)
+      }
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    try {
+      IvfIndex.writePq(emb, "vec_id", "embedding", path,
+        numCentroids = 8, m = M, k = K, pqIters = 1)
+      ProductQuantize.writeQuantizationDriftProfile(emb, "vec_id",
+        "embedding", path, tau = 2.0)
+      def fired(batch: org.apache.spark.sql.DataFrame): Boolean =
+        ProductQuantize.quantizationDrift(batch, "vec_id", "embedding", path)
+          .head().getBoolean(4)
+      val reEmbedded = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(3.0))
+          .as("embedding"))
+      // a batch from the build distribution must not trigger a retrain
+      assert(!fired(emb.filter(col("vec_id") % 2 === 1)))
+      // a rescaled corpus reconstructs ~9x worse under frozen codewords
+      assert(fired(reEmbedded))
+      // and the monitors are complementary: the cosine cell assignment
+      // is scale-invariant, so q202's balance monitor stays silent on
+      // the exact batch that fires the reconstruction monitor
+      IvfIndex.writeDriftProfile(spark, path)
+      assert(!IvfIndex.driftCheck(reEmbedded, "vec_id", "embedding", path)
+        .head().getBoolean(4))
+      // recovery: retrain on the shifted corpus + re-profile (tau must
+      // scale with the new distortion regime), then the batch is clean
+      rm(new java.io.File(path))
+      IvfIndex.writePq(reEmbedded, "vec_id", "embedding", path,
+        numCentroids = 8, m = M, k = K, pqIters = 1)
+      ProductQuantize.writeQuantizationDriftProfile(reEmbedded, "vec_id",
+        "embedding", path, tau = 18.0)
+      assert(!fired(reEmbedded))
+    } finally rm(new java.io.File(path))
+  }
+
   test("training is deterministic: identical codebooks across runs") {
     val again = ProductQuantize.train(emb, "vec_id", "embedding",
       m = M, k = K, iters = 1)

@@ -75,6 +75,32 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(crossBatch == 0, s"$crossBatch surviving cross-batch near-dup pairs")
   }
 
+  test("q206 media crawl loop: batch-0 admitted, staged dups dropped, cross-modal coupling observable") {
+    val out = run("q206_stream_media_crawl").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(out.length == docs.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    // batch 0 probes three empty stores: everything is admitted
+    out.filter(_._1 % 4 == 0).foreach { case (id, kept) =>
+      assert(kept, s"batch-0 doc $id not admitted")
+    }
+    // the staged image duplicate (8g+1 vs its batch-0 anchor 8g) and
+    // the staged video duplicate (8g+5 vs 8g) are ALWAYS dropped —
+    // their anchors are admitted in batch 0 unconditionally
+    out.filter(t => t._1 % 8 == 1 || t._1 % 8 == 5).foreach {
+      case (id, kept) => assert(!kept, s"staged duplicate $id survived")
+    }
+    // CROSS-MODAL COUPLING: 8g+3's audio anchor 8g+1 was image-dropped
+    // in batch 1, so its signature never entered the audio store and
+    // 8g+3 survives batch 3. Three independent per-modality loops
+    // (each storing every batch's signatures) would drop ALL of them.
+    val coupled = out.filter(_._1 % 8 == 3)
+    assert(coupled.count(_._2) > coupled.length / 2,
+      s"coupling invisible: ${coupled.count(_._2)}/${coupled.length} of " +
+        "the anchor-dropped audio duplicates survived")
+  }
+
   test("q74 streaming interval join equals batch interval join") {
     val ev = batchEvents
     val p = ev.filter(col("event_type") === "purchase")

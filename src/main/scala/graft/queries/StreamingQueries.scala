@@ -1269,13 +1269,24 @@ object StreamingQueries {
     }
     rm(new java.io.File(ckRoot))
     try {
+      // the three modalities' decodes, probes, and folds touch disjoint
+      // stores and relations — run each stage's three jobs concurrently
+      // (Spark schedules concurrent actions from one session; at 100 TB
+      // the per-index maintenance of independent indexes is
+      // embarrassingly parallel, and the loop should SAY so)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def par3[A](a: => A, b: => A, c: => A): Seq[A] =
+        Seq(Future(a), Future(b), Future(c)).map(Await.result(_, Duration.Inf))
       val q = stream.writeStream
         .option("checkpointLocation", ckRoot)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // decode once per modality — signatures, never pixels, flow on
-          val imgSigs = ExtQueries.crawlImageSigs(batch).localCheckpoint()
-          val audSigs = ExtQueries.crawlAudioSigs(batch).localCheckpoint()
-          val vidSigs = ExtQueries.crawlVideoFidSigs(batch).localCheckpoint()
+          val Seq(imgSigs, audSigs, vidSigs) = par3(
+            ExtQueries.crawlImageSigs(batch).localCheckpoint(),
+            ExtQueries.crawlAudioSigs(batch).localCheckpoint(),
+            ExtQueries.crawlVideoFidSigs(batch).localCheckpoint())
           def dupIds(sigs: DataFrame, idCol: String, sigCol: String,
               path: String, video: Boolean): DataFrame =
             if (!new java.io.File(path, "_layout").isDirectory)
@@ -1289,12 +1300,14 @@ object StreamingQueries {
                   "new_id", "corpus_id", minFrames = 2)
                 else pairs
               docPairs.select(col("new_id").as("doc_id")).distinct()
+                .localCheckpoint()
             }
           // a doc is admitted only when novel in EVERY modality
-          val dropped = dupIds(imgSigs, "media_id", "ahash", imgPath, video = false)
-            .unionByName(dupIds(audSigs, "media_id", "afp", audPath, video = false))
-            .unionByName(dupIds(vidSigs, "fid", "fhash", vidPath, video = true))
-            .distinct().localCheckpoint()
+          val dropped = par3(
+              dupIds(imgSigs, "media_id", "ahash", imgPath, video = false),
+              dupIds(audSigs, "media_id", "afp", audPath, video = false),
+              dupIds(vidSigs, "fid", "fhash", vidPath, video = true))
+            .reduce(_ unionByName _).distinct().localCheckpoint()
           val admitted = batch.select(col("doc_id"))
             .join(dropped, Seq("doc_id"), "left_anti")
             .localCheckpoint()
@@ -1305,16 +1318,17 @@ object StreamingQueries {
               Dedup.writeSignatureStore(sigs, idCol, sigCol, path,
                 bits = 48, bands = 4, sigBuckets = 16)
             else Dedup.appendToSignatureStore(sigs, idCol, sigCol, path)
-          fold(imgSigs.join(admitted,
-            imgSigs("media_id") === admitted("doc_id"), "left_semi"),
-            "media_id", "ahash", imgPath)
-          fold(audSigs.join(admitted,
-            audSigs("media_id") === admitted("doc_id"), "left_semi"),
-            "media_id", "afp", audPath)
-          fold(vidSigs.join(admitted,
-            Multimodal.videoIdOfFrameKey(vidSigs("fid")) === admitted("doc_id"),
-            "left_semi"),
-            "fid", "fhash", vidPath)
+          par3(
+            fold(imgSigs.join(admitted,
+              imgSigs("media_id") === admitted("doc_id"), "left_semi"),
+              "media_id", "ahash", imgPath),
+            fold(audSigs.join(admitted,
+              audSigs("media_id") === admitted("doc_id"), "left_semi"),
+              "media_id", "afp", audPath),
+            fold(vidSigs.join(admitted,
+              Multimodal.videoIdOfFrameKey(vidSigs("fid")) === admitted("doc_id"),
+              "left_semi"),
+              "fid", "fhash", vidPath))
           val decided = batch.select(col("doc_id"))
             .join(admitted.withColumn("__k", lit(true)), Seq("doc_id"), "left")
             .select(col("doc_id"),

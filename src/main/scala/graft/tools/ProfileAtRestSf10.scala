@@ -108,6 +108,10 @@ object ProfileAtRestSf10 {
       AnnIndex.writeQuantized(emb, "vec_id", "embedding", s"$base/annq",
         numPlanes = 8, dim = dim)
       IvfIndex.write(emb, "vec_id", "embedding", s"$base/ivf", numCentroids = 8)
+      IvfIndex.writePq(emb, "vec_id", "embedding", s"$base/ivfpq",
+        numCentroids = 8, m = 4, k = 8, pqIters = 1)
+      graft.ops.ProductQuantize.writeQuantizationDriftProfile(emb,
+        "vec_id", "embedding", s"$base/ivfpq", tau = 2.0)
       Retrieval.writeBm25Index(docs, "doc_id", "text", s"$base/bm25",
         termBuckets = 16)
       Dedup.writeSignatureStore(scaledSigs(nDocs), "media_id", "ahash",
@@ -147,6 +151,19 @@ object ProfileAtRestSf10 {
         "ivf_probe" -> timed(() => force(
           IvfIndex.probe(spark, s"$base/ivf", "vec_id", qvec, k = 5,
             nprobe = 2))),
+        // round-18 serving paths: the IVF-PQ codes-column probe, the
+        // codebook-drift monitor on a 100-vector batch (q207's shape),
+        // and — honestly store-sized by design — the q197 maintenance
+        // pair sweep over the at-rest bucket partitions
+        "ivfpq_probe" -> timed(() => force(
+          IvfIndex.probePq(spark, s"$base/ivfpq", "vec_id", qvec, k = 5,
+            nprobe = 2))),
+        "pq_drift_check" -> timed(() => force(
+          graft.ops.ProductQuantize.quantizationDrift(
+            emb.limit(100), "vec_id", "embedding", s"$base/ivfpq"))),
+        "ann_pair_sweep" -> timed(() => force(
+          AnnIndex.cosinePairsFromIndex(spark, s"$base/ann", "vec_id",
+            threshold = 0.95))),
         "bm25_top20" -> timed(() => force(
           Retrieval.bm25FromIndex(spark, s"$base/bm25", "doc_id",
             query = Seq("vector", "stream", "window"), k = 20))),

@@ -339,6 +339,63 @@ object AnnIndex {
       .filter(col("sim") >= threshold)
   }
 
+  // ---------------------------------------------------- drift monitoring
+
+  /** [[graft.ops.IvfIndex.writeDriftProfile]]'s build-time balance
+    * profile for the LSH layout (`_drift/`, one row: build_max,
+    * build_total — integer max-bucket and total row counts). Bucket
+    * balance is the same serving-cost contract cell balance is: a
+    * probe reads ~1/2^numPlanes of the corpus only while buckets hold
+    * comparable populations, and the md5 plane family is as frozen as
+    * any quantizer — ingest never re-derives it, so a shifted
+    * distribution piles new rows into few sign patterns and erodes
+    * exactly that ratio, silently.
+    */
+  def writeDriftProfile(spark: SparkSession, path: String): Unit = {
+    spark.read.parquet(path)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nr"))
+      .agg(max(col("nr")).as("build_max"), sum(col("nr")).as("build_total"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_drift")
+  }
+
+  /** JUDGED drift verdict for a candidate ingest batch against the
+    * frozen plane family — [[graft.ops.IvfIndex.driftCheck]]'s
+    * integer-product law for the LSH index (the THIRD frozen geometry
+    * monitored: IVF cells, the PQ codebook, and now the sign-pattern
+    * buckets): the batch is bucketed with [[append]]'s exact
+    * arithmetic (the same memoized md5 planes — `sign(v·p)` per
+    * plane), per-bucket counts fold to (batch_max, batch_total), and
+    * the verdict fires when the batch's max-bucket fraction exceeds
+    * `fireNum/fireDen` × the build's, compared as exact integer
+    * products. Sign patterns are SCALE-invariant (`sign(3v·p) =
+    * sign(v·p)`), so a re-embedded-by-rescale corpus provably cannot
+    * fire this monitor — that drift belongs to [[graft.ops
+    * .ProductQuantize.quantizationDrift]]; a directional collapse
+    * (the |x| fold) concentrates the sign patterns and does. Returns
+    * one row: (build_max, build_total, batch_max, batch_total,
+    * rebuild_fired).
+    */
+  def driftCheck(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, numPlanes: Int = 8, fireNum: Long = 3,
+      fireDen: Long = 2): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val v = Similarity.toDoubleVec(col(vecCol))
+    val dim = batch.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.lshPlanes(numPlanes, dim)
+    batch
+      .select(col(idCol), Similarity.lshBucket(v, planes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nr"))
+      .agg(max(col("nr")).as("batch_max"), sum(col("nr")).as("batch_total"))
+      .crossJoin(broadcast(spark.read.parquet(s"$path/_drift")))
+      .select(col("build_max"), col("build_total"),
+        col("batch_max"), col("batch_total"),
+        (col("batch_max") * col("build_total") * lit(fireDen) >
+          col("build_max") * col("batch_total") * lit(fireNum))
+          .as("rebuild_fired"))
+  }
+
   /** DELETE vectors from a bucket/cell-partitioned at-rest index — the
     * eviction the ANN family needs once a dedup loop starts dropping
     * keep-best losers (the [[graft.ops.Retrieval.deleteFromBm25Index]]

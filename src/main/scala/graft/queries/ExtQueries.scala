@@ -702,6 +702,48 @@ object ExtQueries {
       .orderBy("scenario")
   }
 
+  /** q208: the LSH-bucket drift contract ([[graft.ops.AnnIndex
+    * .driftCheck]]) — the THIRD frozen geometry monitored, closing the
+    * set (IVF cells q202, PQ codebook q207, sign-pattern buckets
+    * here): the md5 plane family never changes on ingest, so a
+    * directional collapse (the |x| fold) concentrates new rows into
+    * few sign patterns and erodes the ~1/2^planes scan fraction the
+    * partition layout sells. THREE judged scenarios pin the monitor
+    * AND its boundaries: an aligned batch must not fire; the folded
+    * corpus must; and a 3×-RESCALED corpus must not — sign(3v·p) =
+    * sign(v·p), so the drift that fires q207's reconstruction monitor
+    * is provably invisible here (the monitors partition the failure
+    * modes between them). Oracle recomputes buckets from the inlined
+    * plane literals (q27's convention), counts, and integer verdicts.
+    */
+  private val lshDriftIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(lshDriftIndexes)
+  private val q208: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = lshDriftIndexes.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lsh_drift_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      graft.ops.AnnIndex.write(emb, "vec_id", "embedding", p,
+        numPlanes = 8, dim = embDim)
+      graft.ops.AnnIndex.writeDriftProfile(s, p)
+      p
+    })
+    def verdict(tag: String, batch: org.apache.spark.sql.DataFrame) =
+      graft.ops.AnnIndex.driftCheck(batch, "vec_id", "embedding", path,
+          numPlanes = 8)
+        .select(lit(tag).as("scenario"), col("build_max"),
+          col("build_total"), col("batch_max"), col("batch_total"),
+          col("rebuild_fired"))
+    verdict("aligned", emb.filter(col("vec_id") % 2 === 1))
+      .unionByName(verdict("folded", emb.select(col("vec_id"),
+        transform(col("embedding"), x => abs(x)).as("embedding"))))
+      .unionByName(verdict("rescaled", emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(3.0)).as("embedding"))))
+      .orderBy("scenario")
+  }
+
   /** int8-quantized cosine top-10 around vec_id 0
     * ([[graft.ops.Quantize]]): the brute scan q26 runs, but entirely on
     * the 4×-smaller int8 form — the candidate-generation tier of a
@@ -2136,6 +2178,7 @@ object ExtQueries {
     "q136_ivf_rebuild" -> q136,
     "q202_ivf_drift_rebuild" -> q202,
     "q207_pq_drift_rebuild" -> q207,
+    "q208_lsh_drift_rebuild" -> q208,
     "q168_ivf_delete" -> q168,
     "q137_ivf_quant_ingest" -> q137,
     "q139_ivf_two_tier" -> q139,
@@ -3399,6 +3442,36 @@ object ExtQueries {
          |FROM bs, (SELECT 'aligned' AS scenario, batch_bad, batch_total FROM als
          |          UNION ALL
          |          SELECT 're_embedded', batch_bad, batch_total FROM rls) s
+         |ORDER BY s.scenario""".stripMargin
+    },
+
+    // the LSH-bucket drift verdict: buckets from the inlined plane
+    // literals (q27's convention), per-scenario counts, integer
+    // verdicts. The rescaled scenario's counts equal the build's by
+    // sign-invariance — the no-fire row is exact, not a margin.
+    "q208_lsh_drift_rebuild" -> {
+      def stat(rel: String, pred: String): String =
+        s"""(SELECT max(nr) AS batch_max, CAST(sum(nr) AS BIGINT) AS batch_total
+           | FROM (SELECT bucket, count(*) AS nr FROM $rel $pred GROUP BY 1) x)""".stripMargin
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM e),
+         |bs AS (SELECT max(nr) AS build_max, CAST(sum(nr) AS BIGINT) AS build_total
+         |       FROM (SELECT bucket, count(*) AS nr FROM b GROUP BY 1) x),
+         |als AS ${stat("b", "WHERE vec_id % 2 = 1")},
+         |de AS (SELECT vec_id, list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) AS v
+         |       FROM embeddings),
+         |dbk AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM de),
+         |dls AS ${stat("dbk", "")},
+         |re AS (SELECT vec_id, list_transform(embedding, x -> 3 * CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |rbk AS (SELECT vec_id, ${duckBucket(planes8)} AS bucket FROM re),
+         |rls AS ${stat("rbk", "")}
+         |SELECT s.scenario, bs.build_max, bs.build_total, s.batch_max, s.batch_total,
+         |       (s.batch_max * bs.build_total * 2 > bs.build_max * s.batch_total * 3)
+         |         AS rebuild_fired
+         |FROM bs, (SELECT 'aligned' AS scenario, batch_max, batch_total FROM als
+         |          UNION ALL SELECT 'folded', batch_max, batch_total FROM dls
+         |          UNION ALL SELECT 'rescaled', batch_max, batch_total FROM rls) s
          |ORDER BY s.scenario""".stripMargin
     },
 

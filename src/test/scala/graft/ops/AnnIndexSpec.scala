@@ -36,6 +36,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("bucket drift contract: aligned no-fire, fold fires, rescale provably invisible") {
+    AnnIndex.writeDriftProfile(spark, path)
+    def check(batch: org.apache.spark.sql.DataFrame) =
+      AnnIndex.driftCheck(batch, "vec_id", "embedding", path, numPlanes = 8)
+        .head()
+    // the build corpus replayed as a batch reproduces the profile
+    // exactly — driftCheck buckets with append's arithmetic
+    val self = check(emb)
+    assert(self.getLong(0) == self.getLong(2) &&
+      self.getLong(1) == self.getLong(3))
+    assert(!self.getBoolean(4))
+    // an aligned batch must not trigger a re-bucketing
+    assert(!check(emb.filter(col("vec_id") % 2 === 1)).getBoolean(4))
+    // a directional collapse concentrates sign patterns and fires
+    assert(check(emb.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding")))
+      .getBoolean(4))
+    // sign(3v·p) = sign(v·p): the rescale that fires the PQ
+    // reconstruction monitor yields BIT-IDENTICAL bucket counts here —
+    // the two monitors partition the failure modes between them
+    val re = check(emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(3.0))
+        .as("embedding")))
+    assert(re.getLong(0) == re.getLong(2) && re.getLong(1) == re.getLong(3))
+    assert(!re.getBoolean(4))
+  }
+
   test("crossDedupAgainstIndex == nearDupPairs' odd-vs-even restriction; tombstones mask") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions.col
   */
 private[ops] object CountLsm {
 
-  /** The store's `counts/` root, healing the compaction crash window:
+  /** The store's `counts/` root, healing the compaction crash windows:
     * if `counts/` is missing but the renamed-aside `.counts_old`
     * survives (a crash between [[compactSwap]]'s two renames), restore
-    * it — no committed batch is ever lost.
+    * it — no committed batch is ever lost. If BOTH survive (a crash
+    * after the swap, mid-retirement), finish retiring the old root's
+    * original delta partitions into `retired/` and drop it — no folded
+    * batch ever vanishes from the snapshot-serving set either.
     */
   def healedRoot(spark: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.Path
@@ -34,7 +37,38 @@ private[ops] object CountLsm {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(s"$path/.counts_old")
     if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    else if (fs.exists(live) && fs.exists(old)) retireAndDrop(spark, path, old)
     live.toString
+  }
+
+  /** Move every ORIGINAL `bid=` delta partition under `oldRoot` into
+    * `$path/retired/<sub>/` (the compaction-superseded file set, kept
+    * for [[writeSnapshot]] reproducibility until [[vacuumRetired]]),
+    * then drop `oldRoot`. `bid=__compacted` partitions are derived
+    * sums, not originals — their constituent bids were retired by the
+    * compaction that folded them — so they are skipped; non-partition
+    * children (the `folded` ledger's files) are skipped the same way.
+    * Idempotent across crash-retries: an already-retired bid's stale
+    * copy is simply dropped with the old root.
+    */
+  private def retireAndDrop(spark: SparkSession, path: String,
+      oldRoot: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = oldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for {
+      sub <- fs.listStatus(oldRoot).toSeq if sub.isDirectory
+      part <- fs.listStatus(sub.getPath).toSeq
+      if part.isDirectory && part.getPath.getName.startsWith("bid=") &&
+        part.getPath.getName != "bid=__compacted"
+    } {
+      val dest = new Path(
+        s"$path/retired/${sub.getPath.getName}/${part.getPath.getName}")
+      if (!fs.exists(dest)) {
+        fs.mkdirs(dest.getParent)
+        fs.rename(part.getPath, dest)
+      }
+    }
+    fs.delete(oldRoot, true); ()
   }
 
   /** The bids ever folded into `bid=__compacted` — persisted by
@@ -108,6 +142,137 @@ private[ops] object CountLsm {
       fs.rename(old, live)
       throw new java.io.IOException(s"compactSwap: cannot swap $tmp in")
     }
-    fs.delete(old, true); ()
+    retireAndDrop(spark, path, old)
+  }
+
+  // ---- snapshots: generation-pinned serving over the delta LSM ----
+  //
+  // The reproducibility half of the count-store lifecycle: a training
+  // run records WHICH batches its gate decisions were served from
+  // (writeSnapshot — a manifest of logical batch ids, never data), and
+  // replays those decisions bit-exactly at any later time
+  // (deltasAtSnapshot), across arbitrary subsequent ingest, unlearning
+  // and compaction. Compaction makes this possible by RETIRING the
+  // delta partitions it folds (retireAndDrop) instead of destroying
+  // them — the Delta/Iceberg vacuum discipline re-expressed over the
+  // bid= layout: superseded files stay until no live snapshot needs
+  // them, then vacuumRetired reclaims. Manifests and retired deltas
+  // live OUTSIDE the swapped counts/ root, so compactions never touch
+  // them.
+
+  /** Record the store's current logical batch set as snapshot `snapId`
+    * — every bid ever folded plus every COMMITTED live bid
+    * (`commitSub` is the store's commit-marker relation: a batch
+    * exists iff its marker partition landed). Driver-side bid list by
+    * construction (ingest-cadence-proportional). Overwrites an
+    * existing manifest of the same id (retry-idempotent).
+    */
+  def writeSnapshot(spark: SparkSession, path: String, snapId: String,
+      commitSub: String): Unit = {
+    import spark.implicits._
+    require(snapId.matches("[A-Za-z0-9_-]+"),
+      s"snapshot id '$snapId' must be a plain partition token")
+    val root = healedRoot(spark, path)
+    val committed = readDeltas(spark, root, commitSub)
+      .select(col("bid")).distinct()
+      .collect().map(_.getString(0)).toSet - "__compacted"
+    val bids = (foldedBids(spark, root) ++ committed).toSeq.sorted
+    require(bids.nonEmpty, s"writeSnapshot: store at $path has no batches")
+    bids.toDF("bid").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/snapshots/snap=$snapId")
+  }
+
+  /** The manifest of snapshot `snapId` — its logical batch-id set.
+    * A missing manifest (never written, or dropped) fails loudly: a
+    * pinned training run asking for a snapshot that no longer exists
+    * must hear that, not a raw path error.
+    */
+  def snapshotBids(spark: SparkSession, path: String,
+      snapId: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    require(snapId.matches("[A-Za-z0-9_-]+"),
+      s"snapshot id '$snapId' must be a plain partition token")
+    val p = new Path(s"$path/snapshots/snap=$snapId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"unknown snapshot '$snapId' at $path (never written, or dropped)")
+    spark.read.parquet(p.toString)
+      .select(col("bid").cast("string"))
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Ids of every live snapshot manifest under the store. */
+  def liveSnapshotIds(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/snapshots")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("snap=")).map(_.stripPrefix("snap=")).sorted
+  }
+
+  /** Drop snapshot `snapId`'s manifest — its pinned deltas become
+    * reclaimable by the next [[vacuumRetired]] unless another live
+    * snapshot still needs them.
+    */
+  def dropSnapshot(spark: SparkSession, path: String,
+      snapId: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(snapId.matches("[A-Za-z0-9_-]+"),
+      s"snapshot id '$snapId' must be a plain partition token")
+    val p = new Path(s"$path/snapshots/snap=$snapId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); ()
+  }
+
+  /** Reclaim every retired delta partition no live snapshot pins —
+    * the store's VACUUM. Cost is a directory walk plus the manifests'
+    * driver-side bid sets; data files are never read.
+    */
+  def vacuumRetired(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val needed = liveSnapshotIds(spark, path)
+      .flatMap(snapshotBids(spark, path, _)).toSet
+    val ret = new Path(s"$path/retired")
+    val fs = ret.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ret)) return
+    for {
+      sub <- fs.listStatus(ret).toSeq if sub.isDirectory
+      part <- fs.listStatus(sub.getPath).toSeq
+      if part.getPath.getName.startsWith("bid=")
+      if !needed.contains(part.getPath.getName.stripPrefix("bid="))
+    } fs.delete(part.getPath, true)
+  }
+
+  /** The `sub` delta relation snapshot `manifest` serves: retired
+    * deltas for its folded bids ∪ live deltas for the rest, restricted
+    * to the manifest. Fails loudly if a manifest bid survives in
+    * NEITHER (vacuumed past the snapshot, or a foreign manifest) —
+    * a silent partial sum would be a wrong model, not a stale one.
+    */
+  def deltasAtSnapshot(spark: SparkSession, path: String, sub: String,
+      manifest: Set[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = healedRoot(spark, path)
+    val folded = foldedBids(spark, root)
+    val live = readDeltas(spark, root, sub)
+      .filter(col("bid") =!= "__compacted")
+      .filter(!col("bid").isin(folded.toSeq.map(x => x: Any): _*))
+    val retPath = new Path(s"$path/retired/$sub")
+    val fs = retPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRetired = fs.exists(retPath) &&
+      fs.listStatus(retPath).exists(_.getPath.getName.startsWith("bid="))
+    val all =
+      if (hasRetired)
+        live.unionByName(readDeltas(spark, s"$path/retired", sub))
+      else live
+    val avail = all.select(col("bid")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = manifest -- avail
+    require(missing.isEmpty,
+      s"snapshot serve: bids ${missing.toSeq.sorted.mkString(", ")} " +
+        s"missing from $path/$sub — vacuumed past the snapshot?")
+    all.filter(col("bid").isin(manifest.toSeq.map(x => x: Any): _*))
   }
 }

@@ -276,11 +276,55 @@ object LanguageModel {
     scoreBigrams(bigramTable(batch, idCol, textCol), cb, c1, vocab, idCol)
   }
 
+  /** Pin the count store's CURRENT batch set as snapshot `snapId` —
+    * the reproducibility half of the gate's lifecycle ([[CountLsm
+    * .writeSnapshot]]): a training run records which batches its
+    * quality decisions were served from, and [[scoreAtSnapshot]]
+    * replays those decisions bit-exactly after any later ingest,
+    * unlearning or compaction. The `tc` relation is the commit marker
+    * (the [[writeCountBatch]] write-order contract), so a torn batch
+    * can never enter a manifest.
+    */
+  def snapshotCountModel(spark: SparkSession, path: String,
+      snapId: String): Unit =
+    CountLsm.writeSnapshot(spark, path, snapId, "tc")
+
+  /** Score `batch` against the model AS OF snapshot `snapId` — the
+    * summed counts over exactly the manifest's batches, assembled from
+    * live and compaction-retired delta partitions ([[CountLsm
+    * .deltasAtSnapshot]]), with [[bigramNll]]'s exact arithmetic.
+    * Equal by construction to what [[scoreFromCounts]] returned when
+    * the snapshot was written: where the counts live (live deltas,
+    * retired deltas, either side of a compaction) cannot change a
+    * score, and a vacuumed-away manifest bid fails loudly rather than
+    * serving a partial model.
+    */
+  def scoreAtSnapshot(spark: SparkSession, path: String, snapId: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val manifest = CountLsm.snapshotBids(spark, path, snapId)
+    val cb = CountLsm.deltasAtSnapshot(spark, path, "cb", manifest)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
+      .filter(col("cb") >= 1)
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val vocab = CountLsm.deltasAtSnapshot(spark, path, "tc", manifest)
+      .groupBy(col("tok")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= 1)
+      .agg(count(lit(1)).as("v"))
+    scoreBigrams(bigramTable(batch, idCol, textCol), cb, c1, vocab, idCol)
+  }
+
   /** Fold every committed delta partition into one `bid=__compacted`
     * partition — the count store's OPTIMIZE ([[CountLsm.compactSwap]]):
     * serve-time reads stop growing with ingest cadence, the summed
     * counts are the numbers the pre-compaction read produced, and the
     * folded-bid ledger keeps post-compaction retries idempotent.
+    *
+    * Folded delta partitions are RETIRED (moved aside for
+    * [[scoreAtSnapshot]] reproducibility), not destroyed — so the
+    * PHYSICAL purge of unlearned data is compaction + [[CountLsm
+    * .vacuumRetired]], and a takedown is fully physical only once no
+    * live snapshot pins the takedown batch (drop those snapshots,
+    * then vacuum — the versioned-store takedown discipline).
     */
   def compactCountModel(spark: SparkSession, path: String): Unit = {
     val root = CountLsm.healedRoot(spark, path)

@@ -152,9 +152,24 @@ object NaiveBayes {
       model: Model,
       featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         wordFeatures): DataFrame = {
-    val toks = docs
+    val arg = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scoreLabels(docs, idCol, textCol, model, featuresOf)
+      .withColumn("rk", row_number().over(arg))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("score"))
+  }
+
+  /** The per-(doc, label) posterior relation [[classify]] argmaxes
+    * over — shared with [[calibrationSweep]], which needs the
+    * runner-up too.
+    */
+  private def scoreLabels(docs: DataFrame, idCol: String, textCol: String,
+      model: Model,
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): DataFrame =
+    docs
       .select(col(idCol), explode(featuresOf(col(textCol))).as("tok"))
-    val scored = toks
       .crossJoin(broadcast(model.priors))
       .join(model.lik, Seq("label", "tok"), "left")
       .select(col(idCol), col("label"), col("lp"),
@@ -164,12 +179,63 @@ object NaiveBayes {
       .agg(sum(col("c")).as("s"))
       .select(col(idCol), col("label"),
         round(col("lp") + col("s").cast("double"), 6).as("score"))
-    val arg = Window.partitionBy(col(idCol))
+
+  /** SELECTIVE-PREDICTION calibration sweep — the missing half of
+    * shipping a trained gate: before auto-labeling (or auto-dropping)
+    * at scale, measure what the "accept the prediction iff its MARGIN
+    * (top posterior − runner-up) clears t" rule buys at each candidate
+    * t. One row per threshold: how many documents the gate accepts
+    * (`n_above`, `coverage`) and how accurate the accepted predictions
+    * are against `labelCol` ground truth (`n_correct_above`,
+    * `acc_above` — NULL at thresholds that accept nothing). The
+    * operating point is then a read, not a guess.
+    *
+    * Scale shape: the posterior relation is |docs|·|labels| rows (the
+    * [[classify]] cost exactly — one token-explode shuffle plus the
+    * broadcast prior/likelihood joins), the top-2 window partitions by
+    * document, and the sweep itself is a conditional aggregate against
+    * a |thresholds|-row broadcast literal — the corpus is never
+    * re-scanned per threshold. Determinism: margins are differences of
+    * 6-rounded scores, re-rounded to 6; counts are exact; ratios
+    * round at 6 (the cross-engine float discipline).
+    */
+  def calibrationSweep(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, model: Model, thresholds: Seq[Double],
+      featuresOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        wordFeatures): DataFrame = {
+    require(thresholds.nonEmpty, "calibrationSweep: no thresholds")
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label").asc)
-    scored
-      .withColumn("rk", row_number().over(arg))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("label").as("pred_label"), col("score"))
+    val rk = scoreLabels(docs, idCol, textCol, model, featuresOf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .localCheckpoint()
+    val top = rk.filter(col("rk") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("score").as("s1"))
+    val snd = rk.filter(col("rk") === 2)
+      .select(col(idCol), col("score").as("s2"))
+    val truth = top.join(snd, idCol)
+      .join(docs.select(col(idCol), col(labelCol).as("__true")), idCol)
+      .select(round(col("s1") - col("s2"), 6).as("margin"),
+        (col("pred_label") === col("__true")).cast("long").as("ok"))
+    val nd = truth.agg(count(lit(1)).as("n_docs"))
+    truth.crossJoin(broadcast(thresholds.toDF("threshold")))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("margin") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("margin") >= col("threshold") && col("ok") === 1L, 1L)
+          .otherwise(0L)).as("n_correct_above"))
+      .crossJoin(broadcast(nd))
+      .select(col("threshold"), col("n_docs"), col("n_above"),
+        col("n_correct_above"),
+        round(col("n_above").cast("double") /
+          col("n_docs").cast("double"), 6).as("coverage"),
+        when(col("n_above") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_correct_above").cast("double") /
+            col("n_above").cast("double"), 6)).as("acc_above"))
+      .orderBy(col("threshold"))
   }
 
   /** Persist a trained model: `priors/` (|labels| rows, coalesced to
@@ -298,6 +364,11 @@ object NaiveBayes {
     * under ONE `counts/` root, so the swap is a single rename pair
     * (live→old, tmp→live) and the one crash window between them is
     * healed by [[healedRoot]] on the next access.
+    *
+    * Folded delta partitions are RETIRED for snapshot reproducibility
+    * ([[CountLsm.writeSnapshot]]'s contract), not destroyed: the
+    * physical purge of unlearned counts is compaction + [[CountLsm
+    * .vacuumRetired]] once no live snapshot pins the batch.
     */
   def compactCountModel(spark: SparkSession, path: String): Unit = {
     val root = healedRoot(spark, path)

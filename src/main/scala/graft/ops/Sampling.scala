@@ -347,4 +347,60 @@ object Sampling {
       .filter(col("cum_weight") <= budget)
       .drop("__ob", "__local_cum", "__bucket_prefix")
   }
+
+  /** Deterministic EPOCH-SHUFFLE shard plan — the curation→training
+    * handoff: a seeded pseudorandom permutation of the corpus (global
+    * order by `hkey = md5(seed:key)` — the epoch's shuffle, bit-
+    * reproducible from the seed alone, a NEW permutation per seed) cut
+    * into contiguous token-budget shards: shard k gets the docs whose
+    * EXCLUSIVE prefix token sum lands in [k·shardTokens,
+    * (k+1)·shardTokens) — i.e. a shard is a token-range of the
+    * permutation, and a document belongs to the shard its first token
+    * falls in. The fill law is CUMULATIVE: tokens through shard k
+    * total ≥ (k+1)·shardTokens for every non-final shard (per-shard
+    * deficits and surpluses come only from documents straddling a
+    * boundary, so each is smaller than one document; a document
+    * longer than the budget spans several ranges and leaves the
+    * intermediate shards empty — the standard byte-range semantics).
+    * Re-sharding an epoch is a pure function of (corpus, seed,
+    * budget): any engine can replay the assignment, and a resumed
+    * run re-derives exactly the shards it crashed over.
+    *
+    * Scale shape: NO global-window prefix sum (a single partition at
+    * 100 TB). The shuffle order's first two hex chars are a 256-way
+    * bucket; within-bucket exclusive sums run partitioned by bucket
+    * (parallel — and ordering by hkey within bucket IS the global
+    * hkey order, because the bucket is a PREFIX of hkey), bucket BASE
+    * offsets come from a window over the 256-row per-bucket summary
+    * (bounded by construction — hex prefixes, not data — so the
+    * broadcast back is unconditionally safe), and the global
+    * exclusive sum is base + within. One keyed shuffle, one tiny
+    * broadcast; md5 bucketing cannot skew.
+    */
+  def epochShardPlan(df: DataFrame, keyCol: String, tokenCount: Column,
+      seed: Long, shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val base = df
+      .select(col(keyCol), tokenCount.cast("long").as("n_tokens"))
+      .withColumn("hkey", md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
+      .withColumn("__bk", substring(col("hkey"), 1, 2))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col("hkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__within_prev",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__bk"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__base_off", coalesce(sum(col("__btot")).over(wOff), lit(0L)))
+      .select(col("__bk"), col("__base_off"))
+    // exact integral division (the [[Ranking.ntileOf]] discipline):
+    // Column `/` is DOUBLE division, whose floor can land one off once
+    // the prefix sum passes ~2^26 tokens — subtract the remainder first
+    val prev = col("__base_off") + col("__within_prev")
+    local.join(broadcast(offsets), "__bk")
+      .select(col(keyCol), col("hkey"), col("n_tokens"),
+        ((prev - pmod(prev, lit(shardTokens))) / lit(shardTokens))
+          .cast("long").as("shard"))
+  }
 }

@@ -406,4 +406,44 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
     (result, base, grams)
   }
+
+  /** One-pass corpus DATA CARD grouped by `groupCol` — the audit table
+    * that ships with a released training corpus (the datasheet/data-
+    * card practice): per group, document and token volumes, the
+    * exact-duplicate share (docs whose md5(text) is held by ≥ 2 docs
+    * ANYWHERE in the corpus — cross-group duplicates count for every
+    * group holding a copy, since each has redundant text), and the
+    * short-document share (< `minTokens` whitespace tokens — the
+    * husk fraction a length gate would drop).
+    *
+    * Scale shape: one projection computes (group, n_tok, md5) inside
+    * the scan's codegen span; duplicate multiplicity is a hash-groupBy
+    * on the md5 (uniform keys by construction) joined back ON the
+    * hash — an equi-shuffle, never a self-join of text; the card is a
+    * final |groups|-row aggregate. Ratios round at 6 (the cross-engine
+    * float discipline).
+    */
+  def datacard(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      minTokens: Int = 10): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(groupCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"),
+      md5(col(textCol)).as("h"))
+    val mult = base.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    base.join(mult, "h")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_tokens"),
+        sum(when(col("nh") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+        round(sum(when(col("nh") >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_frac"),
+        sum(when(col("n_tok") < minTokens, 1L).otherwise(0L))
+          .as("short_docs"),
+        round(sum(when(col("n_tok") < minTokens, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("short_frac"))
+  }
 }

@@ -180,6 +180,53 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q209: SNAPSHOT-PINNED serving for the LM count store
+    * ([[LanguageModel.snapshotCountModel]] / [[LanguageModel
+    * .scoreAtSnapshot]]) — the reproducibility law the delta-LSM
+    * lifecycle was still missing: a training run pins the batch set
+    * its gate decisions were served from, and replays them BIT-EXACTLY
+    * after later ingest AND a compaction that folded (and retired) the
+    * pinned batches. Scenario: b0+b1 ingested → snapshot `s1` → b2
+    * ingested → compaction folds all three (retiring their delta
+    * partitions). The judged relation serves the full corpus from BOTH
+    * models: `live` (all batches — q190's law, where counts live
+    * cannot change a score) and `snap` (s1's manifest, assembled from
+    * compaction-retired deltas). The oracle retrains each model from
+    * its slice: live = the self-trained corpus model, snap = the
+    * b0∪b1-trained model scoring everything held-out-style (b2's
+    * unseen bigrams land at the Laplace floor). Vacuum semantics
+    * (retention while pinned, loud failure after) are spec'd in
+    * `CountSnapshotSpec` — a batch oracle cannot express an error.
+    */
+  private val lmSnapshotStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  rmTreeAtExit(lmSnapshotStores)
+  private val q209: Q = (s, dir) => {
+    val path = lmSnapshotStores.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm_snap_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", p, "b0")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", p, "b1")
+      LanguageModel.snapshotCountModel(s, p, "s1")
+      LanguageModel.writeCountBatch(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", p, "b2")
+      LanguageModel.compactCountModel(s, p)
+      p
+    })
+    val docs = t(s, dir, "documents")
+    LanguageModel.scoreFromCounts(s, path, docs, "doc_id", "text")
+      .select(lit("live").as("serving"), col("doc_id"),
+        col("n_bigrams"), col("nll"))
+      .unionByName(
+        LanguageModel.scoreAtSnapshot(s, path, "s1", docs, "doc_id", "text")
+          .select(lit("snap").as("serving"), col("doc_id"),
+            col("n_bigrams"), col("nll")))
+      .orderBy("serving", "doc_id")
+  }
+
   /** Held-out scoring against a STORED bigram model
     * ([[LanguageModel.writeModel]] / [[LanguageModel.scoreAgainst]]):
     * the model is trained once on the doc_id % 4 ≠ 3 slice and
@@ -759,6 +806,54 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** q210: deterministic epoch-shuffle shard plan ([[Sampling
+    * .epochShardPlan]]) — the curation→training handoff: the corpus
+    * permuted by md5(seed:doc_id) and cut into contiguous 2000-token
+    * shards by EXCLUSIVE prefix sum. Row-level judged: every doc's
+    * (hkey, n_tokens, shard) triple is hashed, so the permutation, the
+    * distributed two-phase prefix sum (bucketed windows + 256-row
+    * offset relation — never a global single-partition window) and the
+    * exact integral shard division must all match the oracle's global-
+    * window replay bit-for-bit.
+    */
+  private val q210: Q = (s, dir) =>
+    Sampling.epochShardPlan(t(s, dir, "documents"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), seed = 42L,
+        shardTokens = 2000L)
+      .orderBy("doc_id")
+
+  /** q212: the corpus DATA CARD ([[TextAnalysis.datacard]]) — the
+    * per-language audit table a corpus release ships with: volumes,
+    * exact-duplicate share (corpus-wide md5 multiplicity — a
+    * cross-language duplicate counts for both languages), short-doc
+    * share at the 10-token line. One scan + one hash-groupBy; the
+    * oracle replays each ratio at round-6.
+    */
+  private val q212: Q = (s, dir) =>
+    TextAnalysis.datacard(t(s, dir, "documents"), "doc_id", "text",
+        "lang", minTokens = 10)
+      .orderBy("lang")
+
+  /** q211: selective-prediction calibration sweep for the trained gate
+    * ([[graft.ops.NaiveBayes.calibrationSweep]]) — q173's classifier
+    * measured before it ships: for each margin threshold t, how many
+    * held-out documents the "accept the label iff top-posterior −
+    * runner-up ≥ t" rule admits, and how accurate the admitted labels
+    * are against ground truth. The operating point of an auto-label /
+    * auto-drop gate becomes a read off this relation instead of a
+    * guess. The grid spans the held-out margin distribution at every
+    * test scale (margins land in [0, ~2.0]), so each judged row has
+    * n_above ≥ 1; the accepts-nothing NULL branch is spec'd instead.
+    */
+  private val q211: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = NaiveBayes.trainModel(
+      docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", "lang")
+    NaiveBayes.calibrationSweep(docs.filter(col("doc_id") % 4 === 3),
+      "doc_id", "text", "lang", model,
+      thresholds = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+  }
+
   /** Stratified sample ([[Sampling.stratifiedSample]]) at per-language
     * fractions — row-level judged: every kept doc_id is in the output,
     * so recall AND precision of the keep decision are hash-checked.
@@ -1191,6 +1286,10 @@ object CorpusQueries {
     "q131_bigram_lm" -> q131,
     "q190_lm_count_store" -> q190,
     "q191_lm_unlearn" -> q191,
+    "q209_lm_snapshot_serve" -> q209,
+    "q210_epoch_shard_plan" -> q210,
+    "q211_gate_calibration" -> q211,
+    "q212_corpus_datacard" -> q212,
     "q135_bigram_score_heldout" -> q135,
     "q173_nb_classify" -> q173,
     "q174_nb_stored" -> q174,
@@ -1516,9 +1615,12 @@ object CorpusQueries {
 
   private[queries] val bigramLmSql = bigramLmSqlFor("TRUE")
 
-  private[queries] def nbClassifySqlFor(trainPred: String,
-      wCte: String = ExtQueries.tokensCte): String =
-    s"""WITH $wCte,
+  /** The NB posterior chain through `sc(doc_id, lang, score)` plus the
+    * per-doc rank `rk` — shared by the classify oracles (argmax) and
+    * the q211 calibration oracle (margin = rank-1 − rank-2).
+    */
+  private def nbScoreCtes(trainPred: String, wCte: String): String =
+    s"""$wCte,
        |tr AS (SELECT w.doc_id, d.lang, w.w FROM w
        |       JOIN documents d ON d.doc_id = w.doc_id
        |       WHERE $trainPred),
@@ -1549,7 +1651,11 @@ object CorpusQueries {
        |rk AS (SELECT doc_id, lang, score,
        |              row_number() OVER (PARTITION BY doc_id
        |                ORDER BY score DESC, lang) AS rk
-       |       FROM sc)
+       |       FROM sc)""".stripMargin
+
+  private[queries] def nbClassifySqlFor(trainPred: String,
+      wCte: String = ExtQueries.tokensCte): String =
+    s"""WITH ${nbScoreCtes(trainPred, wCte)}
        |SELECT doc_id, lang AS pred_label, score
        |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
@@ -1982,6 +2088,120 @@ object CorpusQueries {
     // unlearn == retrain-without: the oracle trains from scratch on
     // the surviving slice (q181's law for the generative gate)
     "q191_lm_unlearn" -> bigramLmSqlFor("doc_id % 4 <> 3"),
+
+    // both serving paths retrained from scratch: live = the self-
+    // trained full-corpus model (inner joins — every bigram is in
+    // training), snap = the b0∪b1 model scoring EVERYTHING held-out-
+    // style (left joins + Laplace floor for b2's unseen mass). The
+    // count store's snapshot serve must equal both, or where the
+    // counts lived (live vs compaction-retired partitions) leaked
+    // into a score.
+    "q209_lm_snapshot_serve" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |       FROM w, UNNEST(generate_series(1, len(w)-1)) AS g(i)
+         |       WHERE len(w) >= 2),
+         |lcb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |lc1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |lv AS (SELECT count(DISTINCT u.t) AS v FROM w, UNNEST(w.w) AS u(t)),
+         |lsc AS (SELECT bg.doc_id,
+         |               CAST(round(-ln(CAST(lcb.cb + 1 AS DOUBLE)
+         |                              / CAST(lc1.c1 + lv.v AS DOUBLE)), 9)
+         |                    AS DECIMAL(28,10)) AS c
+         |        FROM bg JOIN lcb USING (w1, w2) JOIN lc1 USING (w1), lv),
+         |live AS (SELECT 'live' AS serving, doc_id,
+         |                CAST(count(*) AS BIGINT) AS n_bigrams,
+         |                round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |         FROM lsc GROUP BY doc_id),
+         |tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 3 <> 2),
+         |scb AS (SELECT w1, w2, count(*) AS cb FROM tbg GROUP BY 1, 2),
+         |sc1 AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1),
+         |sv AS (SELECT count(DISTINCT u.t) AS v
+         |       FROM w, UNNEST(w.w) AS u(t) WHERE w.doc_id % 3 <> 2),
+         |ssc AS (SELECT bg.doc_id,
+         |               CAST(round(-ln(CAST(COALESCE(scb.cb, 0) + 1 AS DOUBLE)
+         |                              / CAST(COALESCE(sc1.c1, 0) + sv.v AS DOUBLE)), 9)
+         |                    AS DECIMAL(28,10)) AS c
+         |        FROM bg LEFT JOIN scb USING (w1, w2)
+         |                LEFT JOIN sc1 USING (w1), sv),
+         |snap AS (SELECT 'snap' AS serving, doc_id,
+         |                CAST(count(*) AS BIGINT) AS n_bigrams,
+         |                round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |         FROM ssc GROUP BY doc_id)
+         |SELECT * FROM live UNION ALL SELECT * FROM snap
+         |ORDER BY serving, doc_id""".stripMargin,
+
+    // the epoch shuffle replayed as ONE global window (the oracle can
+    // afford the single partition the engine must avoid): seeded md5
+    // order, exclusive prefix sum, exact integer shard division
+    "q210_epoch_shard_plan" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |o AS (SELECT doc_id, len(w) AS n_tokens,
+         |             md5('42:' || CAST(doc_id AS VARCHAR)) AS hkey
+         |      FROM w),
+         |c AS (SELECT doc_id, hkey, n_tokens,
+         |             COALESCE(SUM(n_tokens) OVER (ORDER BY hkey
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS prev
+         |      FROM o)
+         |SELECT doc_id, hkey, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(prev // 2000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the calibration sweep replayed over the q173 posterior chain:
+    // margin = rank-1 − rank-2 score (both 6-rounded), per-threshold
+    // conditional counts against ground truth, ratios rounded at 6.
+    // The grid guarantees n_above ≥ 1 at every test scale, so the
+    // plain division mirrors the engine's non-NULL branch exactly.
+    "q211_gate_calibration" ->
+      s"""WITH ${nbScoreCtes("w.doc_id % 4 <> 3", ExtQueries.tokensCte)},
+         |mg AS (SELECT a.doc_id, a.lang AS pred_label,
+         |              round(a.score - b.score, 6) AS margin
+         |       FROM rk a JOIN rk b
+         |         ON a.doc_id = b.doc_id AND a.rk = 1 AND b.rk = 2),
+         |tv AS (SELECT m.margin,
+         |              CASE WHEN m.pred_label = d.lang THEN 1 ELSE 0 END AS ok
+         |       FROM mg m JOIN documents d ON d.doc_id = m.doc_id),
+         |n AS (SELECT count(*) AS n_docs FROM tv),
+         |th AS (SELECT * FROM (VALUES (0.0), (0.25), (0.5), (0.75), (1.0))
+         |       t(threshold))
+         |SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+         |       CAST(n.n_docs AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN tv.margin >= th.threshold
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |       CAST(sum(CASE WHEN tv.margin >= th.threshold AND tv.ok = 1
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_above,
+         |       round(CAST(sum(CASE WHEN tv.margin >= th.threshold
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(n.n_docs AS DOUBLE), 6) AS coverage,
+         |       round(CAST(sum(CASE WHEN tv.margin >= th.threshold AND tv.ok = 1
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(CASE WHEN tv.margin >= th.threshold
+         |                            THEN 1 ELSE 0 END) AS DOUBLE), 6) AS acc_above
+         |FROM tv CROSS JOIN th CROSS JOIN n
+         |GROUP BY th.threshold, n.n_docs
+         |ORDER BY th.threshold""".stripMargin,
+
+    "q212_corpus_datacard" ->
+      s"""WITH ${ExtQueries.tokensCte},
+         |base AS (SELECT d.lang, len(w.w) AS n_tok, md5(d.text) AS h
+         |         FROM documents d JOIN w ON w.doc_id = d.doc_id),
+         |mult AS (SELECT h, count(*) AS nh FROM base GROUP BY 1)
+         |SELECT b.lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(b.n_tok) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+         |       CAST(sum(CASE WHEN m.nh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS dup_docs,
+         |       round(CAST(sum(CASE WHEN m.nh >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+         |       CAST(sum(CASE WHEN b.n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS short_docs,
+         |       round(CAST(sum(CASE WHEN b.n_tok < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS short_frac
+         |FROM base b JOIN mult m USING (h)
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     // the train/score split replayed relationally: frozen counts and V
     // from the doc_id % 4 <> 3 slice, held-out bigrams LEFT-joined so

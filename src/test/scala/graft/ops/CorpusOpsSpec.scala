@@ -984,4 +984,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shuffleRegime == broadcastRegime,
       s"regimes diverged:\n  broadcast=$broadcastRegime\n  shuffle=$shuffleRegime")
   }
+
+  test("datacard: hand-computed card; a cross-group duplicate counts for BOTH groups") {
+    val docs = Seq(
+      (1L, "en", "the same text"),
+      (2L, "en", "the same text"),          // exact dup of 1, same group
+      (3L, "en", "one two three four five six seven eight nine ten"),
+      (4L, "de", "the same text"),          // exact dup of 1/2, other group
+      (5L, "de", "kurz")                    // short (1 token < 10)
+    ).toDF("doc_id", "lang", "text")
+    val card = TextAnalysis.datacard(docs, "doc_id", "text", "lang",
+        minTokens = 10)
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    // en: 3 docs, 3+3+10 tokens, dups {1,2}, short {1,2} (3 tokens each)
+    assert(card("en") == ((3L, 16L, 2L, 0.666667, 2L)))
+    // de: the copy of "the same text" is a duplicate HERE too
+    assert(card("de") == ((2L, 4L, 1L, 0.5, 2L)))
+  }
 }

@@ -266,4 +266,33 @@ class NaiveBayesSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/counts").isDirectory)
     } finally rmTree(new java.io.File(dir))
   }
+
+  test("calibrationSweep: counts replay a hand margin computation; coverage is monotone; an accepts-nothing threshold yields NULL accuracy") {
+    val model = NaiveBayes.trainModel(trainDocs, "doc_id", "text", "lang")
+    val held = Seq(
+      (10L, "a b", "x"),  // confident, correct
+      (11L, "c c", "y"),  // confident, correct
+      (12L, "z", "x")     // OOV-only: floors pick y — wrong, tiny margin
+    ).toDF("doc_id", "text", "lang")
+    val out = NaiveBayes.calibrationSweep(held, "doc_id", "text", "lang",
+        model, thresholds = Seq(0.0, 0.5, 100.0))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // margins: doc 12's floor gap |ln(1/8) − ln(1/9)| ≈ 0.118 < 0.5;
+    // docs 10/11 have real evidence margins > 0.5
+    assert(out(0.0) == ((3L, 3L, 2L, Some(round6(2.0 / 3)))))
+    assert(out(0.5)._2 == 2L && out(0.5)._3 == 2L &&
+      out(0.5)._4 == Some(1.0))
+    // nothing clears 100: coverage 0, accuracy undefined (NULL)
+    assert(out(100.0) == ((3L, 0L, 0L, None)))
+    // coverage monotone non-increasing in t
+    val cov = NaiveBayes.calibrationSweep(held, "doc_id", "text", "lang",
+        model, thresholds = Seq(0.0, 0.1, 0.2, 0.5, 1.0))
+      .orderBy("threshold").collect().map(_.getDouble(4))
+    assert(cov.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -279,4 +279,48 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("no rows"))
   }
+
+  // ------------------------------------------------------ epochShardPlan
+
+  private val shardDocs = (1L to 300L)
+    .map(i => (i, (i * 13 % 50 + 1).toInt))
+    .toDF("id", "n_tok")
+
+  test("epochShardPlan: distributed two-phase prefix sum == the naive global replay") {
+    val out = Sampling.epochShardPlan(shardDocs, "id", col("n_tok"),
+        seed = 7L, shardTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // naive replay: sort by hkey driver-side, running exclusive sum
+    val byKey = out.sortBy(_._2)
+    var run = 0L
+    val expect = byKey.map { case (id, hk, n, _) =>
+      val shard = run / 100L; run += n; (id, hk, n, shard)
+    }
+    assert(out.sortBy(_._1) == expect.sortBy(_._1))
+  }
+
+  test("epochShardPlan: stable under repartitioning; a new seed is a new permutation") {
+    def plan(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.epochShardPlan(df, "id", col("n_tok"), seed, 100L)
+        .orderBy("id").collect().toSeq
+    val a = plan(shardDocs, 7L)
+    assert(plan(shardDocs.repartition(13), 7L) == a)
+    val b = plan(shardDocs, 8L)
+    assert(a != b, "a new seed must reshuffle")
+    // …but the CUMULATIVE fill law holds under every seed: tokens
+    // through shard k total ≥ (k+1)·budget for every non-final shard
+    // (per-shard deficit is bounded by one straddling document)
+    for (p <- Seq(a, b)) {
+      val byShard = p.groupBy(_.getLong(3)).view
+        .mapValues(_.map(_.getLong(2)).sum).toMap
+      val last = byShard.keys.max
+      var cum = 0L
+      for (s <- byShard.keys.toSeq.sorted if s != last) {
+        cum += byShard(s)
+        assert(cum >= (s + 1) * 100L,
+          s"cumulative fill through shard $s short: $cum")
+      }
+    }
+  }
 }

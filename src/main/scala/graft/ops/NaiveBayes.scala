@@ -357,6 +357,34 @@ object NaiveBayes {
     modelFromCounts(lab, tok)
   }
 
+  /** Pin the count store's CURRENT batch set as snapshot `snapId` —
+    * [[CountLsm.writeSnapshot]] with NB's commit marker (`lab`, the
+    * relation [[writeCountBatch]] lands LAST): the classifier twin of
+    * [[LanguageModel.snapshotCountModel]], on the same machinery.
+    */
+  def snapshotCountModel(spark: SparkSession, path: String,
+      snapId: String): Unit =
+    CountLsm.writeSnapshot(spark, path, snapId, "lab")
+
+  /** The model AS OF snapshot `snapId` — [[readCountModel]]'s exact
+    * summing/smoothing arithmetic over exactly the manifest's batches,
+    * assembled from live ∪ compaction-retired delta partitions
+    * ([[CountLsm.deltasAtSnapshot]]). Classifying against it replays
+    * the decisions the store served at manifest time bit-for-bit,
+    * across any later ingest, unlearning or compaction; a vacuumed
+    * manifest bid fails loudly rather than serving a partial model.
+    */
+  def readCountModelAt(spark: SparkSession, path: String,
+      snapId: String): Model = {
+    val manifest = CountLsm.snapshotBids(spark, path, snapId)
+    val lab = CountLsm.deltasAtSnapshot(spark, path, "lab", manifest)
+      .groupBy(col("label"))
+      .agg(sum(col("n_y")).as("n_y"), sum(col("n_tok")).as("n_tok"))
+    val tok = CountLsm.deltasAtSnapshot(spark, path, "tok", manifest)
+      .groupBy(col("label"), col("tok")).agg(sum(col("c")).as("c"))
+    modelFromCounts(lab, tok)
+  }
+
   /** Fold every committed delta partition into one `bid=__compacted`
     * partition — the count store's OPTIMIZE: serve-time reads stop
     * growing with ingest cadence, and the summed counts are the same

@@ -142,6 +142,41 @@ class CountSnapshotSpec extends SparkSpec {
     } finally rm(new java.io.File(path))
   }
 
+  test("NB store: snapshot classify == model trained on the pinned slice, across ingest + compaction") {
+    val path = freshPath("nb")
+    val labeled = Seq(
+      (1L, "a b a", "x"), (2L, "a b", "x"), (3L, "c c d", "y"),
+      (4L, "c d", "y"), (5L, "e e a", "x"), (6L, "c e", "y")
+    ).toDF("doc_id", "text", "lang")
+    val held = Seq((10L, "a b"), (11L, "c d"), (12L, "e")).toDF("doc_id", "text")
+    try {
+      NaiveBayes.writeCountBatch(labeled.filter($"doc_id" <= 2),
+        "doc_id", "text", "lang", path, "b0")
+      NaiveBayes.writeCountBatch(
+        labeled.filter($"doc_id" > 2 && $"doc_id" <= 4),
+        "doc_id", "text", "lang", path, "b1")
+      NaiveBayes.snapshotCountModel(spark, path, "s1")
+      NaiveBayes.writeCountBatch(labeled.filter($"doc_id" > 4),
+        "doc_id", "text", "lang", path, "b2")
+      NaiveBayes.compactCountModel(spark, path)
+      val snap = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModelAt(spark, path, "s1"))
+        .orderBy("doc_id").collect().toSeq
+      val retrained = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.trainModel(labeled.filter($"doc_id" <= 4),
+            "doc_id", "text", "lang"))
+        .orderBy("doc_id").collect().toSeq
+      assert(snap == retrained)
+      // and the live model folds b2 (q178's law, unchanged)
+      val live = NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.readCountModel(spark, path))
+        .orderBy("doc_id").collect().toSeq
+      assert(live == NaiveBayes.classify(held, "doc_id", "text",
+          NaiveBayes.trainModel(labeled, "doc_id", "text", "lang"))
+        .orderBy("doc_id").collect().toSeq)
+    } finally rm(new java.io.File(path))
+  }
+
   test("heal: a crash between the compaction swap and the retirement resumes the retirement") {
     val path = freshPath("heal")
     try {

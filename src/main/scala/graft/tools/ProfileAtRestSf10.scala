@@ -138,6 +138,14 @@ object ProfileAtRestSf10 {
           pmod(xxhash64(col("id") + 12345L), lit(1L << 48)).as("ahash"))
         .localCheckpoint()
 
+      // snapshot-serve path (q209): pin the b0-only model, ingest a
+      // second batch, compact (b0's deltas retire) — the measured serve
+      // then re-assembles the pinned model from retired partitions
+      LanguageModel.snapshotCountModel(spark, s"$base/lm", "s1")
+      LanguageModel.writeCountBatch(probeDocs, "doc_id", "text",
+        s"$base/lm", "b1")
+      LanguageModel.compactCountModel(spark, s"$base/lm")
+
       val out = Seq(
         "ann_probe" -> timed(() => force(
           AnnIndex.probe(spark, s"$base/ann", "vec_id", qvec, k = 5,
@@ -197,6 +205,9 @@ object ProfileAtRestSf10 {
             s"$base/bench", minOverlap = 3))),
         "lm_score_batch" -> timed(() => force(
           LanguageModel.scoreFromCounts(spark, s"$base/lm", probeDocs,
+            "doc_id", "text"))),
+        "lm_score_at_snapshot" -> timed(() => force(
+          LanguageModel.scoreAtSnapshot(spark, s"$base/lm", "s1", probeDocs,
             "doc_id", "text"))),
         "store_build_total" -> buildSec,
         "n_docs" -> nDocs.toDouble,

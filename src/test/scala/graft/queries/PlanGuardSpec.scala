@@ -848,4 +848,23 @@ class PlanGuardSpec extends SparkSpec {
         s"$q's main window must partition by (user_id, __b):\n${windowLines.mkString("\n")}")
     }
   }
+
+  test("q210 epoch shard plan: the corpus prefix sum partitions by bucket; only the 256-row offset relation is single-partition") {
+    // the scale claim — no global single-partition window over the
+    // corpus — is exactly one plan regression away: dropping the __bk
+    // partition spec stays oracle-green (the cumsum is a property of
+    // the total order) and silently serializes the corpus through one
+    // task. Pin: the CORPUS window partitions by __bk, the offsets
+    // join back by broadcast, and the only SinglePartition exchange
+    // feeds the post-aggregate 256-row offset window.
+    val p = planOf("q210_epoch_shard_plan")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windowLines.exists(_.contains("windowspecdefinition(__bk")),
+      s"the corpus prefix sum must partition by __bk:\n${windowLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 256-row offset relation must broadcast back:\n$p")
+    val single = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(single <= 1,
+      s"at most ONE single-partition exchange (the bounded offset window), found $single:\n$p")
+  }
 }

@@ -107,7 +107,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val nQueries = SparkEntry.queries.size
+    // optional comma-separated substring filter for targeted re-measures
+    // while iterating on one query; the driver never sets it, so the
+    // default (unset → full surface) keeps the contract byte-identical
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    val nQueries = SparkEntry.queries.keysIterator.count(selected)
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
       .getOrElse(math.max(460.0, 12.0 * nQueries))
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
@@ -143,6 +150,7 @@ object Bench {
     }
 
     val states = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }
       .map { case (n, f) => new QState(n, f) }
     // main sweep: fixed warmups+measured, inline convergence re-measure
     states.foreach { st =>

